@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Each ``queries()`` entry is a Ray Data pipeline over the driver's
+parquet tables at ``sf_dir``; the matching ``oracle_sql()`` entry is an
+ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
+types match between the two (the driver hashes values after sorting
+columns by name). Entries without oracle SQL (alignment word level,
+sketch dedup, fingerprints) get the driver's rows-only check.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +16,642 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col):
+    """Exact integer cents from a 2-decimal double column.
+
+    floor(x*100 + 0.5) with the SAME float op order as the oracle SQL, so
+    both engines produce identical integers (IEEE ops are deterministic;
+    avoids round-mode divergence: pyarrow rounds half-to-even, DuckDB
+    half-away-from-zero).
+    """
+    return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# relational core
+
+
+def q01_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate with exact integer-cent sums."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "base_cents": _cents(t["l_extendedprice"]),
+                "disc_cents": _cents(disc_price),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def q02_revenue_by_segment(sf_dir: str):
+    """orders ⋈ customer (broadcast small side) → revenue per market segment.
+
+    customer is the dimension side: read once on the driver, ray.put the
+    custkey→segment array, map over orders with a vectorized take — no
+    shuffle join (Ray guide broadcast pattern).
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    lookup = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(lookup)
+
+    def attach(t: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        seg = pa.array([lk.get(k) for k in t["o_custkey"].to_pylist()], pa.string())
+        return pa.table({"c_mktsegment": seg, "price_cents": _cents(t["o_totalprice"])})
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    return (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("price_cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
+    )
+
+
+def q03_events_window(sf_dir: str):
+    """Tumbling 1-hour window per event_type: count + exact cent sum."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                "event_type": t["event_type"],
+                "value_cents": _cents(t["value"]),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+def q04_top_users(sf_dir: str):
+    """Top-10 users by total event value (groupby → sort → limit)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"], "value_cents": _cents(t["value"])})
+
+    agg = ds.map_batches(prep, batch_format="pyarrow").groupby("user_id").aggregate(
+        Sum("value_cents", alias_name="total_cents")
+    )
+    return agg.sort(["total_cents", "user_id"], descending=[True, False]).limit(10)
+
+
+def q05_sort_docs(sf_dir: str):
+    """Top-20 documents by length (sort + limit over a pruned read)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# extraction
+
+
+def q10_extract_spans(sf_dir: str):
+    """documents → flat line/word span rows (SQL-checkable segmentation)."""
+    from ocrd_cis_ray.stages.extract import segment_text_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(segment_text_batch, batch_format="pyarrow")
+
+
+def q11_span_stats(sf_dir: str):
+    """Per-document span counts over the extraction output."""
+    from ray.data.aggregate import Count, Sum
+
+    from ocrd_cis_ray.stages.extract import segment_text_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    spans = ds.map_batches(segment_text_batch, batch_format="pyarrow")
+
+    def flags(t: pa.Table) -> pa.Table:
+        is_word = pc.cast(pc.equal(t["kind"], "word"), pa.int64())
+        is_line = pc.cast(pc.equal(t["kind"], "line"), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "is_word": is_word, "is_line": is_line})
+
+    return (
+        spans.map_batches(flags, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n_spans"),
+            Sum("is_word", alias_name="n_words"),
+            Sum("is_line", alias_name="n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def q20_token_count(sf_dir: str):
+    from ocrd_cis_ray.stages.textops import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
+def q21_quality(sf_dir: str):
+    from ocrd_cis_ray.stages.textops import quality_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow")
+
+
+def q22_langid(sf_dir: str):
+    from ocrd_cis_ray.stages.textops import LangIdStage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangIdStage, batch_format="pandas", concurrency=2)
+
+
+def q23_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def q24_fingerprint(sf_dir: str):
+    from ocrd_cis_ray.stages.textops import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+
+def q30_dedup_exact(sf_dir: str):
+    """Exact dedup groups: keeper (min doc_id) + copy count per distinct text."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.dedup import add_content_hash
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow")
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": [int(g["doc_id"].min())], "n_copies": [np.int64(len(g))]})
+
+    return hashed.groupby("content_hash").map_groups(keep, batch_format="pandas")
+
+
+def q31_jaccard_pairs(sf_dir: str):
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5)."""
+    from ocrd_cis_ray.stages.dedup import jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = jaccard_pairs(ds, n=3, threshold=0.5)
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id_a": b["id_a"].astype("int64"),
+                "id_b": b["id_b"].astype("int64"),
+                "jaccard": b["jaccard"].astype("float64"),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+def q32_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup candidates (rows-only check: probabilistic)."""
+    from ocrd_cis_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, num_perm=128, bands=32, ngram=3, threshold=0.5, concurrency=2)
+
+
+def q33_simhash(sf_dir: str):
+    """Per-doc 64-bit SimHash (hex string; rows-only check)."""
+    from ocrd_cis_ray.stages.dedup import simhash_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_hex(t: pa.Table) -> pa.Table:
+        out = simhash_batch(t)
+        hexes = pa.array([format(int(v), "016x") for v in out["simhash"].to_pylist()], pa.string())
+        return pa.table({"doc_id": out["doc_id"], "simhash": hexes})
+
+    return ds.map_batches(to_hex, batch_format="pyarrow")
+
+
+def q34_embedding_dups(sf_dir: str):
+    """Embedding near-dup pairs, cosine ≥ 0.4 (float64 matmul vs broadcast)."""
+    from ocrd_cis_ray.stages.dedup import embedding_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_dup_pairs(ds, threshold=0.4)
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id_a": b["id_a"].astype("int64"), "id_b": b["id_b"].astype("int64")})
+
+    return pairs.map_batches(cast, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+def q40_ann_topk(sf_dir: str):
+    """Exact cosine top-5 for query vectors vec_id < 10 (rank only)."""
+    from ocrd_cis_ray.stages.similarity import brute_topk
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = pc.less(qtbl["vec_id"], 10)
+    qtbl = qtbl.filter(mask)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_topk(
+        ds,
+        qtbl["vec_id"].to_pylist(),
+        np.stack([np.asarray(v, dtype=np.float64) for v in qtbl["embedding"].to_pylist()]),
+        k=5,
+    )
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "query_id": b["query_id"].astype("int64"),
+                "neighbor_id": b["neighbor_id"].astype("int64"),
+                "rank": b["rank"].astype("int32"),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# metrics (WER / CER vs a deterministic corrupted variant)
+
+
+def _with_variant(t: pa.Table) -> pa.Table:
+    """gt = text, test = text with 'a'→'@' (SQL: replace(text,'a','@'))."""
+    return pa.table(
+        {
+            "source": t["source"],
+            "gt_text": t["text"],
+            "text": pc.replace_substring(t["text"], "a", "@"),
+        }
+    )
+
+
+def q50_wer_global(sf_dir: str):
+    from ocrd_cis_ray.stages.metrics import wer
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    pairs = ds.map_batches(_with_variant, batch_format="pyarrow")
+    return wer(pairs)  # single-row pandas DataFrame
+
+
+def q51_cer_by_source(sf_dir: str):
+    from ocrd_cis_ray.stages.metrics import cer_by_source
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    pairs = ds.map_batches(_with_variant, batch_format="pyarrow")
+    return cer_by_source(pairs)
+
+
+# ---------------------------------------------------------------------------
+# n-way alignment
+
+
+_ALIGN_SOURCES = ["OCR-1", "OCR-2", "GT"]
+
+
+def _variant_lines(sf_dir: str):
+    """Long-form variant lines from documents: 8-word lines, three sources
+    with SQL-expressible corruptions (OCR-1: e→c, OCR-2: t→l, GT: clean)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out = {"doc_id": [], "source": [], "line_no": [], "text": [], "conf": []}
+        for did, text in zip(ids, texts):
+            words = (text or "").split(" ")
+            lines = [" ".join(words[k : k + 8]) for k in range(0, len(words), 8)]
+            for ln, lt in enumerate(lines):
+                for src, sub, conf in (("OCR-1", ("e", "c"), 0.8), ("OCR-2", ("t", "l"), 0.7), ("GT", None, 1.0)):
+                    out["doc_id"].append(did)
+                    out["source"].append(src)
+                    out["line_no"].append(ln)
+                    out["text"].append(lt.replace(*sub) if sub else lt)
+                    out["conf"].append(conf)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "source": pa.array(out["source"], pa.string()),
+                "line_no": pa.array(out["line_no"], pa.int32()),
+                "text": pa.array(out["text"], pa.string()),
+                "conf": pa.array(out["conf"], pa.float32()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def q60_align_lines(sf_dir: str):
+    """Line-level n-way alignment output (TextEquiv-append semantics)."""
+    from ocrd_cis_ray.stages.align import align_variants
+
+    aligned = align_variants(_variant_lines(sf_dir), _ALIGN_SOURCES)
+
+    def lines_only(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["level"] == "line"]
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "line_no": b["line_no"].astype("int32"),
+                "idx": b["idx"].astype("int32"),
+                "source": b["source"],
+                "text": b["text"],
+                "conf": b["conf"].astype("float32"),
+            }
+        )
+
+    return aligned.map_batches(lines_only, batch_format="pandas")
+
+
+def q61_align_words(sf_dir: str):
+    """Word-level alignment incl. give-up semantics (rows-only check)."""
+    from ocrd_cis_ray.stages.align import align_variants
+
+    aligned = align_variants(_variant_lines(sf_dir), _ALIGN_SOURCES)
+
+    def words_only(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["level"] == "word"]
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "line_no": b["line_no"].astype("int32"),
+                "word_no": b["word_no"].astype("int32"),
+                "idx": b["idx"].astype("int32"),
+                "source": b["source"],
+                "text": b["text"],
+            }
+        )
+
+    return aligned.map_batches(words_only, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: synthesize the interleaved corpus →
+    span extraction/normalization → flat span rows."""
+    from ocrd_cis_ray.corpus import synth_corpus_dataset
+    from ocrd_cis_ray.stages.extract import extract, flatten_spans_batch
+
+    raw = synth_corpus_dataset("/root/testdata/sf0.001", seed=42, pages_per_doc=1, raw=True)
+    docs = extract(raw)
+    return docs.map_batches(flatten_spans_batch, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "q01_lineitem_agg": q01_lineitem_agg,
+        "q02_revenue_by_segment": q02_revenue_by_segment,
+        "q03_events_window": q03_events_window,
+        "q04_top_users": q04_top_users,
+        "q05_sort_docs": q05_sort_docs,
+        "q10_extract_spans": q10_extract_spans,
+        "q11_span_stats": q11_span_stats,
+        "q20_token_count": q20_token_count,
+        "q21_quality": q21_quality,
+        "q22_langid": q22_langid,
+        "q23_lang_counts": q23_lang_counts,
+        "q24_fingerprint": q24_fingerprint,
+        "q30_dedup_exact": q30_dedup_exact,
+        "q31_jaccard_pairs": q31_jaccard_pairs,
+        "q32_minhash_pairs": q32_minhash_pairs,
+        "q33_simhash": q33_simhash,
+        "q34_embedding_dups": q34_embedding_dups,
+        "q40_ann_topk": q40_ann_topk,
+        "q50_wer_global": q50_wer_global,
+        "q51_cer_by_source": q51_cer_by_source,
+        "q60_align_lines": q60_align_lines,
+        "q61_align_words": q61_align_words,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _langid_sql() -> str:
+    """Generate the stopword-argmax SQL in lockstep with textops.STOPWORDS."""
+    from ocrd_cis_ray.stages.textops import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    hit_exprs = []
+    for lang in langs:
+        words = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(STOPWORDS[lang]))
+        hit_exprs.append(
+            f"len(list_filter(string_split(lower(text), ' '), x -> list_contains([{words}], x))) AS h_{lang}"
+        )
+    case_branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"h_{lang} > 0"] + [f"h_{lang} >= h_{other}" for other in langs[i + 1 :]]
+        case_branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+WITH hits AS (SELECT doc_id, {', '.join(hit_exprs)} FROM documents)
+SELECT doc_id, CASE {' '.join(case_branches)} ELSE 'und' END AS lang_pred FROM hits
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    spans_cte = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS wi
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, wi // 8 AS ln, string_agg(w, ' ' ORDER BY wi) AS ltext
+  FROM tok GROUP BY doc_id, wi // 8
+),
+spans AS (
+  SELECT doc_id, CAST(9 * ln AS INT) AS "offset", 'line' AS kind, ltext AS text, '' AS media_ref FROM lines
+  UNION ALL
+  SELECT doc_id, CAST(9 * (wi // 8) + 1 + (wi % 8) AS INT), 'word', w, '' FROM tok
+)
+"""
+    variant_cte = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS wi
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, CAST(wi // 8 AS INT) AS line_no, string_agg(w, ' ' ORDER BY wi) AS ltext
+  FROM tok GROUP BY doc_id, wi // 8
+)
+"""
+    return {
+        "q01_lineitem_agg": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "q02_revenue_by_segment": """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+        "q03_events_window": """
+SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+""",
+        "q04_top_users": """
+SELECT user_id, CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY user_id
+ORDER BY total_cents DESC, user_id LIMIT 10
+""",
+        "q05_sort_docs": """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20
+""",
+        "q10_extract_spans": spans_cte + "SELECT * FROM spans",
+        "q11_span_stats": spans_cte
+        + """
+SELECT doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN kind = 'word' THEN 1 ELSE 0 END) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN kind = 'line' THEN 1 ELSE 0 END) AS BIGINT) AS n_lines
+FROM spans GROUP BY doc_id
+""",
+        "q20_token_count": """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+""",
+        "q21_quality": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_token_len,
+       CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         / greatest(length(text), 1) AS punct_ratio
+FROM documents
+""",
+        "q22_langid": _langid_sql(),
+        "q23_lang_counts": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+        "q30_dedup_exact": """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text
+""",
+        "q31_jaccard_pairs": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS wi
+  FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY wi)
+),
+sh AS (SELECT DISTINCT doc_id, s FROM tri WHERE s IS NOT NULL),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
+FROM pairs JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5
+""",
+        "q34_embedding_dups": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+""",
+        "q40_ann_topk": """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INT) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+""",
+        "q50_wer_global": """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS gw,
+         unnest(string_split(replace(text, 'a', '@'), ' ')) AS tw
+  FROM documents
+)
+SELECT COUNT(*) AS total_words,
+       CAST(SUM(CASE WHEN gw = tw THEN 1 ELSE 0 END) AS BIGINT) AS correct_words,
+       CAST(SUM(CASE WHEN gw = tw THEN 0 ELSE 1 END) AS BIGINT) AS incorrect_words,
+       CAST(SUM(CASE WHEN gw = tw THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) AS word_error_rate
+FROM w
+""",
+        "q51_cer_by_source": """
+SELECT source,
+       CAST(SUM(levenshtein(replace(text, 'a', '@'), text)) AS BIGINT) AS char_errors,
+       CAST(SUM(length(text)) AS BIGINT) AS gt_chars,
+       CAST(SUM(levenshtein(replace(text, 'a', '@'), text)) AS DOUBLE)
+         / SUM(length(text)) AS char_error_rate
+FROM documents GROUP BY source
+""",
+        "q60_align_lines": variant_cte
+        + """
+SELECT doc_id, line_no, CAST(0 AS INT) AS idx, 'OCR-1' AS source,
+       replace(ltext, 'e', 'c') AS text, CAST(0.8 AS REAL) AS conf FROM lines
+UNION ALL
+SELECT doc_id, line_no, CAST(1 AS INT), 'OCR-2', replace(ltext, 't', 'l'), CAST(0.7 AS REAL) FROM lines
+UNION ALL
+SELECT doc_id, line_no, CAST(2 AS INT), 'GT', ltext, CAST(1.0 AS REAL) FROM lines
+""",
+    }

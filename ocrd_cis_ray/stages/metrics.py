@@ -1,0 +1,117 @@
+"""Evaluation aggregates: WER and CER, computed as partial-per-batch
+sums + a tiny final reduce (never a row-level shuffle).
+
+Reimplements the reference's metric semantics:
+
+- WER (ocrd_cis/wer/cli.py:26-67): count words where test == gt over a
+  whole group; report {totalWords, correctWords, incorrectWords,
+  wordErrorRate}. Word comparison is positional over the line's
+  space-split words (the reference walks Word elements in order).
+- CER / per-source stats (ocrd_cis/div/stats.py:31-91): sum of
+  Levenshtein(ocr_i, gt) per OCR source + total GT chars; accuracy
+  printed as 1 - err/gtlen. Inline variant: recognize.py:234-235.
+
+Scale shape: ``map_batches`` computes one partial-sum row per (source)
+per batch; the final ``groupby(source).sum`` shuffles only
+#batches × #sources rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..util import levenshtein, split_words
+
+
+def wer_partials_batch(batch: pa.Table, *, test_col: str = "text", gt_col: str = "gt_text") -> pa.Table:
+    """Per-batch partial word counts: one output row per batch.
+
+    Positional word equality per line pair (reference wer/cli.py:33-49:
+    zip of word lists; extra/missing words count as incorrect).
+    """
+    test = batch[test_col].to_pylist()
+    gt = batch[gt_col].to_pylist()
+    total = correct = 0
+    for t, g in zip(test, gt):
+        tw, gw = split_words(t or ""), split_words(g or "")
+        n = max(len(tw), len(gw))
+        total += n
+        correct += sum(1 for a, b in zip(tw, gw) if a == b)
+    return pa.table(
+        {
+            "total_words": pa.array([total], pa.int64()),
+            "correct_words": pa.array([correct], pa.int64()),
+        }
+    )
+
+
+def wer(ds, *, test_col: str = "text", gt_col: str = "gt_text") -> pd.DataFrame:
+    """Global WER over a dataset of (test, gt) line pairs.
+
+    Returns one row {total_words, correct_words, incorrect_words,
+    word_error_rate} — the reference's Stats dict (wer/cli.py:50-67).
+    """
+    partials = ds.map_batches(
+        wer_partials_batch, batch_format="pyarrow", fn_kwargs={"test_col": test_col, "gt_col": gt_col}
+    )
+    import ray.data.aggregate as agg
+
+    out = partials.aggregate(agg.Sum("total_words", alias_name="total_words"),
+                             agg.Sum("correct_words", alias_name="correct_words"))
+    total = int(out["total_words"] or 0)
+    correct = int(out["correct_words"] or 0)
+    return pd.DataFrame(
+        {
+            "total_words": [total],
+            "correct_words": [correct],
+            "incorrect_words": [total - correct],
+            "word_error_rate": [(total - correct) / total if total else 0.0],
+        }
+    )
+
+
+def cer_partials_batch(
+    batch: pa.Table, *, source_col: str = "source", test_col: str = "text", gt_col: str = "gt_text"
+) -> pa.Table:
+    """Per-batch partial CER sums keyed by source: levenshtein distance
+    summed per source + GT char totals (div/stats.py:31-91)."""
+    src = batch[source_col].to_pylist()
+    test = batch[test_col].to_pylist()
+    gt = batch[gt_col].to_pylist()
+    acc: dict[str, list[int]] = {}
+    for s, t, g in zip(src, test, gt):
+        d = levenshtein(t or "", g or "")
+        a = acc.setdefault(s, [0, 0])
+        a[0] += d
+        a[1] += len(g or "")
+    sources = sorted(acc)
+    return pa.table(
+        {
+            "source": pa.array(sources, pa.string()),
+            "char_errors": pa.array([acc[s][0] for s in sources], pa.int64()),
+            "gt_chars": pa.array([acc[s][1] for s in sources], pa.int64()),
+        }
+    )
+
+
+def cer_by_source(ds, *, source_col: str = "source", test_col: str = "text", gt_col: str = "gt_text"):
+    """Per-source CER: Dataset of (source, char_errors, gt_chars,
+    char_error_rate). Partial per batch → groupby(source).sum (tiny)."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        cer_partials_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"source_col": source_col, "test_col": test_col, "gt_col": gt_col},
+    )
+    out = partials.groupby("source").aggregate(
+        Sum("char_errors", alias_name="char_errors"), Sum("gt_chars", alias_name="gt_chars")
+    )
+
+    def rate(b: pd.DataFrame) -> pd.DataFrame:
+        b["char_error_rate"] = np.where(b["gt_chars"] > 0, b["char_errors"] / b["gt_chars"], 0.0)
+        return b
+
+    return out.map_batches(rate, batch_format="pandas")

