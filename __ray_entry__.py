@@ -226,17 +226,17 @@ def q24_fingerprint(sf_dir: str):
 
 def q30_dedup_exact(sf_dir: str):
     """Exact dedup groups: keeper (min doc_id) + copy count per distinct text."""
-    import ray.data as rd
-
+    from ocrd_cis_ray.shuffle import bucketed_groupby
     from ocrd_cis_ray.stages.dedup import add_content_hash
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     hashed = ds.map_batches(add_content_hash, batch_format="pyarrow")
 
-    def keep(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [int(g["doc_id"].min())], "n_copies": [np.int64(len(g))]})
+    def keep(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby("content_hash", sort=False)["doc_id"].agg(["min", "size"]).reset_index()
+        return pd.DataFrame({"doc_id": g["min"].astype("int64"), "n_copies": g["size"].astype("int64")})
 
-    return hashed.groupby("content_hash").map_groups(keep, batch_format="pandas")
+    return bucketed_groupby(hashed, "content_hash", keep, whole_bucket=True)
 
 
 def q31_jaccard_pairs(sf_dir: str):

@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at $RAY_GRAFT_CPUS (default 32).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ...}
+
+--scaling: runs the headline pipeline in two fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox evidence for the
+N→4N-nodes criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_PER_DOC = int(os.environ.get("GRAFT_PAGES_PER_DOC", "4"))
+
+
+def _sf_label(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return -1.0
+
+
+def run_bench() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+    from ocrd_cis_ray.pipelines import flagship
+
+    # warm OS page cache so we measure compute + shuffle, not first-read I/O
+    import pyarrow.parquet as pq
+
+    for t in ("documents", "lineitem", "events", "embeddings"):
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    timings: dict[str, float] = {}
+    n_docs = 0
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # headline: flagship extraction (synth raw corpus -> extract -> count)
+    def _extract():
+        ds = flagship.extract_pipeline(SF_DIR, pages_per_doc=PAGES_PER_DOC)
+        return ds.count()
+
+    n_docs = timed("flagship_extract", _extract)
+
+    # full chain: extract -> variants -> align -> CER
+    timed("flagship_align_eval", lambda: flagship.evaluate_pipeline(SF_DIR, pages_per_doc=PAGES_PER_DOC).to_pandas())
+
+    # operator benchmarks over driver tables
+    Q = entrymod.queries()
+    for name in (
+        "q01_lineitem_agg",
+        "q03_events_window",
+        "q10_extract_spans",
+        "q21_quality",
+        "q22_langid",
+        "q30_dedup_exact",
+        "q31_jaccard_pairs",
+        "q32_minhash_pairs",
+        "q40_ann_topk",
+        "q50_wer_global",
+        "q51_cer_by_source",
+    ):
+        fn = Q[name]
+
+        def run(fn=fn):
+            out = fn(SF_DIR)
+            import ray.data
+
+            if isinstance(out, ray.data.Dataset):
+                return out.count()
+            return len(out)
+
+        timed(name, run)
+
+    total = round(sum(timings.values()), 3)
+    headline_sec = timings["flagship_extract"] + timings["flagship_align_eval"]
+    result = {
+        "metric": "flagship extract+align+eval wall time at sf (plus per-operator timings)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / headline_sec, 1) if headline_sec > 0 else None,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo, hi = sub(lo_cpus), sub(hi_cpus)
+
+    def headline(r):
+        return r["queries"]["flagship_extract"] + r["queries"]["flagship_align_eval"]
+
+    t_lo, t_hi = headline(lo), headline(hi)
+    speedup = t_lo / t_hi if t_hi > 0 else 0.0
+    eff = speedup / (hi_cpus / lo_cpus)
+    return {
+        "metric": f"scaling efficiency {lo_cpus}->{hi_cpus} cpus (flagship pipeline)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_lo": round(t_lo, 3),
+        "sec_hi": round(t_hi, 3),
+        "cpus_lo": lo_cpus,
+        "cpus_hi": hi_cpus,
+        "speedup": round(speedup, 3),
+        "docs_per_sec_lo": lo.get("docs_per_sec"),
+        "docs_per_sec_hi": hi.get("docs_per_sec"),
+        "sf": lo.get("sf"),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from ..util import levenshtein
+from ..util import lev_within
 
 
 def _match_one(word: str, tok: str) -> bool:
@@ -43,9 +43,10 @@ def _match_one(word: str, tok: str) -> bool:
 
 def _match_lev(word: str, tok: str) -> bool:
     """Tier-2 matcher: Levenshtein ≤1, or ≤3 for long tokens
-    (align/cli.py:211-217)."""
+    (align/cli.py:211-217). Banded bounded DP — never builds the full
+    matrix (hot path: called per master word × candidate token)."""
     limit = 3 if min(len(word), len(tok)) > 6 else 1
-    return levenshtein(word, tok) <= limit
+    return lev_within(word, tok, limit)
 
 
 def _match_contain(word: str, tok: str) -> bool:
@@ -97,50 +98,68 @@ class NWayAligner:
     master word yields one row per source with the matched token.
     """
 
+    COLS = ("doc_id", "line_no", "level", "word_no", "idx", "source", "text", "conf")
+
     def __init__(self, sources: list[str]):
         self.sources = list(sources)
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        doc_id = group["doc_id"].iloc[0]
-        out = {k: [] for k in ("doc_id", "line_no", "level", "word_no", "idx", "source", "text", "conf")}
+    def __call__(self, bucket: pd.DataFrame) -> pd.DataFrame:
+        """Processes a whole hash bucket of documents: plain-dict doc
+        grouping + list accumulators, ONE DataFrame built per bucket
+        (a frame per doc costs ~1 ms × millions of docs)."""
+        out: dict[str, list] = {k: [] for k in self.COLS}
+        emit = [out[k].append for k in self.COLS]
 
-        def emit(line_no, level, word_no, idx, source, text, conf):
-            out["doc_id"].append(doc_id)
-            out["line_no"].append(line_no)
-            out["level"].append(level)
-            out["word_no"].append(word_no)
-            out["idx"].append(idx)
-            out["source"].append(source)
-            out["text"].append(text)
-            out["conf"].append(conf)
+        def emit_row(doc_id, line_no, level, word_no, idx, source, text, conf):
+            emit[0](doc_id)
+            emit[1](line_no)
+            emit[2](level)
+            emit[3](word_no)
+            emit[4](idx)
+            emit[5](source)
+            emit[6](text)
+            emit[7](conf)
 
-        by_src = {
-            s: g.set_index("line_no")[["text", "conf"]] for s, g in group.groupby("source")
-        }
+        # group rows per doc without pandas: column arrays + dict of lists
+        doc_ids = bucket["doc_id"].to_numpy()
+        srcs = bucket["source"].to_numpy()
+        line_nos = bucket["line_no"].to_numpy()
+        texts = bucket["text"].to_numpy()
+        confs = bucket["conf"].to_numpy()
+        docs: dict = {}
+        for i in range(len(doc_ids)):
+            docs.setdefault(doc_ids[i], {}).setdefault(srcs[i], {})[int(line_nos[i])] = (
+                texts[i],
+                float(confs[i]),
+            )
         master = self.sources[0]
-        if master not in by_src:
-            return pd.DataFrame(out)
-        mlines = by_src[master].sort_index()
-        for line_no, mrow in mlines.iterrows():
-            mtext = mrow["text"] or ""
-            emit(line_no, "line", -1, 0, master, mtext, float(mrow["conf"]))
-            mwords = mtext.split(" ") if mtext else []
-            for idx, src in enumerate(self.sources[1:], start=1):
-                srows = by_src.get(src)
-                if srows is None or line_no not in srows.index:
-                    continue
-                stext = srows.loc[line_no, "text"] or ""
-                sconf = float(srows.loc[line_no, "conf"])
-                emit(line_no, "line", -1, idx, src, stext, sconf)
-                tokens = stext.split(" ") if stext else []
-                matched = match_cursor(mwords, tokens)
-                if matched is None:
-                    continue  # give up on word alignment for this line
-                for wno, (w, ti) in enumerate(zip(mwords, matched)):
-                    emit(line_no, "word", wno, idx, src, tokens[ti], sconf)
-            # master's own word rows (idx 0)
-            for wno, w in enumerate(mwords):
-                emit(line_no, "word", wno, 0, master, w, float(mrow["conf"]))
+        supports = list(enumerate(self.sources[1:], start=1))
+        for did in docs:
+            by_src = docs[did]
+            mlines = by_src.get(master)
+            if not mlines:
+                continue
+            for line_no in sorted(mlines):
+                mtext, mconf = mlines[line_no]
+                mtext = mtext or ""
+                emit_row(did, line_no, "line", -1, 0, master, mtext, mconf)
+                mwords = mtext.split(" ") if mtext else []
+                for idx, src in supports:
+                    srows = by_src.get(src)
+                    if srows is None or line_no not in srows:
+                        continue
+                    stext, sconf = srows[line_no]
+                    stext = stext or ""
+                    emit_row(did, line_no, "line", -1, idx, src, stext, sconf)
+                    tokens = stext.split(" ") if stext else []
+                    matched = match_cursor(mwords, tokens)
+                    if matched is None:
+                        continue  # give up on word alignment for this line
+                    for wno, ti in enumerate(matched):
+                        emit_row(did, line_no, "word", wno, idx, src, tokens[ti], sconf)
+                # master's own word rows (idx 0)
+                for wno, w in enumerate(mwords):
+                    emit_row(did, line_no, "word", wno, 0, master, w, mconf)
         df = pd.DataFrame(out)
         df["line_no"] = df["line_no"].astype("int32")
         df["word_no"] = df["word_no"].astype("int32")
@@ -149,18 +168,15 @@ class NWayAligner:
         return df
 
 
-def _align_group(group: pd.DataFrame, sources: list[str]) -> pd.DataFrame:
-    return NWayAligner(sources)(group)
-
-
-def align_variants(variant_ds, sources: list[str]):
+def align_variants(variant_ds, sources: list[str], *, num_buckets: int | None = None):
     """Dataset wrapper: long-form variant lines -> aligned long-form rows.
 
-    The ``groupby(doc_id)`` is the stage's single shuffle; alignment
-    itself runs inside map_groups (row-local per document).
+    One bucketed shuffle on ``doc_id`` (bounded partition count — see
+    shuffle.bucketed_groupby); alignment runs row-locally per document
+    inside each bucket, whole-bucket vectorized.
     """
-    from functools import partial
+    from ..shuffle import bucketed_groupby
 
-    return variant_ds.groupby("doc_id").map_groups(
-        partial(_align_group, sources=sources), batch_format="pandas"
+    return bucketed_groupby(
+        variant_ds, "doc_id", NWayAligner(sources), num_buckets=num_buckets, whole_bucket=True
     )

@@ -36,16 +36,21 @@ def add_content_hash(batch: pa.Table, *, column: str = "text") -> pa.Table:
 def dedup_exact(ds, *, column: str = "text", key: str = "doc_id"):
     """Exact dedup: hash-partition on content hash, keep min-key row per group.
 
-    groupby(content_hash).map_groups(first) — SURVEY.md §2.7's
-    ``doc_id``-dedup generalized to content identity. Deterministic
-    winner (min key) so reruns are stable.
+    SURVEY.md §2.7's ``doc_id``-dedup generalized to content identity.
+    One bucketed shuffle on the content hash; inside each bucket the
+    winner per hash is picked with a single vectorized sort +
+    drop_duplicates (no per-group Python). Deterministic winner
+    (min key) so reruns are stable.
     """
+    from ..shuffle import bucketed_groupby
+
     hashed = ds.map_batches(add_content_hash, batch_format="pyarrow", fn_kwargs={"column": column})
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(key).head(1).drop(columns=["content_hash"])
+    def keep_first(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.sort_values([key]).drop_duplicates("content_hash", keep="first")
+        return out.drop(columns=["content_hash"]).reset_index(drop=True)
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return bucketed_groupby(hashed, "content_hash", keep_first, whole_bucket=True)
 
 
 # ---------------------------------------------------------------------------
@@ -82,39 +87,48 @@ def shingle_batch(batch: pa.Table, *, n: int = 3) -> pa.Table:
     )
 
 
-def jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.8):
+def jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.8, max_shingle_freq: int | None = None):
     """Exact n-gram Jaccard near-dup pairs via a shingle-key shuffle.
 
-    docs → shingle rows → groupby(shingle) emits co-occurring doc pairs
-    → groupby(pair) counts shared shingles → jaccard =
-    shared / (na + nb - shared) ≥ threshold. Exact (no LSH recall
-    loss) — the oracle-checkable baseline for the sketch variants.
-    At scale the shingle groupby is the one shuffle; hot shingles
-    (stop-phrase skew) are dropped above a frequency cap, which only
-    removes pairs already co-occurring on rarer shingles.
+    docs → shingle rows → ONE bucketed shuffle on the shingle hash →
+    per bucket, a vectorized self-merge on shingle emits partial
+    (id_a, id_b, shared-count) rows → a small groupby(pair) sum →
+    jaccard = shared / (na + nb - shared) ≥ threshold. Exact (no LSH
+    recall loss) — the oracle-checkable baseline for the sketch
+    variants. ``max_shingle_freq`` optionally drops shingles hotter
+    than the cap (stop-phrase skew at corpus scale); None = exact.
     """
+    from ..shuffle import bucketed_aggregate, bucketed_groupby
+
     shingled = ds.map_batches(shingle_batch, batch_format="pyarrow", fn_kwargs={"n": n})
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        ns = g["n_shingles"].to_numpy()
-        if len(ids) < 2 or len(ids) > 200:  # frequency cap against hot-key blowup
-            return pd.DataFrame({"id_a": [], "id_b": [], "n_a": [], "n_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "n_a": ns[ia], "n_b": ns[ib]})
+    def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        if max_shingle_freq is not None:
+            freq = bucket.groupby("shingle")["doc_id"].transform("size")
+            bucket = bucket[freq <= max_shingle_freq]
+        m = bucket.merge(bucket, on="shingle", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        g = (
+            m.groupby(["doc_id_a", "doc_id_b"], sort=False)
+            .agg(shared=("shingle", "size"), n_a=("n_shingles_a", "first"), n_b=("n_shingles_b", "first"))
+            .reset_index()
+        )
+        return g.rename(columns={"doc_id_a": "id_a", "doc_id_b": "id_b"})
 
-    co = shingled.groupby("shingle").map_groups(pairs_of_group, batch_format="pandas")
+    partial_counts = bucketed_groupby(shingled, "shingle", bucket_pairs, whole_bucket=True)
+    totals = bucketed_aggregate(
+        partial_counts,
+        ["id_a", "id_b"],
+        {"shared": ("shared", "sum"), "n_a": ("n_a", "max"), "n_b": ("n_b", "max")},
+    )
 
-    def agg_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        shared = len(g)
-        na, nb = int(g["n_a"].iloc[0]), int(g["n_b"].iloc[0])
-        j = shared / (na + nb - shared) if (na + nb - shared) > 0 else 0.0
-        if j < threshold:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        return pd.DataFrame({"id_a": [g["id_a"].iloc[0]], "id_b": [g["id_b"].iloc[0]], "jaccard": [j]})
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        denom = b["n_a"] + b["n_b"] - b["shared"]
+        j = np.where(denom > 0, b["shared"] / denom, 0.0)
+        out = pd.DataFrame({"id_a": b["id_a"], "id_b": b["id_b"], "jaccard": j})
+        return out[out["jaccard"] >= threshold].reset_index(drop=True)
 
-    return co.groupby(["id_a", "id_b"]).map_groups(agg_pairs, batch_format="pandas")
+    return totals.map_batches(finalize, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -198,21 +212,26 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32, ngram: int = 
     )
     banded = sigs.map_batches(band_batch, batch_format="pyarrow", fn_kwargs={"bands": bands, "rows": rows})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2 or len(ids) > 200:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        # vectorized within the hash bucket: self-merge per (band, hash)
+        b = bucket.drop_duplicates(["band_id", "band_hash", "doc_id"])
+        m = b.merge(b, on=["band_id", "band_hash"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return m[["doc_id_a", "doc_id_b"]].drop_duplicates().rename(
+            columns={"doc_id_a": "id_a", "doc_id_b": "id_b"}
+        )
 
-    cand = banded.groupby(["band_id", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+    from ..shuffle import bucketed_aggregate, bucketed_groupby
 
-    def uniq_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    cand = bucketed_groupby(banded, ["band_id", "band_hash"], bucket_pairs, whole_bucket=True)
+    # global pair dedup (pairs can collide in several bands): bucketed hash agg
+    cand = bucketed_aggregate(cand, ["id_a", "id_b"], {"n_bands": ("id_a", "size")}).drop_columns(
+        ["n_bands"]
+    )
 
-    cand = cand.groupby(["id_a", "id_b"]).map_groups(uniq_pairs, batch_format="pandas")
-
-    # verify: join candidate pairs back to signatures (broadcast if small)
+    # verify: estimated Jaccard from the signatures. The signature table
+    # is broadcast once (ray.put) — fine up to ~1M docs (1 KiB/doc); the
+    # 100 TB path replaces this with a Dataset.join of cand against sigs.
     sig_map = {r["doc_id"]: np.asarray(r["minhash"], dtype=np.uint64) for r in sigs.take_all()}
     import ray
 
@@ -278,20 +297,39 @@ def simhash_pairs(ds, *, ngram: int = 3, max_hamming: int = 3, block_bits: int =
 
     blocked = sh.map_batches(blocks, batch_format="pyarrow")
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        vals = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2 or len(ids) > 500:
+    def bucket(whole: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per hash-bucket: self-merge on the block key
+        b = whole.drop_duplicates(["block_id", "block_key", "doc_id"])
+        m = b.merge(b, on=["block_id", "block_key"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if m.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = vals[ia] ^ vals[ib]
-        ham = np.array([bin(v).count("1") for v in x])
+        x = m["simhash_a"].to_numpy().astype(np.uint64) ^ m["simhash_b"].to_numpy().astype(np.uint64)
+        ham = _popcount64(x)
         keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": ham[keep].astype(np.int32)})
+        out = pd.DataFrame(
+            {
+                "id_a": m["doc_id_a"].to_numpy()[keep],
+                "id_b": m["doc_id_b"].to_numpy()[keep],
+                "hamming": ham[keep].astype(np.int32),
+            }
+        )
+        return out.drop_duplicates(["id_a", "id_b"])
 
-    pairs = blocked.groupby(["block_id", "block_key"]).map_groups(bucket, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    from ..shuffle import bucketed_aggregate, bucketed_groupby
+
+    pairs = bucketed_groupby(blocked, ["block_id", "block_key"], bucket, whole_bucket=True)
+    return bucketed_aggregate(pairs, ["id_a", "id_b"], {"hamming": ("hamming", "min")})
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR)."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------

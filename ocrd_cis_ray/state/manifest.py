@@ -1,0 +1,135 @@
+"""Per-partition lineage + checkpoint manifests for resumable runs.
+
+The reference's resume story is coarse: file groups are materialized on
+disk and steps are skipped when their output dir exists
+(ocrd_cis/aio/aio.py:269-271,296-298); postcorrect reloads mets.xml to
+avoid clobbering (postcorrect/cli.py:44-46). At 10^12 documents the
+engine needs per-partition granularity (north_rule): each stage writes
+one output directory per doc_id range partition, committed atomically
+(tmp dir + rename) together with a manifest row recording
+(partition id, key range, input fingerprint, row count, status). A
+resumed run lists committed partitions and filters them out of the
+read — no recomputation of finished work.
+
+Layout:
+
+    out_dir/
+      part=00000/ *.parquet        (atomic: written as .tmp-00000, renamed)
+      _manifest/00000.json         ({"partition": 0, "lo": ..., "hi": ...,
+                                     "rows": N, "input_fingerprint": ...,
+                                     "status": "done", "stage": name})
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def completed_partitions(out_dir: str) -> dict[int, dict]:
+    """Partitions already committed by a previous (possibly killed) run."""
+    mdir = _manifest_dir(out_dir)
+    done: dict[int, dict] = {}
+    if not os.path.isdir(mdir):
+        return done
+    for name in os.listdir(mdir):
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                rec = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue  # torn write = not committed
+        if rec.get("status") == "done":
+            done[int(rec["partition"])] = rec
+    return done
+
+
+def commit_partition(out_dir: str, partition: int, rec: dict) -> None:
+    """Atomically publish a partition's manifest row (write tmp + rename)."""
+    mdir = _manifest_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    rec = dict(rec, partition=partition, status="done")
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(mdir, f"{partition:05d}.json"))
+
+
+def partition_dir(out_dir: str, partition: int) -> str:
+    return os.path.join(out_dir, f"part={partition:05d}")
+
+
+def run_partitioned(
+    make_ds,
+    out_dir: str,
+    partitions: list[tuple[str, str]],
+    *,
+    stage: str = "stage",
+    input_fingerprint: str = "",
+) -> dict:
+    """Resumable partitioned execution.
+
+    ``partitions`` is a list of (lo, hi) doc_id key ranges (hi exclusive,
+    "" = unbounded); ``make_ds(lo, hi)`` returns the Dataset for one
+    range. Completed partitions (per the manifest) are skipped; each
+    remaining partition is written to a tmp dir, fsync-renamed into
+    place, then its manifest row is committed. A kill between write and
+    commit leaves a .tmp dir that is ignored and redone on resume —
+    at-least-once execution with exactly-once publication.
+
+    Returns {"completed": k, "skipped": s, "rows": total}.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_partitions(out_dir)
+    skipped = completed = rows_total = 0
+    for pid, (lo, hi) in enumerate(partitions):
+        if pid in done:
+            skipped += 1
+            rows_total += int(done[pid].get("rows", 0))
+            continue
+        final = partition_dir(out_dir, pid)
+        tmp = os.path.join(out_dir, f".tmp-{pid:05d}-{uuid.uuid4().hex}")
+        ds = make_ds(lo, hi)
+        ds.write_parquet(tmp)
+        rows = sum(
+            _parquet_rows(os.path.join(tmp, f)) for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        if os.path.isdir(final):
+            shutil.rmtree(final)  # stale uncommitted output from a kill
+        os.replace(tmp, final)
+        commit_partition(
+            out_dir,
+            pid,
+            {"lo": lo, "hi": hi, "rows": rows, "stage": stage, "input_fingerprint": input_fingerprint},
+        )
+        completed += 1
+        rows_total += rows
+    return {"completed": completed, "skipped": skipped, "rows": rows_total}
+
+
+def _parquet_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(path).num_rows
+
+
+def doc_id_ranges(n_partitions: int, *, prefix: str = "d", id_width: int = 8, max_id: int = 10**8) -> list[tuple[str, str]]:
+    """Range-partition the doc_id keyspace ``d{num:08d}p*`` into
+    lexicographic (lo, hi) bounds — the north_rule's range partitioning.
+    """
+    bounds = [round(i * max_id / n_partitions) for i in range(n_partitions + 1)]
+    out = []
+    for i in range(n_partitions):
+        lo = f"{prefix}{bounds[i]:0{id_width}d}" if i > 0 else ""
+        hi = f"{prefix}{bounds[i + 1]:0{id_width}d}" if i < n_partitions - 1 else ""
+        out.append((lo, hi))
+    return out

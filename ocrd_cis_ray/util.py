@@ -78,6 +78,47 @@ def levenshtein(a: str, b: str) -> int:
     return int(prev[-1])
 
 
+def lev_within(a: str, b: str, limit: int) -> bool:
+    """True iff Levenshtein(a, b) <= limit — banded DP, O(limit·min(m,n)).
+
+    The aligner only needs the bounded predicate (align/cli.py:211-217
+    tests d<=1 / d<=3), so the full DP matrix is never built.
+    """
+    la, lb = len(a), len(b)
+    if abs(la - lb) > limit:
+        return False
+    if a == b:
+        return True
+    if limit <= 0:
+        return False
+    # classic banded two-row DP over the shorter string
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    INF = limit + 1
+    prev = list(range(la + 1))
+    for j in range(1, lb + 1):
+        cb = b[j - 1]
+        lo = max(1, j - limit)
+        hi = min(la, j + limit)
+        cur = [INF] * (la + 1)
+        if lo == 1:
+            cur[0] = j if j <= limit else INF
+        best = INF
+        for i in range(lo, hi + 1):
+            c = min(
+                prev[i] + 1,
+                cur[i - 1] + 1,
+                prev[i - 1] + (0 if a[i - 1] == cb else 1),
+            )
+            cur[i] = c
+            if c < best:
+                best = c
+        if best > limit:
+            return False
+        prev = cur
+    return prev[la] <= limit
+
+
 def edit_ops(a: list[str] | str, b: list[str] | str):
     """Full DP alignment between two sequences; returns (distance, pairs).
 
