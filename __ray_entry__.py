@@ -439,6 +439,149 @@ def q61_align_words(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# media / OCR / post-correction
+
+
+def _media_lines(sf_dir: str, *, max_chars: int = 40):
+    """Synthetic media-line table rendered from document texts (raw-gray
+    codec; deterministic glyph renderer)."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.sources.media import encode_gray, render_line
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def render(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out = {"doc_id": [], "span_id": [], "media_ref": [], "features": [], "pixels": []}
+        for did, text in zip(ids, texts):
+            line = (text or "")[:max_chars]
+            img = render_line(line)
+            out["doc_id"].append(int(did))
+            out["span_id"].append("line-0")
+            out["media_ref"].append(f"media/{did}/line-0.bin")
+            out["features"].append("")
+            out["pixels"].append(encode_gray(img))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "span_id": pa.array(out["span_id"], pa.string()),
+                "media_ref": pa.array(out["media_ref"], pa.string()),
+                "features": pa.array(out["features"], pa.string()),
+                "pixels": pa.array(out["pixels"], pa.large_binary()),
+            }
+        )
+
+    return ds.map_batches(render, batch_format="pyarrow")
+
+
+def q70_preprocess_media(sf_dir: str):
+    """binarize→denoise→deskew→dewarp chain over rendered line media
+    (rows-only: binary payloads aren't SQL-comparable). Output is the
+    lineage summary per line."""
+    from ocrd_cis_ray.stages.image_ops import preprocess_chain
+
+    out = preprocess_chain(_media_lines(sf_dir))
+
+    def summarize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ocrd_cis_ray.sources.media import decode_gray
+
+        heights, widths = [], []
+        for buf in t["pixels"].to_pylist():
+            img = decode_gray(buf)
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "span_id": t["span_id"],
+                "features": t["features"],
+                "orientation": t["orientation"],
+                "error": t["error"],
+                "out_h": pa.array(np.array(heights, np.int32)),
+                "out_w": pa.array(np.array(widths, np.int32)),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def q71_recognize(sf_dir: str):
+    """Template-OCR recognition of clean rendered lines — exact
+    round-trip, so the oracle is simply the source text (truncated to
+    the render length)."""
+    from ocrd_cis_ray.stages.recognize import recognize_lines
+
+    rec = recognize_lines(_media_lines(sf_dir, max_chars=40), concurrency=2, batch_size=64)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "text": t["text"]})
+
+    return rec.map_batches(project, batch_format="pyarrow")
+
+
+def q72_postcorrect(sf_dir: str):
+    """OCR post-correction: corrupted tokens (e→c) against a lexicon
+    built from the corpus vocabulary + a channel model — restored
+    tokens (rows-only: ranking isn't SQL-expressible)."""
+    import pyarrow.parquet as _pq
+
+    from ocrd_cis_ray.stages.postcorrect import postcorrect_tokens
+
+    # lexicon = corpus token vocabulary with frequencies (driver-side:
+    # small side, broadcast into the actor pool constructor)
+    tbl = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    from collections import Counter
+
+    freq = Counter()
+    for text in tbl["text"].to_pylist():
+        freq.update((text or "").split(" "))
+    lexicon = dict(freq)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode_corrupt(t: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "word_no": [], "token": [], "gt": []}
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for wn, w in enumerate((text or "").split(" ")[:16]):
+                out["doc_id"].append(int(did))
+                out["word_no"].append(wn)
+                out["token"].append(w.replace("e", "c"))
+                out["gt"].append(w)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "word_no": pa.array(out["word_no"], pa.int32()),
+                "token": pa.array(out["token"], pa.string()),
+                "gt": pa.array(out["gt"], pa.string()),
+            }
+        )
+
+    tokens = ds.map_batches(explode_corrupt, batch_format="pyarrow")
+    corrected = postcorrect_tokens(
+        tokens, lexicon, {("c", "e"): 0.9}, concurrency=2, batch_size=4096
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "word_no": t["word_no"],
+                "token": t["token"],
+                "corrected": t["corrected"],
+                "restored": _pc.equal(t["corrected"], t["gt"]),
+            }
+        )
+
+    return corrected.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -477,6 +620,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q51_cer_by_source": q51_cer_by_source,
         "q60_align_lines": q60_align_lines,
         "q61_align_words": q61_align_words,
+        "q70_preprocess_media": q70_preprocess_media,
+        "q71_recognize": q71_recognize,
+        "q72_postcorrect": q72_postcorrect,
     }
 
 
@@ -644,6 +790,9 @@ SELECT source,
        CAST(SUM(levenshtein(replace(text, 'a', '@'), text)) AS DOUBLE)
          / SUM(length(text)) AS char_error_rate
 FROM documents GROUP BY source
+""",
+        "q71_recognize": """
+SELECT doc_id, rtrim(substring(text, 1, 40), ' ') AS text FROM documents
 """,
         "q60_align_lines": variant_cte
         + """

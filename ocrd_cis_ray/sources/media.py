@@ -1,0 +1,108 @@
+"""Media payload codec + deterministic synthetic line images.
+
+No image libraries ship in this environment (no PIL/cv2), so media
+travels as a tiny self-describing raw-gray codec inside Arrow
+``large_binary`` columns: header = magic 'G8', uint32 width, uint32
+height, then height×width uint8 pixels (0=black .. 255=white). The
+Ray-side plumbing (schema, batch shapes, actor signatures) is real; a
+production deployment swaps the codec for PNG/JPEG decode inside the
+same batch UDFs.
+
+``render_line`` synthesizes deterministic text-line rasters (box-glyph
+patterns per character, controlled skew / salt noise / margin
+intruders) so the image ops have known goldens: deskew must recover the
+injected angle (reference estimate_skew, ocropy/common.py:93-169),
+denoise must remove the injected speckle count (remove_noise,
+common.py:1153-1169), clip must remove the intruder
+(ocropy/clip.py:218-267).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC = b"G8"
+
+# glyph geometry
+GLYPH_H, GLYPH_W = 12, 8
+PAD_Y, PAD_X = 8, 10
+
+
+def encode_gray(arr: np.ndarray) -> bytes:
+    """uint8 grayscale -> raw-gray bytes."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape
+    return MAGIC + struct.pack("<II", w, h) + a.tobytes()
+
+
+def decode_gray(buf: bytes) -> np.ndarray:
+    """raw-gray bytes -> uint8 grayscale (h, w). Zero-copy view."""
+    assert buf[:2] == MAGIC, "not a raw-gray payload"
+    w, h = struct.unpack_from("<II", buf, 2)
+    return np.frombuffer(buf, dtype=np.uint8, offset=10).reshape(h, w)
+
+
+def _glyph(ch: str) -> np.ndarray:
+    """Deterministic (GLYPH_H-2 x GLYPH_W-2) bit pattern for a character."""
+    code = ord(ch)
+    rng = np.random.default_rng(code * 2654435761 % (2**31))
+    g = rng.random((GLYPH_H - 4, GLYPH_W - 2)) < 0.55
+    g[0, :] = True  # every glyph touches the x-height line (stable baseline)
+    return g
+
+
+def render_line(
+    text: str,
+    *,
+    skew_deg: float = 0.0,
+    noise: int = 0,
+    intruder: bool = False,
+    seed: int = 42,
+) -> np.ndarray:
+    """Render a text line to uint8 grayscale (white bg 255, black ink 0).
+
+    skew is applied as a vertical shear (tan(angle) per column) — the
+    same small-angle model the projection-profile deskewer assumes.
+    ``noise`` adds that many isolated 1-px black speckles; ``intruder``
+    paints a blob inside the top margin (a neighbouring line's
+    descender, the clip test case).
+    """
+    text = text or " "
+    w = PAD_X * 2 + GLYPH_W * len(text)
+    h = PAD_Y * 2 + GLYPH_H
+    img = np.full((h, w), 255, dtype=np.uint8)
+    for i, ch in enumerate(text):
+        if ch == " ":
+            continue
+        g = _glyph(ch)
+        y0 = PAD_Y + 2
+        x0 = PAD_X + i * GLYPH_W + 1
+        img[y0 : y0 + g.shape[0], x0 : x0 + g.shape[1]][g] = 0
+    if abs(skew_deg) > 1e-9:
+        img = shear_vertical(img, skew_deg)
+    rng = np.random.default_rng(seed)
+    if noise:
+        placed = 0
+        while placed < noise:
+            y = int(rng.integers(1, h - 1))
+            x = int(rng.integers(1, w - 1))
+            # keep speckles isolated: 8-neighbourhood must be white
+            if img[y - 1 : y + 2, x - 1 : x + 2].min() == 255:
+                img[y, x] = 0
+                placed += 1
+    if intruder:
+        img[0:3, w // 2 : w // 2 + 6] = 0
+    return img
+
+
+def shear_vertical(img: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Vertical shear by tan(angle): out[y, x] = img[y - shift(x), x]
+    (nearest-neighbour gather, white fill outside)."""
+    h, w = img.shape
+    shift = np.round(np.tan(np.deg2rad(angle_deg)) * (np.arange(w) - w / 2)).astype(int)
+    src_rows = np.arange(h)[:, None] - shift[None, :]
+    ok = (src_rows >= 0) & (src_rows < h)
+    cols = np.broadcast_to(np.arange(w), (h, w))
+    return np.where(ok, img[np.clip(src_rows, 0, h - 1), cols], 255).astype(np.uint8)

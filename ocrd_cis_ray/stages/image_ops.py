@@ -1,0 +1,394 @@
+"""Image preprocessing stages: binarize, deskew, denoise, clip, dewarp,
+validity predicates — pure-numpy reimplementations of the reference's
+ocropy-derived algorithms, packaged as stateless ``map_batches`` UDFs
+over a media-line table.
+
+Table schema (FIXTURES.md F3):
+    doc_id, span_id, media_ref, features (comma-list lineage tag),
+    width:int32, height:int32, pixels:large_binary (raw-gray codec)
+
+Feature lineage follows the reference exactly: each step appends its
+tag to the comma-separated ``features`` string
+(binarize.py:196-223 appends 'binarized', deskew.py:138-152
+'deskewed', ...); consumers select/filter on the tags
+(binarize.py:123-124 feature_filter='binarized',
+segment.py:234-235 feature_selector='binarized').
+
+Algorithms (reimplemented from the reference's published semantics, not
+copied):
+- normalize: any uint8 image -> float grayscale [0,1], bg≈1 fg≈0
+  (pil2array semantics, ocropy/common.py:21-53)
+- binarize: global Otsu or nlbin-style percentile flatten + threshold
+  (ocropy/common.py:204-247, binarize.py:33-67)
+- deskew: projection-profile variance maximization over rotation
+  candidates (estimate_skew_angle, ocropy/common.py:93-140)
+- denoise/despeckle: connected-component size filter
+  (remove_noise, ocropy/common.py:1153-1169)
+- borderclean/clip: components confined to margins or intruding from
+  siblings painted to background (common.py:251-297, clip.py:218-267)
+- dewarp: center-line normalization — column centroids smoothed, rows
+  resampled around the centerline (lineest.py:60-87)
+- predicates: check_line size/inversion/CC-count plausibility
+  (common.py:300-327)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.media import decode_gray, encode_gray
+
+# ---------------------------------------------------------------------------
+# numpy kernels
+
+
+def normalize_gray(img: np.ndarray) -> np.ndarray:
+    """uint8 -> float [0,1]; ensures background is white (≈1) by
+    inverting when the image is mostly dark (pil2array + inversion
+    check semantics, common.py:21-53, 330-354)."""
+    a = img.astype(np.float64) / 255.0
+    if a.mean() < 0.5:
+        a = 1.0 - a
+    return a
+
+
+def otsu_threshold(img: np.ndarray) -> float:
+    """Classic Otsu over a 256-bin histogram of a float [0,1] image."""
+    hist, edges = np.histogram(img, bins=256, range=(0.0, 1.0))
+    hist = hist.astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 0.5
+    centers = (edges[:-1] + edges[1:]) / 2
+    w0 = np.cumsum(hist)
+    w1 = total - w0
+    m0 = np.cumsum(hist * centers)
+    mt = m0[-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mu0 = m0 / w0
+        mu1 = (mt - m0) / w1
+        between = w0 * w1 * (mu0 - mu1) ** 2
+    between[~np.isfinite(between)] = -1
+    return float(centers[int(np.argmax(between))])
+
+
+def binarize_global(img: np.ndarray) -> np.ndarray:
+    """Global Otsu binarization -> uint8 {0,255} (binarize.py:41-48
+    'global'/'otsu' methods)."""
+    a = normalize_gray(img)
+    t = otsu_threshold(a)
+    return np.where(a > t, 255, 0).astype(np.uint8)
+
+
+def binarize_nlbin(img: np.ndarray, *, lo: float = 5.0, hi: float = 90.0, block: int = 16) -> np.ndarray:
+    """nlbin-style: flatten by a coarse local whitelevel estimate, then
+    percentile thresholds (estimate_local_whitelevel + estimate_thresholds,
+    common.py:69-89,173-197 — block-pooled percentile instead of the
+    reference's scipy percentile filter, same normalize-then-threshold
+    shape)."""
+    a = normalize_gray(img)
+    h, w = a.shape
+    # coarse local white level: per-block high percentile, upsampled
+    bh, bw = -(-h // block), -(-w // block)  # ceil
+    padded = np.pad(a, ((0, bh * block - h), (0, bw * block - w)), mode="edge")
+    blocks = padded.reshape(bh, block, bw, block)
+    white = np.percentile(blocks, 80, axis=(1, 3))
+    white = np.repeat(np.repeat(white, block, axis=0), block, axis=1)[:h, :w]
+    flat = a / np.maximum(white, 1e-3)
+    flat = np.clip(flat, 0, 1)
+    lo_v, hi_v = np.percentile(flat, lo), np.percentile(flat, hi)
+    flat = np.clip((flat - lo_v) / max(hi_v - lo_v, 1e-3), 0, 1)
+    return np.where(flat > 0.5, 255, 0).astype(np.uint8)
+
+
+def estimate_skew_angle(img: np.ndarray, *, maxskew: float = 5.0, steps: int = 8) -> float:
+    """Projection-profile skew estimation: shear candidates in
+    [-maxskew, maxskew] at 2·maxskew·steps+1 angles, score by variance
+    of row means, return the argmax (estimate_skew_angle,
+    common.py:93-140; candidate grid per ocrd-tool.json maxskew/
+    skewsteps defaults)."""
+    from ..sources.media import shear_vertical
+
+    a = normalize_gray(img)
+    best_angle, best_score = 0.0, -1.0
+    n = int(2 * maxskew * steps + 1)
+    for angle in np.linspace(-maxskew, maxskew, n):
+        sheared = shear_vertical((a * 255).astype(np.uint8), -angle)
+        rows = 1.0 - sheared.astype(np.float64).mean(axis=1) / 255.0
+        score = float(np.var(rows))
+        if score > best_score:
+            best_score, best_angle = score, float(angle)
+    return best_angle
+
+
+def deskew(img: np.ndarray, *, maxskew: float = 5.0, steps: int = 8) -> tuple[np.ndarray, float]:
+    """Estimate + undo skew; returns (image, estimated_angle). The
+    orientation annotation follows the reference's wrap
+    180-(180-angle)%360 (binarize.py:203-207)."""
+    from ..sources.media import shear_vertical
+
+    angle = estimate_skew_angle(img, maxskew=maxskew, steps=steps)
+    return shear_vertical(img, -angle), angle
+
+
+def label_components(binary_fg: np.ndarray) -> tuple[np.ndarray, int]:
+    """Two-pass 4-connected component labeling (union-find), pure numpy.
+
+    ``binary_fg``: bool array, True = foreground. Returns (labels, n)
+    with labels in 1..n (0 = background). Replaces the reference's
+    scipy ``measurements.label`` (used throughout ocrolib/morph.py).
+    """
+    h, w = binary_fg.shape
+    labels = np.zeros((h, w), dtype=np.int32)
+    parent = [0]  # union-find; parent[i] == i means root
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nxt = 0
+    for y in range(h):
+        row = binary_fg[y]
+        lab_row = labels[y]
+        up = labels[y - 1] if y > 0 else None
+        left = 0
+        for x in range(w):
+            if not row[x]:
+                left = 0
+                continue
+            u = up[x] if up is not None else 0
+            if left and u:
+                ru, rl = find(u), find(left)
+                lab = min(ru, rl)
+                if ru != rl:
+                    parent[max(ru, rl)] = lab
+            elif left:
+                lab = left
+            elif u:
+                lab = u
+            else:
+                nxt += 1
+                parent.append(nxt)
+                lab = nxt
+            lab_row[x] = lab
+            left = lab
+    if nxt == 0:
+        return labels, 0
+    # resolve + compact
+    roots = np.array([find(i) for i in range(nxt + 1)], dtype=np.int32)
+    uniq, compact = np.unique(roots[1:], return_inverse=True)
+    remap = np.zeros(nxt + 1, dtype=np.int32)
+    remap[1:] = compact + 1
+    return remap[labels], len(uniq)
+
+
+def remove_small_components(img: np.ndarray, *, minsize: int = 4) -> tuple[np.ndarray, int]:
+    """Despeckle: paint foreground components smaller than ``minsize``
+    pixels to background (remove_noise, common.py:1153-1169).
+    Returns (cleaned, n_removed)."""
+    fg = img < 128
+    labels, n = label_components(fg)
+    if n == 0:
+        return img, 0
+    sizes = np.bincount(labels.ravel(), minlength=n + 1)
+    small = np.flatnonzero(sizes[1:] < minsize) + 1
+    if len(small) == 0:
+        return img, 0
+    mask = np.isin(labels, small)
+    out = img.copy()
+    out[mask] = 255
+    return out, len(small)
+
+
+def borderclean(img: np.ndarray, *, margin: int = 4) -> np.ndarray:
+    """Remove components confined entirely to the margins
+    (common.py:251-297): any component whose bounding box lies fully
+    inside the ``margin`` band is painted to background."""
+    fg = img < 128
+    labels, n = label_components(fg)
+    if n == 0:
+        return img
+    h, w = img.shape
+    ys, xs = np.nonzero(labels)
+    ls = labels[ys, xs]
+    out = img.copy()
+    for lab in range(1, n + 1):
+        sel = ls == lab
+        if not sel.any():
+            continue
+        y0, y1 = ys[sel].min(), ys[sel].max()
+        x0, x1 = xs[sel].min(), xs[sel].max()
+        inside_margin = y1 < margin or y0 >= h - margin or x1 < margin or x0 >= w - margin
+        if inside_margin:
+            out[ys[sel], xs[sel]] = 255
+    return out
+
+
+def clip_intruders(img: np.ndarray, core_box: tuple[int, int, int, int]) -> np.ndarray:
+    """Clip semantics (clip.py:218-267): components that do NOT touch
+    the segment's core box (y0,y1,x0,x1) — i.e. are exclusively owned
+    by an intersecting neighbour — are painted to background."""
+    y0, y1, x0, x1 = core_box
+    fg = img < 128
+    labels, n = label_components(fg)
+    if n == 0:
+        return img
+    core = np.zeros(n + 1, dtype=bool)
+    core_lab = labels[y0:y1, x0:x1]
+    core[np.unique(core_lab[core_lab > 0])] = True
+    mask = ~core[labels] & fg
+    out = img.copy()
+    out[mask] = 255
+    return out
+
+
+def dewarp_centerline(img: np.ndarray, *, target_h: int = 24, r: float = 1.2, smooth: int = 9) -> np.ndarray:
+    """Center-line normalization (CenterNormalizer.measure/dewarp,
+    ocrolib/lineest.py:60-87): per-column ink centroid, box-smoothed,
+    rows resampled to a fixed band of ``target_h`` around it."""
+    a = 255 - img.astype(np.float64)  # ink intensity
+    h, w = img.shape
+    colsum = a.sum(axis=0)
+    ys = np.arange(h, dtype=np.float64)
+    with np.errstate(invalid="ignore"):
+        center = (a * ys[:, None]).sum(axis=0) / np.maximum(colsum, 1e-9)
+    center[colsum < 1e-9] = h / 2.0
+    if smooth > 1:
+        k = np.ones(smooth) / smooth
+        center = np.convolve(np.pad(center, smooth // 2, mode="edge"), k, mode="valid")[:w]
+    half = target_h / 2.0
+    offs = (np.arange(target_h) - half + 0.5) * r
+    rows = np.round(center[None, :] + offs[:, None]).astype(int)
+    ok = (rows >= 0) & (rows < h)
+    cols = np.broadcast_to(np.arange(w), (target_h, w))
+    return np.where(ok, img[np.clip(rows, 0, h - 1), cols], 255).astype(np.uint8)
+
+
+def check_line(img: np.ndarray, *, min_h: int = 4, max_h: int = 200, min_w: int = 8, max_components_per_px: float = 0.5) -> str:
+    """Validity predicate (check_line, common.py:300-327): returns ""
+    when plausible, else an error string (the reference logs + skips,
+    recognize.py:227-232)."""
+    h, w = img.shape
+    if h < min_h:
+        return f"image not tall enough for a text line {h}<{min_h}"
+    if h > max_h:
+        return f"image too tall for a text line {h}>{max_h}"
+    if w < min_w:
+        return f"line too short {w}<{min_w}"
+    a = img.astype(np.float64) / 255.0  # raw, no inversion correction
+    ink = (a < 0.5).mean()
+    if ink > 0.6:
+        return "image too black, possibly inverted"
+    if ink < 0.001:
+        return "image is blank"
+    fg = img < 128
+    _, n = label_components(fg)
+    if n > max_components_per_px * w:
+        return f"too many connected components for a line {n}"
+    return ""
+
+
+# ---------------------------------------------------------------------------
+# feature lineage + batch stages
+
+_OPS = {}
+
+
+def _register(tag, required=None):
+    def deco(fn):
+        _OPS[tag] = (fn, required or "")
+        return fn
+
+    return deco
+
+
+def has_feature(features: str, tag: str) -> bool:
+    return tag in [f for f in (features or "").split(",") if f]
+
+
+def add_feature(features: str, tag: str) -> str:
+    fs = [f for f in (features or "").split(",") if f]
+    if tag not in fs:
+        fs.append(tag)
+    return ",".join(fs)
+
+
+def _media_stage(batch: pa.Table, op: str, params: dict) -> pa.Table:
+    """Generic media map: decode → kernel → encode, appending the
+    feature tag and any scalar annotations. Fallback policy mirrors the
+    reference: a failing segment is passed through unmodified with the
+    error recorded (recognize.py:227-232, dewarp.py:158-166)."""
+    pixels = batch["pixels"].to_pylist()
+    features = batch["features"].to_pylist()
+    out_px, out_feat, out_angle, out_err = [], [], [], []
+    for buf, feat in zip(pixels, features):
+        angle = 0.0
+        err = ""
+        try:
+            img = decode_gray(buf)
+            if op == "binarize":
+                method = params.get("method", "global")
+                img = binarize_nlbin(img) if method == "nlbin" else binarize_global(img)
+                tag = "binarized"
+            elif op == "deskew":
+                img, angle = deskew(img, maxskew=params.get("maxskew", 5.0), steps=params.get("steps", 8))
+                tag = "deskewed"
+            elif op == "denoise":
+                img, _ = remove_small_components(img, minsize=params.get("minsize", 4))
+                tag = "despeckled"
+            elif op == "dewarp":
+                img = dewarp_centerline(img, target_h=params.get("target_h", 24))
+                tag = "dewarped"
+            elif op == "borderclean":
+                img = borderclean(img, margin=params.get("margin", 4))
+                tag = "cleaned"
+            else:
+                raise ValueError(f"unknown media op {op}")
+            out_px.append(encode_gray(img))
+            out_feat.append(add_feature(feat, tag))
+        except Exception as e:  # log-and-skip: pass original through
+            err = str(e)
+            out_px.append(buf)
+            out_feat.append(feat)
+        out_angle.append(angle)
+        out_err.append(err)
+    cols = {name: batch[name] for name in batch.column_names}
+    cols["pixels"] = pa.array(out_px, pa.large_binary())
+    cols["features"] = pa.array(out_feat, pa.string())
+    if op == "deskew":
+        # orientation wrap per binarize.py:203-207
+        orients = [180 - (180 - a) % 360 for a in out_angle]
+        cols["orientation"] = pa.array(orients, pa.float32())
+    cols["error"] = pa.array(out_err, pa.string())
+    return pa.table(cols)
+
+
+def media_op(ds, op: str, **params):
+    """Dataset wrapper: apply one media kernel as a stateless stage.
+
+    Media-heavy rows mean small batches (64) so a batch × concurrency
+    stays well inside a worker heap.
+    """
+    from functools import partial
+
+    batch_size = params.pop("batch_size", 64)
+    return ds.map_batches(
+        partial(_media_stage, op=op, params=params),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def preprocess_chain(ds, *, binarize_method: str = "global"):
+    """The reference's full preprocessing chain
+    binarize→denoise→deskew→dewarp
+    (tests/run_image_preprocessing_test.bash:23-50 order, minus
+    clip/segment which need sibling geometry)."""
+    ds = media_op(ds, "binarize", method=binarize_method)
+    ds = media_op(ds, "denoise")
+    ds = media_op(ds, "deskew")
+    ds = media_op(ds, "dewarp")
+    return ds

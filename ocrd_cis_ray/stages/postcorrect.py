@@ -1,0 +1,208 @@
+"""Post-correction — lexicon + channel-model candidate ranking as a
+stateful actor-pool stage.
+
+Reference pipeline (ocrd_cis/postcorrect/cli.py + the packaged Java
+decision maker): a profiler proposes correction candidates for
+suspicious tokens against a language lexicon; the decision maker ranks
+candidates with features (edit distance, dictionary frequency,
+historical/OCR pattern weights — data/config.json leFeatures/rrFeatures/
+dmFeatures) keeping the top ``maxCandidates`` (default 10,
+ocrd-tool.json:490-495) and rewrites tokens where the ranker is
+confident.
+
+This native reimplementation:
+- lexicon index built ONCE per actor in ``__init__`` — a SymSpell-style
+  deletion-neighbourhood index (public algorithm) for distance ≤ 2
+  candidate generation (the "profiler");
+- channel model = (src, dst) character-confusion weights, learned from
+  aligned OCR/GT pairs with ``learn_confusions`` (the reference extracts
+  confusions from edit alignments, ocrolib/edist.py:21-83);
+- ranking score = log freq prior + sum of confusion log-weights along
+  the edit script - per-edit penalty; top-k kept, best above threshold
+  replaces the token.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..util import clean_token, edit_ops
+
+
+def _deletes(word: str, max_dist: int) -> set[str]:
+    """All strings reachable by deleting up to max_dist chars."""
+    out = {word}
+    frontier = {word}
+    for _ in range(max_dist):
+        nxt = set()
+        for w in frontier:
+            for i in range(len(w)):
+                nxt.add(w[:i] + w[i + 1 :])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+class PostCorrector:
+    """Actor-pool stage: token rows -> ranked candidates + correction.
+
+    Input batches: (doc_id, line_no:int32, word_no:int32, token).
+    Output adds: suspicious:bool, corrected, candidates:
+    list<struct<suggestion, distance:int32, weight:float32>> (the
+    stubbed-profiler JSON shape of tests/run_training_test.bash:33-49).
+    """
+
+    def __init__(
+        self,
+        lexicon: dict[str, int],
+        confusions: dict[tuple[str, str], float] | None = None,
+        *,
+        max_candidates: int = 10,
+        max_dist: int = 2,
+        accept_threshold: float = -math.inf,
+    ):
+        self.lexicon = dict(lexicon)
+        self.total = max(1, sum(self.lexicon.values()))
+        self.confusions = dict(confusions or {})
+        self.max_candidates = max_candidates
+        self.max_dist = max_dist
+        self.accept_threshold = accept_threshold
+        # SymSpell-style index: delete-variant -> [lexicon words]
+        self.index: dict[str, list[str]] = {}
+        for w in self.lexicon:
+            for d in _deletes(w, max_dist):
+                self.index.setdefault(d, []).append(w)
+
+    # -- candidate generation ("profiler") --------------------------------
+
+    def candidates(self, token: str) -> list[tuple[str, int, float]]:
+        """(suggestion, distance, weight) top-k for a suspicious token."""
+        from ..util import lev_within, levenshtein
+
+        seen: dict[str, int] = {}
+        for d in _deletes(token, self.max_dist):
+            for w in self.index.get(d, ()):
+                if w not in seen and lev_within(token, w, self.max_dist):
+                    seen[w] = levenshtein(token, w)
+        scored = []
+        for w, dist in seen.items():
+            scored.append((w, dist, self._score(token, w, dist)))
+        scored.sort(key=lambda t: (-t[2], t[1], t[0]))
+        return scored[: self.max_candidates]
+
+    def _score(self, token: str, cand: str, dist: int) -> float:
+        """log-domain: freq prior + channel-model confusion weights."""
+        s = math.log(self.lexicon.get(cand, 1) / self.total)
+        _, pairs = edit_ops(token, cand)
+        for ai, bi in pairs:
+            a = token[ai] if ai is not None else ""
+            b = cand[bi] if bi is not None else ""
+            if a == b:
+                continue
+            w = self.confusions.get((a, b))
+            s += math.log(w) if w and w > 0 else -4.0  # unseen-edit penalty
+        return s
+
+    # -- batch interface ---------------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tokens = batch["token"].to_pylist()
+        cand_type = pa.struct(
+            [("suggestion", pa.string()), ("distance", pa.int32()), ("weight", pa.float32())]
+        )
+        suspicious, corrected, cands_col = [], [], []
+        cache: dict[str, tuple] = {}
+        for tok in tokens:
+            key = clean_token(tok or "")
+            if not key or key in self.lexicon:
+                suspicious.append(False)
+                corrected.append(tok)
+                cands_col.append([])
+                continue
+            if key in cache:
+                sus, corr, cl = cache[key]
+            else:
+                cands = self.candidates(key)
+                cl = [
+                    {"suggestion": c, "distance": np.int32(d), "weight": np.float32(s)}
+                    for c, d, s in cands
+                ]
+                if cands and cands[0][2] >= self.accept_threshold:
+                    corr = cands[0][0]
+                    sus = True
+                else:
+                    corr, sus = key, True
+                cache[key] = (sus, corr, cl)
+            suspicious.append(sus)
+            corrected.append(corr if corr else tok)
+            cands_col.append(cl)
+        cols = {name: batch[name] for name in batch.column_names}
+        cols["suspicious"] = pa.array(suspicious, pa.bool_())
+        cols["corrected"] = pa.array(corrected, pa.string())
+        cols["candidates"] = pa.array(cands_col, pa.list_(cand_type))
+        return pa.table(cols)
+
+
+def postcorrect_tokens(ds, lexicon: dict[str, int], confusions=None, *, concurrency: int = 4, batch_size: int = 4096, **kw):
+    """Dataset wrapper: actor pool holding the lexicon index + channel model."""
+    return ds.map_batches(
+        PostCorrector,
+        fn_constructor_args=(lexicon, confusions),
+        fn_constructor_kwargs=kw,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+# ---------------------------------------------------------------------------
+# channel-model learning (confusion extraction from aligned pairs)
+
+
+def confusion_partials_batch(batch: pa.Table, *, test_col: str = "text", gt_col: str = "gt_text") -> pa.Table:
+    """Per-batch (src, dst, n) confusion counts from edit alignments of
+    (ocr, gt) line pairs — the xlevenshtein confusion extraction
+    (ocrolib/edist.py:21-83) as a distributed partial aggregate."""
+    test = batch[test_col].to_pylist()
+    gt = batch[gt_col].to_pylist()
+    counts: Counter = Counter()
+    for t, g in zip(test, gt):
+        t, g = t or "", g or ""
+        if t == g:
+            continue
+        _, pairs = edit_ops(t, g)
+        for ai, bi in pairs:
+            a = t[ai] if ai is not None else ""
+            b = g[bi] if bi is not None else ""
+            if a != b:
+                counts[(a, b)] += 1
+    items = sorted(counts.items())
+    return pa.table(
+        {
+            "src": pa.array([k[0] for k, _ in items], pa.string()),
+            "dst": pa.array([k[1] for k, _ in items], pa.string()),
+            "n": pa.array([v for _, v in items], pa.int64()),
+        }
+    )
+
+
+def learn_confusions(pairs_ds, *, test_col: str = "text", gt_col: str = "gt_text") -> dict[tuple[str, str], float]:
+    """Distributed confusion-weight estimation: partial counts per batch
+    → small groupby sum → normalized weights (count / total edits).
+    Returns the channel model dict for PostCorrector."""
+    from functools import partial as fpartial
+
+    from ray.data.aggregate import Sum
+
+    partials = pairs_ds.map_batches(
+        fpartial(confusion_partials_batch, test_col=test_col, gt_col=gt_col),
+        batch_format="pyarrow",
+    )
+    agg = partials.groupby(["src", "dst"]).aggregate(Sum("n", alias_name="n")).to_pandas()
+    total = max(1, int(agg["n"].sum()))
+    return {(r.src, r.dst): float(r.n) / total for r in agg.itertuples()}

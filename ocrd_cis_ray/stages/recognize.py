@@ -1,0 +1,127 @@
+"""Line recognition — the canonical stateful actor-pool stage.
+
+The reference loads a pickled BIDILSTM once per processor in setup()
+(ocrd_cis/ocropy/recognize.py:94-102) and then recognizes line images
+sequentially, splitting results into words/glyphs with positions and
+confidences (recognize.py:237-302). No ML stack ships in this sandbox,
+so the "model" here is a deterministic glyph-template bank matching the
+synthetic renderer (sources/media.py) — template matching per glyph
+cell, argmax char, cosine-IoU confidence. The Ray-side shape is the
+real one: model built ONCE per actor in ``__init__``, batches of line
+images in ``__call__``, ``map_batches(Recognizer, concurrency=N,
+batch_size=B)``.
+
+Confidence semantics copied from the reference:
+- glyph conf = per-char match score (recognize.py:267-268 TextEquiv conf)
+- word conf = (min+max)/2 of its glyph confs (recognize.py:263-265)
+- line conf = mean of glyph confs
+- line -> words split on spaces (recognize.py:237)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.media import GLYPH_H, GLYPH_W, PAD_X, PAD_Y, _glyph, decode_gray
+
+CHARSET = [chr(c) for c in range(32, 127)]
+
+
+class Recognizer:
+    """Actor-pool stage: media line rows -> recognized text rows.
+
+    Output columns: doc_id, span_id, text, conf:float32,
+    words: list<struct<text, conf:float32, x0:int32>>.
+    """
+
+    def __init__(self, *, min_conf: float = 0.0):
+        # "model load": build the template bank once per actor
+        tmpls = []
+        for ch in CHARSET:
+            if ch == " ":
+                tmpls.append(np.zeros((GLYPH_H - 4) * (GLYPH_W - 2), dtype=np.float64))
+                continue
+            tmpls.append(_glyph(ch).astype(np.float64).ravel())
+        self.templates = np.stack(tmpls)  # (C, gh*gw)
+        self.tnorm = np.maximum(np.linalg.norm(self.templates, axis=1), 1e-9)
+        self.min_conf = min_conf
+
+    def recognize_line(self, img: np.ndarray) -> tuple[str, float, list[dict]]:
+        h, w = img.shape
+        n_cells = max(0, (w - 2 * PAD_X) // GLYPH_W)
+        if n_cells == 0:
+            return "", 0.0, []
+        gh, gw = GLYPH_H - 4, GLYPH_W - 2
+        y0 = PAD_Y + 2
+        cells = np.zeros((n_cells, gh * gw), dtype=np.float64)
+        for i in range(n_cells):
+            x0 = PAD_X + i * GLYPH_W + 1
+            cell = img[y0 : y0 + gh, x0 : x0 + gw]
+            if cell.shape != (gh, gw):
+                continue
+            cells[i] = (cell < 128).astype(np.float64).ravel()
+        cnorm = np.linalg.norm(cells, axis=1)
+        sims = (cells @ self.templates.T) / (np.maximum(cnorm[:, None], 1e-9) * self.tnorm[None, :])
+        best = np.argmax(sims, axis=1)
+        confs = sims[np.arange(n_cells), best]
+        chars = []
+        for i in range(n_cells):
+            if cnorm[i] < 1e-9:
+                chars.append(" ")
+                confs[i] = 1.0
+            else:
+                chars.append(CHARSET[int(best[i])])
+        text = "".join(chars).rstrip()
+        # word split with positions + (min+max)/2 confidences
+        words = []
+        i = 0
+        n = len(text)
+        while i < n:
+            if text[i] == " ":
+                i += 1
+                continue
+            j = i
+            while j < n and text[j] != " ":
+                j += 1
+            wconfs = confs[i:j]
+            wconf = float((wconfs.min() + wconfs.max()) / 2.0) if len(wconfs) else 0.0
+            words.append(
+                {"text": text[i:j], "conf": np.float32(wconf), "x0": np.int32(PAD_X + i * GLYPH_W)}
+            )
+            i = j
+        line_conf = float(confs[: max(1, n)].mean()) if n else 0.0
+        return text, line_conf, words
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pixels = batch["pixels"].to_pylist()
+        texts, confs, words_col = [], [], []
+        for buf in pixels:
+            try:
+                t, c, ws = self.recognize_line(decode_gray(buf))
+            except Exception:
+                t, c, ws = "", 0.0, []  # log-and-skip (recognize.py:227-232)
+            texts.append(t)
+            confs.append(c)
+            words_col.append(ws)
+        word_type = pa.struct([("text", pa.string()), ("conf", pa.float32()), ("x0", pa.int32())])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],  # preserve caller's id type
+                "span_id": batch["span_id"],
+                "text": pa.array(texts, pa.string()),
+                "conf": pa.array(np.array(confs, dtype=np.float32)),
+                "words": pa.array(words_col, pa.list_(word_type)),
+            }
+        )
+
+
+def recognize_lines(ds, *, concurrency: int = 4, batch_size: int = 64, num_cpus: float = 1):
+    """Dataset wrapper: the actor-pool map (model loaded once per actor)."""
+    return ds.map_batches(
+        Recognizer,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        num_cpus=num_cpus,
+    )

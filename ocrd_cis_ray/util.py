@@ -91,6 +91,8 @@ def lev_within(a: str, b: str, limit: int) -> bool:
         return True
     if limit <= 0:
         return False
+    if la == 0 or lb == 0:
+        return max(la, lb) <= limit
     # classic banded two-row DP over the shorter string
     if la > lb:
         a, b, la, lb = b, a, lb, la
@@ -103,7 +105,7 @@ def lev_within(a: str, b: str, limit: int) -> bool:
         cur = [INF] * (la + 1)
         if lo == 1:
             cur[0] = j if j <= limit else INF
-        best = INF
+        best = cur[0]
         for i in range(lo, hi + 1):
             c = min(
                 prev[i] + 1,

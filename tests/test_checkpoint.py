@@ -1,0 +1,94 @@
+"""Resumable per-partition checkpoint manifests: a killed run must
+resume without recomputing completed partitions (north_rule)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from ocrd_cis_ray.state.manifest import (
+    commit_partition,
+    completed_partitions,
+    doc_id_ranges,
+    partition_dir,
+    run_partitioned,
+)
+
+
+@pytest.fixture
+def out_dir(tmp_path):
+    return str(tmp_path / "stage_out")
+
+
+def _make_ds_factory(sf_dir, calls):
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    def make_ds(lo, hi):
+        calls.append((lo, hi))
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+        def in_range(t):
+            ids = pc.cast(t["doc_id"], "string")
+            mask = pc.greater_equal(ids, lo) if lo else pc.equal(ids, ids)
+            if hi:
+                mask = pc.and_(mask, pc.less(ids, hi))
+            return t.filter(mask)
+
+        return ds.map_batches(in_range, batch_format="pyarrow")
+
+    return make_ds
+
+
+def test_doc_id_ranges_cover_keyspace():
+    ranges = doc_id_ranges(4)
+    assert ranges[0][0] == "" and ranges[-1][1] == ""
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi == lo
+
+
+def test_run_and_resume(ray_session, sf_dir, out_dir):
+    calls: list = []
+    # partition driver doc_ids (stringified ints) into 4 lexicographic ranges
+    parts = [("", "2"), ("2", "4"), ("4", "7"), ("7", "")]
+    make_ds = _make_ds_factory(sf_dir, calls)
+
+    res1 = run_partitioned(make_ds, out_dir, parts, stage="extract", input_fingerprint="fp1")
+    assert res1["completed"] == 4 and res1["skipped"] == 0
+    total_rows = res1["rows"]
+    assert total_rows == 500  # all docs covered exactly once
+
+    # simulate a killed run: delete ONE partition's manifest + output
+    shutil.rmtree(partition_dir(out_dir, 2))
+    os.remove(os.path.join(out_dir, "_manifest", "00002.json"))
+
+    calls.clear()
+    res2 = run_partitioned(make_ds, out_dir, parts, stage="extract", input_fingerprint="fp1")
+    assert res2["completed"] == 1 and res2["skipped"] == 3
+    assert res2["rows"] == total_rows
+    # only the missing partition was recomputed
+    assert calls == [("4", "7")]
+
+    # all partition outputs readable, disjoint union == input
+    n = 0
+    for pid in range(4):
+        d = partition_dir(out_dir, pid)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                n += pq.read_metadata(os.path.join(d, f)).num_rows
+    assert n == 500
+
+
+def test_torn_manifest_ignored(out_dir):
+    os.makedirs(os.path.join(out_dir, "_manifest"))
+    with open(os.path.join(out_dir, "_manifest", "00000.json"), "w") as f:
+        f.write('{"partition": 0, "status": "do')  # torn write
+    assert completed_partitions(out_dir) == {}
+    commit_partition(out_dir, 1, {"rows": 5})
+    done = completed_partitions(out_dir)
+    assert list(done) == [1] and done[1]["rows"] == 5
