@@ -35,6 +35,33 @@ def extract_pipeline(sf_dir: str, *, pages_per_doc: int = 1, seed: int = 42):
     )
 
 
+def materialize_corpus(sf_dir: str, out_dir: str, *, pages_per_doc: int = 1, seed: int = 42, files: int = 64) -> str:
+    """Write the raw interleaved corpus to partitioned parquet once —
+    the bench/production input layout (many files ⇒ the read itself
+    parallelizes, unlike on-the-fly synthesis from one source file)."""
+    import os
+
+    if not os.path.isdir(out_dir) or not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+        ds = raw_corpus(sf_dir, pages_per_doc=pages_per_doc, seed=seed)
+        ds.repartition(files).write_parquet(out_dir)
+    return out_dir
+
+
+def corpus_extract_pipeline(corpus_dir: str):
+    """read materialized corpus → extract/normalize spans."""
+    import ray.data as rd
+
+    return rd.read_parquet(corpus_dir).map_batches(extract_spans_batch, batch_format="pyarrow")
+
+
+def corpus_evaluate_pipeline(corpus_dir: str, *, seed: int = 42, sources=("OCR-1", "OCR-2", "GT")):
+    """read materialized corpus → extract → variants → fused align+CER."""
+    import ray.data as rd
+
+    docs = corpus_extract_pipeline(corpus_dir)
+    return _evaluate_from_docs(docs, seed=seed, sources=sources)
+
+
 def align_pipeline(sf_dir: str, *, pages_per_doc: int = 1, seed: int = 42, sources=("OCR-1", "OCR-2", "GT")):
     """extracted docs → per-source corrupted variant lines → n-way align."""
     docs = extract_pipeline(sf_dir, pages_per_doc=pages_per_doc, seed=seed)
@@ -44,13 +71,77 @@ def align_pipeline(sf_dir: str, *, pages_per_doc: int = 1, seed: int = 42, sourc
     return align_variants(variants, list(sources))
 
 
-def evaluate_pipeline(sf_dir: str, *, pages_per_doc: int = 1, seed: int = 42):
-    """Full chain ending in per-source CER of aligned line variants vs GT.
-
-    The aligned long form carries, per line, every source's text at its
-    TextEquiv index; CER compares each OCR source against the GT entry
-    (reference div/stats.py:31-91 semantics).
+def evaluate_pipeline(sf_dir: str, *, pages_per_doc: int = 1, seed: int = 42, sources=("OCR-1", "OCR-2", "GT")):
+    """Full chain ending in per-source CER of aligned line variants vs GT
+    (reference div/stats.py:31-91 semantics), FUSED: one bucketed
+    shuffle of the variant lines; inside each bucket the documents are
+    aligned, per-line OCR/GT pairs formed, and CER partial sums emitted
+    directly — the multi-million-row aligned intermediate never crosses
+    an exchange (at 10^12 docs that intermediate would dominate shuffle
+    bytes).
     """
+    docs = extract_pipeline(sf_dir, pages_per_doc=pages_per_doc, seed=seed)
+    return _evaluate_from_docs(docs, seed=seed, sources=sources)
+
+
+def _evaluate_from_docs(docs, *, seed: int = 42, sources=("OCR-1", "OCR-2", "GT")):
+    from ..shuffle import bucketed_groupby
+    from ..stages.align import NWayAligner
+    from ..util import levenshtein
+
+    variants = docs.map_batches(
+        synth_variants_batch, batch_format="pyarrow", fn_kwargs={"sources": tuple(sources), "seed": seed}
+    )
+    aligner = NWayAligner(list(sources))
+    ocr_sources = [s for s in sources if s != "GT"]
+
+    def align_and_eval(bucket: pd.DataFrame) -> pd.DataFrame:
+        aligned = aligner(bucket)
+        b = aligned[aligned["level"] == "line"]
+        if b.empty:
+            return pd.DataFrame({"source": [], "char_errors": [], "gt_chars": []})
+        wide = b.pivot_table(
+            index=["doc_id", "line_no"], columns="source", values="text", aggfunc="first"
+        ).reset_index()
+        acc: dict[str, list[int]] = {}
+        if "GT" in wide.columns:
+            gts = wide["GT"].fillna("").to_numpy()
+            for src in ocr_sources:
+                if src not in wide.columns:
+                    continue
+                errs = chars = 0
+                for t, g in zip(wide[src].fillna("").to_numpy(), gts):
+                    errs += levenshtein(t, g)
+                    chars += len(g)
+                acc[src] = [errs, chars]
+        srcs = sorted(acc)
+        return pd.DataFrame(
+            {
+                "source": srcs,
+                "char_errors": pd.array([acc[s][0] for s in srcs], dtype="int64"),
+                "gt_chars": pd.array([acc[s][1] for s in srcs], dtype="int64"),
+            }
+        )
+
+    partials = bucketed_groupby(variants, "doc_id", align_and_eval, whole_bucket=True)
+    from ray.data.aggregate import Sum
+
+    out = partials.groupby("source").aggregate(
+        Sum("char_errors", alias_name="char_errors"), Sum("gt_chars", alias_name="gt_chars")
+    )
+
+    def rate(b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        b["char_error_rate"] = np.where(b["gt_chars"] > 0, b["char_errors"] / b["gt_chars"], 0.0)
+        return b
+
+    return out.map_batches(rate, batch_format="pandas")
+
+
+def evaluate_pipeline_unfused(sf_dir: str, *, pages_per_doc: int = 1, seed: int = 42):
+    """Reference-shaped chain (align stage output shuffled to the eval
+    stage) — kept for parity testing against the fused version."""
     aligned = align_pipeline(sf_dir, pages_per_doc=pages_per_doc, seed=seed)
 
     def line_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
