@@ -144,6 +144,154 @@ def q05_sort_docs(sf_dir: str):
     return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
 
 
+def q06_join_lineitem_orders(sf_dir: str):
+    """Large⋈large partitioned hash join (lineitem ⋈ orders on orderkey)
+    → revenue per order priority. Both sides shuffle once on the
+    bucketed key (shuffle.hash_join)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ocrd_cis_ray.shuffle import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep_l(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table({"orderkey": t["l_orderkey"], "disc_cents": _cents(disc)})
+
+    li = li.map_batches(prep_l, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        return pa.table({"orderkey": t["o_orderkey"], "o_orderpriority": t["o_orderpriority"]})
+
+    orders = orders.map_batches(prep_o, batch_format="pyarrow")
+    joined = hash_join(li, orders, on="orderkey", how="inner")
+    return joined.groupby("o_orderpriority").aggregate(
+        Sum("disc_cents", alias_name="revenue_cents"), Count(alias_name="n_items")
+    )
+
+
+def q07_asof_prior_click(sf_dir: str):
+    """As-of join (event-time): for each 'error' event, the id of the
+    user's most recent strictly-prior 'click' event (-1 when none).
+    One bucketed shuffle on user_id; backward scan inside the bucket."""
+    from ocrd_cis_ray.shuffle import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def asof(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in bucket.groupby("user_id", sort=False):
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            clicks = g["event_id"].where(g["event_type"] == "click")
+            prior = clicks.shift(1).ffill()
+            err = g["event_type"] == "error"
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_id": g.loc[err, "event_id"],
+                        "prior_click": prior[err].fillna(-1).astype("int64"),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"), "prior_click": pd.Series(dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_groupby(ds, "user_id", asof, whole_bucket=True)
+
+
+def q08_sessions(sf_dir: str):
+    """Sessionization: 30-minute-gap sessions per user (streaming-shaped
+    op per the Ray guide: sorted per-key windows inside map_groups)."""
+    from ocrd_cis_ray.shuffle import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sessions(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = {"user_id": [], "n_sessions": [], "n_events": []}
+        for uid, g in bucket.groupby("user_id", sort=False):
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            gaps = g["ts"].diff()
+            new_s = (gaps.isna()) | (gaps > pd.Timedelta(minutes=30))
+            out["user_id"].append(uid)
+            out["n_sessions"].append(int(new_s.sum()))
+            out["n_events"].append(len(g))
+        return pd.DataFrame(
+            {
+                "user_id": pd.array(out["user_id"], dtype="int64"),
+                "n_sessions": pd.array(out["n_sessions"], dtype="int64"),
+                "n_events": pd.array(out["n_events"], dtype="int64"),
+            }
+        )
+
+    return bucketed_groupby(ds, "user_id", sessions, whole_bucket=True)
+
+
+def q09_distinct_users(sf_dir: str):
+    """COUNT(DISTINCT user_id) per event_type: per-batch local distinct
+    → bucketed global distinct → tiny count aggregate."""
+    from ray.data.aggregate import Count
+
+    from ocrd_cis_ray.shuffle import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def local_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    pairs = ds.map_batches(local_distinct, batch_format="pandas")
+    distinct = bucketed_groupby(
+        pairs, ["event_type", "user_id"], lambda b: b.drop_duplicates(), whole_bucket=True
+    )
+    return distinct.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+def q13_top_docs_per_lang(sf_dir: str):
+    """Top-3 documents by n_chars per language (grouped top-k: bucketed
+    shuffle on the group key + per-group head, no global sort)."""
+    from ocrd_cis_ray.shuffle import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        return (
+            bucket.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True])
+            .groupby("lang", sort=False)
+            .head(3)
+        )
+
+    return bucketed_groupby(ds, "lang", topk, whole_bucket=True)
+
+
+def q14_anti_join(sf_dir: str):
+    """Broadcast ANTI join: orders whose customer is NOT in the BUILDING
+    segment (key set broadcast via ray.put, filtered in map_batches —
+    no shuffle)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    building = {
+        k
+        for k, s in zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+        if s == "BUILDING"
+    }
+    ref = ray.put(building)
+
+    def anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = pa.array([k not in keys for k in t["o_custkey"].to_pylist()])
+        return t.filter(mask)
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    return (
+        ds.map_batches(anti, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # extraction
 
@@ -603,6 +751,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q03_events_window": q03_events_window,
         "q04_top_users": q04_top_users,
         "q05_sort_docs": q05_sort_docs,
+        "q06_join_lineitem_orders": q06_join_lineitem_orders,
+        "q07_asof_prior_click": q07_asof_prior_click,
+        "q08_sessions": q08_sessions,
+        "q09_distinct_users": q09_distinct_users,
+        "q13_top_docs_per_lang": q13_top_docs_per_lang,
+        "q14_anti_join": q14_anti_join,
         "q10_extract_spans": q10_extract_spans,
         "q11_span_stats": q11_span_stats,
         "q20_token_count": q20_token_count,
@@ -703,6 +857,53 @@ ORDER BY total_cents DESC, user_id LIMIT 10
 """,
         "q05_sort_docs": """
 SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20
+""",
+        "q06_join_lineitem_orders": """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+        "q07_asof_prior_click": """
+WITH u AS (
+  SELECT event_id, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click
+  FROM events
+)
+SELECT event_id, CAST(COALESCE(prior_click, -1) AS BIGINT) AS prior_click
+FROM u WHERE event_type = 'error'
+""",
+        "q08_sessions": """
+WITH o AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM o GROUP BY user_id
+""",
+        "q09_distinct_users": """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+        "q13_top_docs_per_lang": """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 3
+""",
+        "q14_anti_join": """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
 """,
         "q10_extract_spans": spans_cte + "SELECT * FROM spans",
         "q11_span_stats": spans_cte

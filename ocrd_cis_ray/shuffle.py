@@ -89,6 +89,84 @@ def _apply_whole(bucket_df: pd.DataFrame, fn) -> pd.DataFrame:
     return fn(bucket_df.drop(columns="__bucket"))
 
 
+def hash_join(left, right, *, on: str, how: str = "inner", num_buckets: int | None = None, suffixes=("_l", "_r")):
+    """Partitioned hash join of two LARGE datasets (both sides shuffle).
+
+    The portable pattern from the Ray guide: tag each side, align both
+    to the superset schema (missing columns null), union, ONE bucketed
+    shuffle on the key, then a vectorized pandas merge inside each
+    bucket. Hot keys only affect their own bucket. For a SMALL side,
+    don't use this — broadcast it (ray.put + lookup in map_batches).
+    """
+    import ray
+
+    lcols = [str(c) for c in left.schema().names]
+    rcols = [str(c) for c in right.schema().names]
+    shared = (set(lcols) & set(rcols)) - {on}
+
+    def tag(side: str, own: list[str], other: list[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = side
+            for c in other:
+                if c not in df.columns:
+                    df[c] = None
+            return df
+
+        return fn
+
+    all_cols = [on] + sorted((set(lcols) | set(rcols)) - {on})
+    lt = left.map_batches(tag("l", lcols, rcols), batch_format="pandas").select_columns(all_cols + ["__side"])
+    rt = right.map_batches(tag("r", rcols, lcols), batch_format="pandas").select_columns(all_cols + ["__side"])
+    both = lt.union(rt)
+
+    def join_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        l = bucket[bucket["__side"] == "l"][[on] + [c for c in lcols if c != on]]
+        r = bucket[bucket["__side"] == "r"][[on] + [c for c in rcols if c != on]]
+        return l.merge(r, on=on, how=how, suffixes=suffixes)
+
+    return bucketed_groupby(both, on, join_bucket, num_buckets=num_buckets, whole_bucket=True)
+
+
+def weighted_ranges(ds, key: str, weight_col: str, n_partitions: int, *, sample_limit: int = 200_000):
+    """Range boundaries over ``key`` such that each range carries ~equal
+    total ``weight_col`` — the north_rule's media-heavy skew rebalance.
+
+    Boundaries are estimated from a bounded sample of (key, weight)
+    pairs (weighted quantiles), so driver memory is O(sample), not
+    O(rows). Returns a sorted list of n-1 split keys.
+    """
+    import numpy as np
+
+    pairs = ds.select_columns([key, weight_col]).limit(sample_limit).to_pandas()
+    pairs = pairs.sort_values(key)
+    w = pairs[weight_col].to_numpy(dtype=np.float64)
+    cum = np.cumsum(w)
+    total = cum[-1] if len(cum) else 0.0
+    if total <= 0 or n_partitions <= 1:
+        return []
+    targets = [total * i / n_partitions for i in range(1, n_partitions)]
+    idx = np.searchsorted(cum, targets)
+    keys = pairs[key].to_numpy()
+    return sorted(set(keys[np.clip(idx, 0, len(keys) - 1)]))
+
+
+def partition_by_ranges(ds, key: str, bounds: list):
+    """Add a ``__part`` column assigning each row to its key range
+    (searchsorted — vectorized), then group ranges for downstream
+    per-partition work. Rows stream; only the groupby moves them."""
+    import numpy as np
+
+    bounds_arr = list(bounds)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = np.searchsorted(bounds_arr, df[key].to_numpy(), side="right").astype(np.int32)
+        return df
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
 def _agg_bucket(bucket_df: pd.DataFrame, key, spec: dict) -> pd.DataFrame:
     bucket_df = bucket_df.drop(columns="__bucket")
     kwargs = {out: (col, how) for out, (col, how) in spec.items()}

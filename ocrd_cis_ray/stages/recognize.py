@@ -48,18 +48,30 @@ class Recognizer:
         self.min_conf = min_conf
 
     def recognize_line(self, img: np.ndarray) -> tuple[str, float, list[dict]]:
+        """Auto-locates the glyph grid from the ink bounding box, so it
+        accepts both full renders (with margins) and segmentation crops
+        (trimmed to ink) — segmentation output feeds straight in."""
         h, w = img.shape
-        n_cells = max(0, (w - 2 * PAD_X) // GLYPH_W)
+        gh, gw = GLYPH_H - 4, GLYPH_W - 2
+        fg = img < 128
+        ink_rows = np.flatnonzero(fg.any(axis=1))
+        ink_cols = np.flatnonzero(fg.any(axis=0))
+        if len(ink_rows) == 0:
+            return "", 0.0, []
+        y0 = int(ink_rows[0])  # first glyph row (render: PAD_Y+2)
+        x_base = int(ink_cols[0]) - 1  # cell origin (render: PAD_X + i*GLYPH_W)
+        n_cells = max(0, (int(ink_cols[-1]) - x_base + GLYPH_W) // GLYPH_W)
         if n_cells == 0:
             return "", 0.0, []
-        gh, gw = GLYPH_H - 4, GLYPH_W - 2
-        y0 = PAD_Y + 2
         cells = np.zeros((n_cells, gh * gw), dtype=np.float64)
         for i in range(n_cells):
-            x0 = PAD_X + i * GLYPH_W + 1
+            x0 = x_base + i * GLYPH_W + 1
             cell = img[y0 : y0 + gh, x0 : x0 + gw]
             if cell.shape != (gh, gw):
-                continue
+                ch, cw = cell.shape
+                padded = np.full((gh, gw), 255, dtype=img.dtype)
+                padded[:ch, :cw] = cell
+                cell = padded
             cells[i] = (cell < 128).astype(np.float64).ravel()
         cnorm = np.linalg.norm(cells, axis=1)
         sims = (cells @ self.templates.T) / (np.maximum(cnorm[:, None], 1e-9) * self.tnorm[None, :])
@@ -87,7 +99,7 @@ class Recognizer:
             wconfs = confs[i:j]
             wconf = float((wconfs.min() + wconfs.max()) / 2.0) if len(wconfs) else 0.0
             words.append(
-                {"text": text[i:j], "conf": np.float32(wconf), "x0": np.int32(PAD_X + i * GLYPH_W)}
+                {"text": text[i:j], "conf": np.float32(wconf), "x0": np.int32(x_base + i * GLYPH_W)}
             )
             i = j
         line_conf = float(confs[: max(1, n)].mean()) if n else 0.0

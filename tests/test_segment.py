@@ -1,0 +1,85 @@
+"""Page segmentation (recursive XY cut): line detection, reading order,
+and the full page → segment → recognize chain."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ocrd_cis_ray.sources.media import encode_gray, render_line
+from ocrd_cis_ray.stages.recognize import Recognizer, recognize_lines
+from ocrd_cis_ray.stages.segment import segment_page, segment_pages
+
+
+def stack_page(lines, gap=6, pad=12):
+    imgs = [render_line(t) for t in lines]
+    w = max(i.shape[1] for i in imgs) + 2 * pad
+    rows = [np.full((pad, w), 255, np.uint8)]
+    for im in imgs:
+        row = np.full((im.shape[0], w), 255, np.uint8)
+        row[:, pad : pad + im.shape[1]] = im
+        rows.append(row)
+        rows.append(np.full((gap, w), 255, np.uint8))
+    rows.append(np.full((pad, w), 255, np.uint8))
+    return np.vstack(rows)
+
+
+def test_segment_single_column():
+    page = stack_page(["first line here", "second line", "third one"])
+    boxes = segment_page(page)
+    assert len(boxes) == 3
+    ys = [b[0] for b in boxes]
+    assert ys == sorted(ys)  # top-to-bottom reading order
+
+
+def test_segment_two_columns_reading_order():
+    col1 = stack_page(["aaa bbb", "ccc ddd", "eee fff"])
+    col2 = stack_page(["ggg hhh", "iii jjj"])
+    h = max(col1.shape[0], col2.shape[0])
+    gutter = 40
+    page = np.full((h, col1.shape[1] + gutter + col2.shape[1]), 255, np.uint8)
+    page[: col1.shape[0], : col1.shape[1]] = col1
+    page[: col2.shape[0], col1.shape[1] + gutter :] = col2
+    boxes = segment_page(page)
+    assert len(boxes) == 5
+    col_flags = [b[2] < col1.shape[1] for b in boxes]
+    assert col_flags == [True] * 3 + [False] * 2  # RXYC: column 1 first
+
+
+def test_segment_blank_page():
+    assert segment_page(np.full((50, 80), 255, np.uint8)) == []
+
+
+def test_segment_recognize_chain(ray_session):
+    """page image → segmentation stage → recognizer actor recovers the
+    original line texts in reading order — the reference's
+    segment→recognize flow end-to-end."""
+    import ray.data as rd
+
+    lines = ["hello world", "the quick fox", "final line"]
+    page = stack_page(lines)
+    tbl = pa.Table.from_pylist(
+        [
+            {
+                "doc_id": "p0",
+                "span_id": "page-0",
+                "media_ref": "media/p0.bin",
+                "features": "",
+                "pixels": encode_gray(page),
+            }
+        ]
+    )
+    segs = segment_pages(rd.from_arrow(tbl))
+    rec = recognize_lines(segs, concurrency=1, batch_size=8).to_pandas()
+    got = rec.sort_values("span_id")["text"].tolist()
+    assert got == lines
+
+
+def test_recognizer_accepts_trimmed_crop():
+    img = render_line("crop test")
+    fg = img < 128
+    ys = np.flatnonzero(fg.any(axis=1))
+    xs = np.flatnonzero(fg.any(axis=0))
+    crop = img[ys[0] : ys[-1] + 1, xs[0] : xs[-1] + 1]
+    text, conf, _ = Recognizer().recognize_line(crop)
+    assert text == "crop test"
