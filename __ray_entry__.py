@@ -445,6 +445,25 @@ def q34_embedding_dups(sf_dir: str):
 # similarity search
 
 
+def q35_dup_clusters(sf_dir: str):
+    """Near-dup clusters: exact Jaccard pairs (τ=0.5) → connected
+    components via distributed min-label propagation → (doc_id, cluster)
+    where cluster = canonical keeper (min id). Rows-only: recursive
+    component labeling isn't ANSI-SQL."""
+    from ocrd_cis_ray.stages.dedup import dup_clusters, jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = jaccard_pairs(ds, n=3, threshold=0.5).select_columns(["id_a", "id_b"])
+    out = dup_clusters(pairs)
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"), "cluster": b["cluster"].astype("int64")}
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
 def q40_ann_topk(sf_dir: str):
     """Exact cosine top-5 for query vectors vec_id < 10 (rank only)."""
     from ocrd_cis_ray.stages.similarity import brute_topk
@@ -769,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q32_minhash_pairs": q32_minhash_pairs,
         "q33_simhash": q33_simhash,
         "q34_embedding_dups": q34_embedding_dups,
+        "q35_dup_clusters": q35_dup_clusters,
         "q40_ann_topk": q40_ann_topk,
         "q50_wer_global": q50_wer_global,
         "q51_cer_by_source": q51_cer_by_source,

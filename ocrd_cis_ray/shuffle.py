@@ -34,12 +34,20 @@ def n_default_buckets() -> int:
 
 
 def key_buckets(values, num_buckets: int) -> np.ndarray:
-    """Deterministic bucket ids for a key column (any dtype)."""
+    """Deterministic bucket ids for a key column (any dtype).
+
+    Integer-valued keys hash identically whether they arrive as int64
+    or as an object column (e.g. after a null-filling union) — the
+    same key MUST land in the same bucket regardless of block dtype.
+    """
     arr = np.asarray(values)
     if arr.dtype.kind in ("i", "u"):
         h = arr.astype(np.uint64)
     else:
-        h = pd.util.hash_array(arr.astype(object))
+        try:  # object column of ints → canonical integer hashing
+            h = arr.astype(np.int64).astype(np.uint64)
+        except (ValueError, TypeError):
+            h = pd.util.hash_array(arr.astype(object))
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
@@ -121,8 +129,10 @@ def hash_join(left, right, *, on: str, how: str = "inner", num_buckets: int | No
     both = lt.union(rt)
 
     def join_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        l = bucket[bucket["__side"] == "l"][[on] + [c for c in lcols if c != on]]
-        r = bucket[bucket["__side"] == "r"][[on] + [c for c in rcols if c != on]]
+        l = bucket[bucket["__side"] == "l"][[on] + [c for c in lcols if c != on]].infer_objects()
+        r = bucket[bucket["__side"] == "r"][[on] + [c for c in rcols if c != on]].infer_objects()
+        if l[on].dtype != r[on].dtype and l[on].dtype.kind in "iu" and r[on].dtype.kind in "iu":
+            r = r.astype({on: l[on].dtype})
         return l.merge(r, on=on, how=how, suffixes=suffixes)
 
     return bucketed_groupby(both, on, join_bucket, num_buckets=num_buckets, whole_bucket=True)

@@ -194,7 +194,7 @@ def band_batch(batch: pa.Table, *, bands: int = 32, rows: int = 4) -> pa.Table:
     )
 
 
-def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32, ngram: int = 3, threshold: float = 0.8, concurrency: int = 4):
+def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32, ngram: int = 3, threshold: float = 0.8, concurrency: int = 4, verify_strategy: str = "broadcast"):
     """MinHash-LSH candidate pairs with estimated Jaccard ≥ threshold.
 
     shingle→minhash (actor pool) → band rows → groupby(band) buckets →
@@ -229,9 +229,49 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32, ngram: int = 
         ["n_bands"]
     )
 
-    # verify: estimated Jaccard from the signatures. The signature table
-    # is broadcast once (ray.put) — fine up to ~1M docs (1 KiB/doc); the
-    # 100 TB path replaces this with a Dataset.join of cand against sigs.
+    # verify: estimated Jaccard from the signatures (fraction of equal
+    # components). Two strategies:
+    #  - "broadcast": materialize sigs once + ray.put — one pass, right
+    #    up to ~1M docs (1 KiB/doc);
+    #  - "join": candidates hash_join sigs twice — the 100 TB path (no
+    #    driver materialization; candidate set ≪ corpus).
+    if verify_strategy == "join" or (verify_strategy == "auto" and _estimate_large(ds)):
+        from ..shuffle import hash_join
+
+        def as_bytes(id_out: str, sig_out: str):
+            # signatures travel as raw bytes through the join: the
+            # fixed-size-list column maps to Ray's TensorArray pandas
+            # extension, which can't union with the null fill of the
+            # join's superset schema
+            def fn(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {
+                        id_out: df["doc_id"],
+                        sig_out: [np.asarray(s, dtype=np.uint64).tobytes() for s in df["minhash"]],
+                    }
+                )
+
+            return fn
+
+        sig_a = sigs.map_batches(as_bytes("id_a", "sig_a"), batch_format="pandas")
+        sig_b = sigs.map_batches(as_bytes("id_b", "sig_b"), batch_format="pandas")
+        joined = hash_join(cand, sig_a, on="id_a")
+        joined = hash_join(joined, sig_b, on="id_b")
+
+        def verify_joined(batch: pd.DataFrame) -> pd.DataFrame:
+            est = [
+                float(
+                    (np.frombuffer(a, dtype=np.uint64) == np.frombuffer(b, dtype=np.uint64)).mean()
+                )
+                if isinstance(a, bytes) and isinstance(b, bytes)
+                else 0.0
+                for a, b in zip(batch["sig_a"], batch["sig_b"])
+            ]
+            batch = batch.assign(est_jaccard=est)
+            return batch[batch["est_jaccard"] >= threshold][["id_a", "id_b", "est_jaccard"]]
+
+        return joined.map_batches(verify_joined, batch_format="pandas")
+
     sig_map = {r["doc_id"]: np.asarray(r["minhash"], dtype=np.uint64) for r in sigs.take_all()}
     import ray
 
@@ -247,6 +287,72 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32, ngram: int = 
         return batch[batch["est_jaccard"] >= threshold]
 
     return cand.map_batches(verify, batch_format="pandas")
+
+
+def _estimate_large(ds, limit: int = 1_000_000) -> bool:
+    try:
+        n = ds.count()
+    except Exception:
+        return True
+    return n > limit
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components) + dedup decision
+
+
+def dup_clusters(pairs_ds, *, max_rounds: int = 10, num_buckets: int | None = None):
+    """Connected components over near-dup pairs via distributed
+    min-label propagation (the Ray-guide pattern: a few rounds of
+    groupby-min until no label changes).
+
+    Input: pairs (id_a, id_b). Output: (doc_id, cluster) where cluster
+    is the min doc_id of the component — the canonical keeper, so
+    dedup = drop rows where doc_id != cluster.
+    """
+    from ..shuffle import bucketed_aggregate
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        fwd = pd.DataFrame({"node": b["id_a"], "nbr": b["id_b"]})
+        rev = pd.DataFrame({"node": b["id_b"], "nbr": b["id_a"]})
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pandas")
+    edges = edges.materialize()  # reused every round; small (pairs only)
+    # labels: node -> current component label (min known)
+    labels = bucketed_aggregate(edges, "node", {"label": ("nbr", "min")}, num_buckets=num_buckets)
+
+    def tighten(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["label"] = np.minimum(b["node"].to_numpy(), b["label"].to_numpy())
+        return b
+
+    labels = labels.map_batches(tighten, batch_format="pandas").materialize()
+    from ..shuffle import hash_join
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        # propagate: each node offers its label to all neighbours
+        offers = hash_join(edges, labels, on="node", num_buckets=num_buckets)
+
+        def offer(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": b["nbr"], "label": b["label"]})
+
+        offered = offers.map_batches(offer, batch_format="pandas")
+        both = offered.union(labels.select_columns(["node", "label"]))
+        labels = bucketed_aggregate(
+            both, "node", {"label": ("label", "min")}, num_buckets=num_buckets
+        ).materialize()
+        # converged? label sum is monotone non-increasing
+        new_sum = int(labels.sum("label") or 0)
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["node"], "cluster": b["label"]})
+
+    return labels.map_batches(finalize, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

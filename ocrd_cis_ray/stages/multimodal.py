@@ -1,0 +1,212 @@
+"""Multimodal columns: image / audio / video as opaque binary payloads
+with typed metadata, processed by actor-pool ``map_batches`` stages.
+
+Schema convention (one row per media asset or per document span):
+
+    doc_id: string | int64
+    media_ref: string            # content address / storage key
+    modality: string             # image | audio | video
+    payload: large_binary        # encoded bytes (opaque)
+    meta: string                 # JSON: {width,height} | {sample_rate,channels,duration_s} | {fps,frames,width,height}
+
+The image path is REAL end-to-end against the raw-gray codec
+(sources/media.py). Audio/video decoding has no library in this
+container, so ``decode_audio`` / ``decode_video`` are STUBS: by default
+they raise ``NotImplementedError`` with the production hint; with
+``fake=True`` they synthesize a deterministic payload-derived array so
+the Ray-side plumbing (schema, batch size, actor signature, output
+layout) is fully exercised and tested. Production swaps the stub body
+for soundfile/PyAV decode — nothing else changes.
+
+Batch sizing: media rows are wide; stages default to small batches
+(16-64) so batch x concurrency stays inside a worker heap, per the
+memory guidance in BASELINE/SURVEY §4.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.media import decode_gray, encode_gray
+
+# ---------------------------------------------------------------------------
+# decode kernels
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Image decode — REAL for the raw-gray codec (production: PNG/JPEG)."""
+    return decode_gray(payload)
+
+
+def decode_audio(payload: bytes, *, fake: bool = False) -> np.ndarray:
+    """STUB: audio decode (no soundfile/librosa in this container).
+
+    Production: replace body with e.g. ``soundfile.read(BytesIO(payload))``.
+    ``fake=True`` returns a deterministic float32 waveform derived from
+    the payload bytes so downstream stages are testable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires an audio library (soundfile/librosa); "
+            "run with fake=True for plumbing tests"
+        )
+    b = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    return (b - 127.5) / 127.5  # [-1, 1] mono waveform
+
+
+def decode_video_frames(payload: bytes, *, fake: bool = False, frame_shape=(8, 8)) -> np.ndarray:
+    """STUB: video decode to frames (no PyAV/ffmpeg in this container).
+
+    Production: replace body with PyAV frame iteration. ``fake=True``
+    reshapes payload bytes into (n_frames, h, w) uint8 frames.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "video decode requires PyAV/ffmpeg; run with fake=True for plumbing tests"
+        )
+    h, w = frame_shape
+    per = h * w
+    b = np.frombuffer(payload, dtype=np.uint8)
+    n = len(b) // per
+    return b[: n * per].reshape(n, h, w)
+
+
+# ---------------------------------------------------------------------------
+# feature kernels (numpy; modality-specific)
+
+
+def resize_gray(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resize (production: bilinear via an image lib)."""
+    h, w = img.shape
+    ys = np.clip((np.arange(out_h) * h / out_h).astype(int), 0, h - 1)
+    xs = np.clip((np.arange(out_w) * w / out_w).astype(int), 0, w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def audio_features(wave: np.ndarray, *, n_bands: int = 8) -> np.ndarray:
+    """Cheap spectral-ish features: RMS per equal time band (float32)."""
+    if len(wave) == 0:
+        return np.zeros(n_bands, dtype=np.float32)
+    bands = np.array_split(wave.astype(np.float64), n_bands)
+    return np.array([np.sqrt((b**2).mean()) if len(b) else 0.0 for b in bands], dtype=np.float32)
+
+
+def sample_frames(frames: np.ndarray, k: int) -> np.ndarray:
+    """Uniform temporal frame sampling: k frames evenly spaced."""
+    n = len(frames)
+    if n == 0:
+        return frames
+    idx = np.linspace(0, n - 1, min(k, n)).round().astype(int)
+    return frames[idx]
+
+
+# ---------------------------------------------------------------------------
+# actor-pool stages
+
+
+class MediaFeaturizer:
+    """Actor-pool stage: decode + featurize media rows by modality.
+
+    Output per row: doc_id, media_ref, modality, feature:list<float32>
+    (image: 64-bin intensity histogram of the resized thumbnail; audio:
+    band RMS; video: per-sampled-frame mean intensities), plus
+    ok:bool + error:string (log-and-skip policy).
+    """
+
+    def __init__(self, *, fake_decode: bool = False, thumb: int = 16, n_bands: int = 8, k_frames: int = 4):
+        self.fake = fake_decode
+        self.thumb = thumb
+        self.n_bands = n_bands
+        self.k_frames = k_frames
+
+    def _featurize(self, modality: str, payload: bytes, meta: dict) -> np.ndarray:
+        if modality == "image":
+            img = decode_image(payload)
+            t = resize_gray(img, self.thumb, self.thumb)
+            hist, _ = np.histogram(t, bins=64, range=(0, 256))
+            return (hist / max(1, t.size)).astype(np.float32)
+        if modality == "audio":
+            wave = decode_audio(payload, fake=self.fake)
+            return audio_features(wave, n_bands=self.n_bands)
+        if modality == "video":
+            frames = decode_video_frames(payload, fake=self.fake)
+            picked = sample_frames(frames, self.k_frames)
+            feats = picked.reshape(len(picked), -1).mean(axis=1) if len(picked) else np.zeros(0)
+            out = np.zeros(self.k_frames, dtype=np.float32)
+            out[: len(feats)] = feats
+            return out
+        raise ValueError(f"unknown modality {modality}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mods = batch["modality"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        metas = batch["meta"].to_pylist()
+        feats, oks, errs = [], [], []
+        for mod, payload, meta in zip(mods, payloads, metas):
+            try:
+                meta_d = json.loads(meta) if meta else {}
+                feats.append(self._featurize(mod, payload, meta_d).tolist())
+                oks.append(True)
+                errs.append("")
+            except NotImplementedError as e:
+                feats.append([])
+                oks.append(False)
+                errs.append(str(e))
+            except Exception as e:  # log-and-skip
+                feats.append([])
+                oks.append(False)
+                errs.append(f"{type(e).__name__}: {e}")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media_ref": batch["media_ref"],
+                "modality": batch["modality"],
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+                "ok": pa.array(oks, pa.bool_()),
+                "error": pa.array(errs, pa.string()),
+            }
+        )
+
+
+def featurize_media(ds, *, fake_decode: bool = False, concurrency: int = 4, batch_size: int = 32, num_cpus: float = 1):
+    """Dataset wrapper: the multimodal actor-pool stage (small batches —
+    wide binary rows)."""
+    return ds.map_batches(
+        MediaFeaturizer,
+        fn_constructor_kwargs={"fake_decode": fake_decode},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        num_cpus=num_cpus,
+    )
+
+
+class ImageThumbnailer:
+    """Actor-pool stage: image rows -> resized thumbnails (real path).
+
+    doc_id, media_ref, payload -> same + thumb:large_binary (raw-gray),
+    out meta updated. Demonstrates derived-media lineage (the
+    AlternativeImage pattern: derived payload + feature tag)."""
+
+    def __init__(self, *, out_h: int = 24, out_w: int = 24):
+        self.out_h = out_h
+        self.out_w = out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        thumbs, metas = [], []
+        for payload in batch["payload"].to_pylist():
+            try:
+                img = decode_image(payload)
+                t = resize_gray(img, self.out_h, self.out_w)
+                thumbs.append(encode_gray(t))
+                metas.append(json.dumps({"width": self.out_w, "height": self.out_h}))
+            except Exception:
+                thumbs.append(b"")
+                metas.append("{}")
+        cols = {n: batch[n] for n in batch.column_names}
+        cols["thumb"] = pa.array(thumbs, pa.large_binary())
+        cols["thumb_meta"] = pa.array(metas, pa.string())
+        return pa.table(cols)

@@ -1,0 +1,65 @@
+"""Near-dup clustering (min-label propagation), minhash join-verify
+scale path, IVF ANN recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_dup_clusters_components(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.dedup import dup_clusters
+
+    # components: {1,2,3,4} (chain), {10,11}, singleton 20 not in pairs
+    pairs = rd.from_items(
+        [
+            {"id_a": 1, "id_b": 2},
+            {"id_a": 2, "id_b": 3},
+            {"id_a": 3, "id_b": 4},
+            {"id_a": 10, "id_b": 11},
+        ]
+    )
+    out = dup_clusters(pairs, num_buckets=8).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got = dict(zip(out["doc_id"], out["cluster"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_minhash_join_verify_matches_broadcast(ray_session, sf_dir):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    kw = dict(num_perm=128, bands=32, ngram=3, threshold=0.5, concurrency=1)
+    bc = minhash_lsh_pairs(ds, verify_strategy="broadcast", **kw).to_pandas()
+    jn = minhash_lsh_pairs(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        verify_strategy="join",
+        **kw,
+    ).to_pandas()
+    key = lambda df: set(zip(df["id_a"].astype(int), df["id_b"].astype(int)))
+    assert key(bc) == key(jn)
+
+
+def test_ivf_recall_vs_brute(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.similarity import brute_topk, ivf_topk
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qids = qtbl["vec_id"].to_pylist()[:5]
+    qmat = np.stack([np.asarray(v, np.float64) for v in qtbl["embedding"].to_pylist()[:5]])
+
+    def pairs(df):
+        return set(zip(df["query_id"].astype(int), df["neighbor_id"].astype(int)))
+
+    ds1 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = pairs(brute_topk(ds1, qids, qmat, k=5).to_pandas())
+    ds2 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    approx = pairs(ivf_topk(ds2, qids, qmat, k=5, nlist=8, nprobe=4).to_pandas())
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall  # bucketed ANN trades recall for work
