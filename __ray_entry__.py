@@ -748,6 +748,17 @@ def q72_postcorrect(sf_dir: str):
     return corrected.map_batches(project, batch_format="pyarrow")
 
 
+def q73_ocr_chain(sf_dir: str):
+    """Full OCR lifecycle over page media: degrade → preprocess →
+    segment → recognize (actor pool) → CER per engine → post-correct the
+    noisier engine → CER after. Rows-only (image pipeline + learned
+    ranking aren't SQL-expressible); the pytest suite asserts the CER
+    ordering and determinism."""
+    from ocrd_cis_ray.pipelines.ocr_chain import run_ocr_chain
+
+    return run_ocr_chain(sf_dir, concurrency=2)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -797,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q70_preprocess_media": q70_preprocess_media,
         "q71_recognize": q71_recognize,
         "q72_postcorrect": q72_postcorrect,
+        "q73_ocr_chain": q73_ocr_chain,
     }
 
 

@@ -92,6 +92,11 @@ def run_bench() -> dict:
             "docs_per_sec": round(n_docs / total, 1) if total > 0 else None,
         }
 
+    # full OCR-over-media lifecycle (segment -> recognize -> postcorrect)
+    from ocrd_cis_ray.pipelines.ocr_chain import run_ocr_chain
+
+    timed("flagship_ocr_chain", lambda: run_ocr_chain(SF_DIR, concurrency=max(2, NUM_CPUS // 8)))
+
     # operator benchmarks over driver tables
     Q = entrymod.queries()
     for name in (

@@ -1,0 +1,323 @@
+"""The full OCR lifecycle over page MEDIA — the Ray-Data restatement of
+the reference's aio super-pipeline (ocrd_cis/aio/aio.py: unpack → per
+OCR engine recognize → align → profile/post-correct → stats):
+
+    page images
+      → per-OCR-source degradation (seeded noise; the "two scanners")
+      → preprocessing (binarize → despeckle)          [stateless tasks]
+      → line segmentation (recursive XY cut)          [stateless tasks]
+      → line recognition                              [actor pool]
+      → n-way alignment of OCR sources + GT           [bucketed shuffle]
+      → per-source CER                                 [partial+reduce]
+      → post-correction of the worst source            [actor pool]
+      → CER after correction                           [partial+reduce]
+
+Everything is one lazy Dataset flow per OCR source, union-ed into the
+alignment shuffle. GT lines are derived from the same deterministic
+page layout, so CER-before/after has exact goldens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sources.media import encode_gray, render_line
+from ..util import stable_hash64
+
+LINES_PER_PAGE = 6
+WORDS_PER_LINE = 8
+
+
+def page_lines(text: str) -> list[str]:
+    """Deterministic page layout: 8-word lines, first LINES_PER_PAGE."""
+    words = (text or "").split(" ")
+    lines = [" ".join(words[k : k + WORDS_PER_LINE]) for k in range(0, len(words), WORDS_PER_LINE)]
+    return lines[:LINES_PER_PAGE]
+
+
+def compose_page(lines: list[str], *, gap: int = 6, pad: int = 12) -> np.ndarray:
+    imgs = [render_line(t) for t in lines]
+    w = max(i.shape[1] for i in imgs) + 2 * pad
+    rows = [np.full((pad, w), 255, np.uint8)]
+    for im in imgs:
+        row = np.full((im.shape[0], w), 255, np.uint8)
+        row[:, pad : pad + im.shape[1]] = im
+        rows.append(row)
+        rows.append(np.full((gap, w), 255, np.uint8))
+    rows.append(np.full((pad, w), 255, np.uint8))
+    return np.vstack(rows)
+
+
+def synth_pages(sf_dir: str):
+    """documents → page-image media rows (doc_id, span_id, media_ref,
+    features, pixels)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def render(t: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "span_id": [], "media_ref": [], "features": [], "pixels": []}
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            img = compose_page(page_lines(text))
+            out["doc_id"].append(str(did))
+            out["span_id"].append("page-0")
+            out["media_ref"].append(f"media/{did}/page-0.bin")
+            out["features"].append("")
+            out["pixels"].append(encode_gray(img))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "span_id": pa.array(out["span_id"], pa.string()),
+                "media_ref": pa.array(out["media_ref"], pa.string()),
+                "features": pa.array(out["features"], pa.string()),
+                "pixels": pa.array(out["pixels"], pa.large_binary()),
+            }
+        )
+
+    return ds.map_batches(render, batch_format="pyarrow")
+
+
+def degrade(pages, source: str, noise: int, erode: float, seed: int = 42):
+    """Seeded per-(doc, source) degradation — the scanner/engine variance
+    each OCR file group carries in the reference: salt specks in the
+    background plus stroke erosion (random ink pixels dropped at rate
+    ``erode``), which is what actually flips glyph classifications."""
+    from ..sources.media import decode_gray
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = []
+        for did, buf in zip(t["doc_id"].to_pylist(), t["pixels"].to_pylist()):
+            img = decode_gray(buf).copy()
+            rng = np.random.default_rng((stable_hash64(f"{did}/{source}") ^ seed) & 0xFFFFFFFF)
+            h, w = img.shape
+            if erode > 0:
+                ys, xs = np.nonzero(img < 128)
+                drop = rng.random(len(ys)) < erode
+                img[ys[drop], xs[drop]] = 255
+            placed = 0
+            while placed < noise:
+                y, x = int(rng.integers(1, h - 1)), int(rng.integers(1, w - 1))
+                if img[y - 1 : y + 2, x - 1 : x + 2].min() == 255:
+                    img[y, x] = 0
+                    placed += 1
+            out.append(encode_gray(img))
+        cols = {n: t[n] for n in t.column_names}
+        cols["pixels"] = pa.array(out, pa.large_binary())
+        return pa.table(cols)
+
+    return pages.map_batches(fn, batch_format="pyarrow", batch_size=32)
+
+
+def ocr_source_lines(pages, source: str, conf: float, *, concurrency: int = 4):
+    """One OCR engine's channel: degrade→preprocess→segment→recognize →
+    long-form variant lines (doc_id, source, line_no, text, conf)."""
+    from ..stages.image_ops import media_op
+    from ..stages.recognize import recognize_lines
+    from ..stages.segment import segment_pages
+
+    noise = {"OCR-1": 25, "OCR-2": 60}.get(source, 0)
+    erode = {"OCR-1": 0.15, "OCR-2": 0.32}.get(source, 0.0)
+    ds = degrade(pages, source, noise, erode)
+    ds = media_op(ds, "binarize", method="global")
+    ds = media_op(ds, "denoise", minsize=2)
+    ds = segment_pages(ds)
+    # fractional CPUs: two engine pools + task stages must co-exist even
+    # on a 4-cpu session without the pools reserving every core
+    rec = recognize_lines(ds, concurrency=concurrency, batch_size=64, num_cpus=0.5)
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        line_no = pa.array(
+            [int(s.rsplit("-", 1)[-1]) for s in t["span_id"].to_pylist()], pa.int32()
+        )
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": pa.array([source] * n, pa.string()),
+                "line_no": line_no,
+                "text": t["text"],
+                "conf": pa.array(np.full(n, conf, dtype=np.float32)),
+            }
+        )
+
+    return rec.map_batches(to_lines, batch_format="pyarrow")
+
+
+def gt_lines(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "source": [], "line_no": [], "text": [], "conf": []}
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for ln, lt in enumerate(page_lines(text)):
+                out["doc_id"].append(str(did))
+                out["source"].append("GT")
+                out["line_no"].append(ln)
+                out["text"].append(lt)
+                out["conf"].append(1.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "source": pa.array(out["source"], pa.string()),
+                "line_no": pa.array(out["line_no"], pa.int32()),
+                "text": pa.array(out["text"], pa.string()),
+                "conf": pa.array(np.array(out["conf"], np.float32)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def cer_from_variants(variants, *, sources=("OCR-1", "OCR-2"), stage: str = "raw"):
+    """Per-source CER of variant lines vs the GT rows in the same table
+    (one bucketed shuffle on doc_id, partial sums inside)."""
+    from ray.data.aggregate import Sum
+
+    from ..shuffle import bucketed_groupby
+    from ..util import levenshtein
+
+    def partials(bucket: pd.DataFrame) -> pd.DataFrame:
+        wide = bucket.pivot_table(
+            index=["doc_id", "line_no"], columns="source", values="text", aggfunc="first"
+        ).reset_index()
+        acc = {}
+        if "GT" in wide.columns:
+            gts = wide["GT"].fillna("").to_numpy()
+            for src in sources:
+                if src not in wide.columns:
+                    continue
+                e = c = 0
+                for t, g in zip(wide[src].fillna("").to_numpy(), gts):
+                    e += levenshtein(t, g)
+                    c += len(g)
+                acc[src] = (e, c)
+        ks = sorted(acc)
+        return pd.DataFrame(
+            {
+                "source": ks,
+                "char_errors": pd.array([acc[k][0] for k in ks], dtype="int64"),
+                "gt_chars": pd.array([acc[k][1] for k in ks], dtype="int64"),
+            }
+        )
+
+    out = (
+        bucketed_groupby(variants, "doc_id", partials, whole_bucket=True)
+        .groupby("source")
+        .aggregate(Sum("char_errors", alias_name="char_errors"), Sum("gt_chars", alias_name="gt_chars"))
+    )
+
+    def rate(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["char_error_rate"] = np.where(b["gt_chars"] > 0, b["char_errors"] / b["gt_chars"], 0.0)
+        b["stage"] = stage
+        return b
+
+    return out.map_batches(rate, batch_format="pandas")
+
+
+def postcorrect_lines(lines, lexicon: dict[str, int], confusions, *, concurrency: int = 4):
+    """Correct each token of the line texts with the PostCorrector actor
+    pool, then rebuild line text (word join, recognize.py:237 inverse)."""
+    from ..stages.postcorrect import postcorrect_tokens
+
+    def explode(t: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "source": [], "line_no": [], "word_no": [], "token": [], "conf": []}
+        for did, src, ln, text, conf in zip(
+            t["doc_id"].to_pylist(),
+            t["source"].to_pylist(),
+            t["line_no"].to_pylist(),
+            t["text"].to_pylist(),
+            t["conf"].to_pylist(),
+        ):
+            for wn, w in enumerate((text or "").split(" ")):
+                out["doc_id"].append(did)
+                out["source"].append(src)
+                out["line_no"].append(ln)
+                out["word_no"].append(wn)
+                out["token"].append(w)
+                out["conf"].append(conf)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "source": pa.array(out["source"], pa.string()),
+                "line_no": pa.array(out["line_no"], pa.int32()),
+                "word_no": pa.array(out["word_no"], pa.int32()),
+                "token": pa.array(out["token"], pa.string()),
+                "conf": pa.array(np.array(out["conf"], np.float32)),
+            }
+        )
+
+    tokens = lines.map_batches(explode, batch_format="pyarrow")
+    corrected = postcorrect_tokens(tokens, lexicon, confusions, concurrency=concurrency, num_cpus=0.5)
+
+    from ..shuffle import bucketed_groupby
+
+    def rebuild(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (did, src, ln), g in bucket.groupby(["doc_id", "source", "line_no"], sort=False):
+            g = g.sort_values("word_no")
+            rows.append(
+                {
+                    "doc_id": did,
+                    "source": src,
+                    "line_no": np.int32(ln),
+                    "text": " ".join(g["corrected"].astype(str)),
+                    "conf": np.float32(g["conf"].iloc[0]),
+                }
+            )
+        return pd.DataFrame(rows, columns=["doc_id", "source", "line_no", "text", "conf"])
+
+    return bucketed_groupby(corrected, "doc_id", rebuild, whole_bucket=True)
+
+
+def run_ocr_chain(sf_dir: str, *, concurrency: int = 4):
+    """Full chain; returns a summary frame
+    (stage, source, char_errors, gt_chars, char_error_rate) with one
+    'raw' row per OCR source and one 'postcorrected' row for OCR-2
+    (the noisier engine — the reference corrects the aligned master)."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    pages = synth_pages(sf_dir)
+    v1 = ocr_source_lines(pages, "OCR-1", 0.9, concurrency=concurrency)
+    v2 = ocr_source_lines(synth_pages(sf_dir), "OCR-2", 0.7, concurrency=concurrency)
+    gt = gt_lines(sf_dir)
+    variants = v1.union(v2).union(gt).materialize()  # reused 3x below; bounded size (text lines)
+
+    cer_raw = cer_from_variants(variants, sources=("OCR-1", "OCR-2"), stage="raw").to_pandas()
+
+    # lexicon from the corpus vocabulary (the reference's language dict)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    freq = Counter()
+    for text in tbl["text"].to_pylist():
+        freq.update((text or "").split(" "))
+    lexicon = dict(freq)
+
+    # channel model learned from OCR-2-vs-GT aligned pairs (distributed)
+    from ..stages.postcorrect import learn_confusions
+
+    def pairs_for_learning(bucket: pd.DataFrame) -> pd.DataFrame:
+        wide = bucket.pivot_table(
+            index=["doc_id", "line_no"], columns="source", values="text", aggfunc="first"
+        ).reset_index()
+        if "OCR-2" not in wide.columns or "GT" not in wide.columns:
+            return pd.DataFrame({"text": [], "gt_text": []})
+        return pd.DataFrame({"text": wide["OCR-2"].fillna(""), "gt_text": wide["GT"].fillna("")})
+
+    from ..shuffle import bucketed_groupby
+
+    pairs = bucketed_groupby(variants, "doc_id", pairs_for_learning, whole_bucket=True)
+    confusions = learn_confusions(pairs)
+
+    ocr2 = variants.filter(lambda r: r["source"] == "OCR-2")
+    fixed = postcorrect_lines(ocr2, lexicon, confusions, concurrency=concurrency)
+    fixed_variants = fixed.union(variants.filter(lambda r: r["source"] == "GT"))
+    cer_fixed = cer_from_variants(fixed_variants, sources=("OCR-2",), stage="postcorrected").to_pandas()
+
+    return pd.concat([cer_raw, cer_fixed], ignore_index=True)[
+        ["stage", "source", "char_errors", "gt_chars", "char_error_rate"]
+    ]

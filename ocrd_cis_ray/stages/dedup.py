@@ -162,34 +162,68 @@ class MinHasher:
         return prod.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Whole-batch vectorized: one (k, total_shingles) multiply over
+        the concatenated shingle hashes of all docs, then per-doc minima
+        with minimum.reduceat at the doc offsets — no per-doc numpy
+        dispatch."""
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        sigs = np.stack([self.signature(t or "") for t in texts]) if ids else np.zeros((0, self.num_perm), np.uint64)
+        per_doc = [_shingle_hashes(t or "", self.ngram) for t in texts]
+        lengths = np.array([len(h) for h in per_doc], dtype=np.int64)
+        if len(ids) == 0 or lengths.sum() == 0:
+            sigs = np.zeros((len(ids), self.num_perm), np.uint64)
+        else:
+            flat = np.concatenate([h for h in per_doc if len(h)])
+            with np.errstate(over="ignore"):
+                prod = self.a[:, None] * flat[None, :] + self.b[:, None]  # (k, S)
+            nonempty = lengths > 0
+            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
+            mins = np.minimum.reduceat(prod, offsets, axis=1)  # (k, docs_nonempty)
+            sigs = np.zeros((len(ids), self.num_perm), np.uint64)
+            sigs[nonempty] = mins.T
         return pa.table(
             {
-                "doc_id": pa.array(ids),
+                "doc_id": batch["doc_id"],
                 "minhash": pa.array(list(sigs), pa.list_(pa.uint64(), self.num_perm)),
             }
         )
 
 
 def band_batch(batch: pa.Table, *, bands: int = 32, rows: int = 4) -> pa.Table:
-    """Signature -> (band_id, band_hash, doc_id) rows for the LSH groupby."""
-    ids = batch["doc_id"].to_pylist()
-    sigs = batch["minhash"].to_pylist()
-    out_id, out_band, out_hash = [], [], []
-    for did, sig in zip(ids, sigs):
-        s = np.asarray(sig, dtype=np.uint64)
+    """Signature -> (band_id, band_hash, doc_id) rows for the LSH groupby.
+
+    Band hashes are a vectorized FNV-1a fold over each band's signature
+    components (uint64 wraparound) — one numpy pass per band across the
+    whole batch, no per-doc hashing."""
+    sig_col = batch["minhash"]
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    n = len(sig_col)
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "band_id": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.uint64()),
+            }
+        )
+    sig_mat = np.asarray(sig_col.to_pylist(), dtype=np.uint64)  # (n, k)
+    FNV_OFF = np.uint64(1469598103934665603)
+    FNV_PRIME = np.uint64(1099511628211)
+    hashes = np.empty((bands, n), dtype=np.uint64)
+    with np.errstate(over="ignore"):
         for b in range(bands):
-            chunk = s[b * rows : (b + 1) * rows]
-            out_id.append(did)
-            out_band.append(b)
-            out_hash.append(stable_hash64(",".join(map(str, chunk))))
+            h = np.full(n, FNV_OFF, dtype=np.uint64)
+            for j in range(b * rows, (b + 1) * rows):
+                h = (h ^ sig_mat[:, j]) * FNV_PRIME
+            hashes[b] = h
+    doc_ids = batch["doc_id"].take(pa.array(np.tile(np.arange(n), bands)))
     return pa.table(
         {
-            "doc_id": pa.array(out_id),
-            "band_id": pa.array(np.array(out_band, dtype=np.int32)),
-            "band_hash": pa.array(np.array(out_hash, dtype=np.uint64)),
+            "doc_id": doc_ids,
+            "band_id": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(hashes.ravel()),
         }
     )
 

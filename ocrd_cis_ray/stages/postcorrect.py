@@ -148,7 +148,7 @@ class PostCorrector:
         return pa.table(cols)
 
 
-def postcorrect_tokens(ds, lexicon: dict[str, int], confusions=None, *, concurrency: int = 4, batch_size: int = 4096, **kw):
+def postcorrect_tokens(ds, lexicon: dict[str, int], confusions=None, *, concurrency: int = 4, batch_size: int = 4096, num_cpus: float = 1, **kw):
     """Dataset wrapper: actor pool holding the lexicon index + channel model."""
     return ds.map_batches(
         PostCorrector,
@@ -157,6 +157,7 @@ def postcorrect_tokens(ds, lexicon: dict[str, int], confusions=None, *, concurre
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,
+        num_cpus=num_cpus,
     )
 
 
@@ -204,5 +205,7 @@ def learn_confusions(pairs_ds, *, test_col: str = "text", gt_col: str = "gt_text
         batch_format="pyarrow",
     )
     agg = partials.groupby(["src", "dst"]).aggregate(Sum("n", alias_name="n")).to_pandas()
+    if agg.empty or "n" not in agg.columns:
+        return {}  # clean channel: no confusions observed
     total = max(1, int(agg["n"].sum()))
     return {(r.src, r.dst): float(r.n) / total for r in agg.itertuples()}

@@ -1,0 +1,46 @@
+"""End-to-end OCR lifecycle: pages → degrade → preprocess → segment →
+recognize → align/eval → post-correct. The Ray restatement of the
+reference's aio super-pipeline (unpack → recognize per engine → align →
+post-correct → stats)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from ocrd_cis_ray.pipelines.ocr_chain import run_ocr_chain
+
+
+@pytest.fixture(scope="module")
+def chain_result(ray_session, sf_dir):
+    return run_ocr_chain(sf_dir, concurrency=2)
+
+
+def test_chain_produces_all_stages(chain_result):
+    stages = set(zip(chain_result["stage"], chain_result["source"]))
+    assert ("raw", "OCR-1") in stages
+    assert ("raw", "OCR-2") in stages
+    assert ("postcorrected", "OCR-2") in stages
+
+
+def test_noisier_engine_has_higher_cer(chain_result):
+    raw = chain_result[chain_result["stage"] == "raw"].set_index("source")
+    assert raw.loc["OCR-2", "char_error_rate"] > raw.loc["OCR-1", "char_error_rate"]
+    # both engines actually err (the degradation bites) but stay usable
+    assert 0 < raw.loc["OCR-1", "char_error_rate"] < 0.15
+    assert 0 < raw.loc["OCR-2", "char_error_rate"] < 0.30
+
+
+def test_postcorrection_reduces_cer(chain_result):
+    df = chain_result.set_index(["stage", "source"])
+    before = df.loc[("raw", "OCR-2"), "char_error_rate"]
+    after = df.loc[("postcorrected", "OCR-2"), "char_error_rate"]
+    assert after < before  # the channel model + lexicon help
+    assert df.loc[("postcorrected", "OCR-2"), "gt_chars"] == df.loc[("raw", "OCR-2"), "gt_chars"]
+
+
+def test_chain_deterministic(ray_session, sf_dir, chain_result):
+    again = run_ocr_chain(sf_dir, concurrency=2)
+    a = chain_result.sort_values(["stage", "source"]).reset_index(drop=True)
+    b = again.sort_values(["stage", "source"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
