@@ -1,0 +1,81 @@
+"""CLI entry point — the analog of the reference's 12 ocrd-cis-* Click
+commands (setup.py:59-74; `-I/-O/-p` convention, SURVEY.md §2.10).
+
+    python -m ocrd_cis_ray run --pipeline config.json -i IN_DIR -o OUT_DIR
+    python -m ocrd_cis_ray stages                       # list registry
+    python -m ocrd_cis_ray flagship --sf-dir DIR        # extract pipeline
+
+This script OWNS its Ray session (guarded init + shutdown); library
+code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="ocrd_cis_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="run a JSON-configured stage pipeline")
+    runp.add_argument("--pipeline", required=True, help="JSON file: [{stage, params}, ...]")
+    runp.add_argument("-i", "--input", required=True, help="input parquet path/dir")
+    runp.add_argument("-o", "--output", required=True, help="output parquet dir")
+    runp.add_argument("--num-cpus", type=int, default=8)
+
+    sub.add_parser("stages", help="list registered stages")
+
+    flag = sub.add_parser("flagship", help="run the flagship extraction pipeline")
+    flag.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    flag.add_argument("-o", "--output", default="")
+    flag.add_argument("--num-cpus", type=int, default=8)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "stages":
+        from .registry import REGISTRY
+
+        for name, st in sorted(REGISTRY.items()):
+            print(f"{name:14s} defaults={st.defaults} — {st.description}")
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False, logging_level="ERROR")
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        import ray.data as rd
+
+        if args.cmd == "run":
+            with open(args.pipeline) as f:
+                config = json.load(f)
+            from .registry import build_pipeline
+
+            ds = rd.read_parquet(args.input)
+            out = build_pipeline(ds, config)
+            out.write_parquet(args.output)
+            print(json.dumps({"rows": out.count(), "output": args.output}))
+        elif args.cmd == "flagship":
+            from .pipelines.flagship import extract_pipeline
+            from .stages.extract import flatten_spans_batch
+
+            ds = extract_pipeline(args.sf_dir)
+            flat = ds.map_batches(flatten_spans_batch, batch_format="pyarrow")
+            if args.output:
+                flat.write_parquet(args.output)
+                print(json.dumps({"rows": flat.count(), "output": args.output}))
+            else:
+                print(json.dumps({"rows": flat.count()}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -219,39 +219,48 @@ def cer_from_variants(variants, *, sources=("OCR-1", "OCR-2"), stage: str = "raw
     return out.map_batches(rate, batch_format="pandas")
 
 
-def postcorrect_lines(lines, lexicon: dict[str, int], confusions, *, concurrency: int = 4):
-    """Correct each token of the line texts with the PostCorrector actor
-    pool, then rebuild line text (word join, recognize.py:237 inverse)."""
+def postcorrect_lines(variants, lexicon: dict[str, int], confusions, *, master: str = "OCR-2", peer: str = "OCR-1", concurrency: int = 4):
+    """Correct the master engine's tokens with the PostCorrector actor
+    pool, feeding each token its word-aligned token from the peer engine
+    (the reference's nOCR ranking feature: aligned variants vote on
+    candidates). One bucketed shuffle pairs master and peer lines; the
+    cursor matcher (align/cli.py:203-245 semantics) attaches peer
+    tokens; then the pool corrects and lines are rebuilt (word join,
+    recognize.py:237 inverse)."""
+    from ..shuffle import bucketed_groupby
+    from ..stages.align import match_cursor
     from ..stages.postcorrect import postcorrect_tokens
 
-    def explode(t: pa.Table) -> pa.Table:
-        out = {"doc_id": [], "source": [], "line_no": [], "word_no": [], "token": [], "conf": []}
-        for did, src, ln, text, conf in zip(
-            t["doc_id"].to_pylist(),
-            t["source"].to_pylist(),
-            t["line_no"].to_pylist(),
-            t["text"].to_pylist(),
-            t["conf"].to_pylist(),
-        ):
-            for wn, w in enumerate((text or "").split(" ")):
-                out["doc_id"].append(did)
-                out["source"].append(src)
-                out["line_no"].append(ln)
-                out["word_no"].append(wn)
-                out["token"].append(w)
-                out["conf"].append(conf)
-        return pa.table(
-            {
-                "doc_id": pa.array(out["doc_id"], pa.string()),
-                "source": pa.array(out["source"], pa.string()),
-                "line_no": pa.array(out["line_no"], pa.int32()),
-                "word_no": pa.array(out["word_no"], pa.int32()),
-                "token": pa.array(out["token"], pa.string()),
-                "conf": pa.array(np.array(out["conf"], np.float32)),
-            }
+    def explode(bucket: pd.DataFrame) -> pd.DataFrame:
+        wide = bucket.pivot_table(
+            index=["doc_id", "line_no"], columns="source", values=["text", "conf"], aggfunc="first"
         )
+        out = {"doc_id": [], "source": [], "line_no": [], "word_no": [], "token": [], "peer": [], "conf": []}
+        for (did, ln), row in wide.iterrows():
+            mtext = row.get(("text", master), "") or ""
+            ptext = row.get(("text", peer), "") or ""
+            conf = row.get(("conf", master), 0.0)
+            if pd.isna(mtext) or mtext == "":
+                continue
+            mwords = mtext.split(" ")
+            ptoks = ptext.split(" ") if isinstance(ptext, str) and ptext else []
+            matched = match_cursor(mwords, ptoks) if ptoks else None
+            for wn, w in enumerate(mwords):
+                out["doc_id"].append(did)
+                out["source"].append(master)
+                out["line_no"].append(np.int32(ln))
+                out["word_no"].append(np.int32(wn))
+                out["token"].append(w)
+                out["peer"].append(ptoks[matched[wn]] if matched is not None else "")
+                out["conf"].append(np.float32(conf if not pd.isna(conf) else 0.0))
+        return pd.DataFrame(out)
 
-    tokens = lines.map_batches(explode, batch_format="pyarrow")
+    tokens = bucketed_groupby(
+        variants.filter(lambda r: r["source"] in (master, peer)),
+        "doc_id",
+        explode,
+        whole_bucket=True,
+    )
     corrected = postcorrect_tokens(tokens, lexicon, confusions, concurrency=concurrency, num_cpus=0.5)
 
     from ..shuffle import bucketed_groupby
@@ -313,8 +322,9 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4):
     pairs = bucketed_groupby(variants, "doc_id", pairs_for_learning, whole_bucket=True)
     confusions = learn_confusions(pairs)
 
-    ocr2 = variants.filter(lambda r: r["source"] == "OCR-2")
-    fixed = postcorrect_lines(ocr2, lexicon, confusions, concurrency=concurrency)
+    fixed = postcorrect_lines(
+        variants, lexicon, confusions, master="OCR-2", peer="OCR-1", concurrency=concurrency
+    )
     fixed_variants = fixed.union(variants.filter(lambda r: r["source"] == "GT"))
     cer_fixed = cer_from_variants(fixed_variants, sources=("OCR-2",), stage="postcorrected").to_pandas()
 

@@ -1,0 +1,170 @@
+"""Stage registry + JSON-configured pipeline assembly — the engine's
+user-extension surface.
+
+Mirrors the reference's processor convention (SURVEY.md §2.10): each
+OCR-D tool is a CLI entry point with a JSON-schema'd parameter block in
+ocrd-tool.json, chained into workflows by naming file groups
+(README.md:459-482). Here each registered Stage declares its name,
+parameter defaults, required input features and produced feature tag;
+``build_pipeline`` folds a JSON config list over a Dataset:
+
+    config = [
+        {"stage": "binarize", "params": {"method": "global"}},
+        {"stage": "denoise",  "params": {"minsize": 2}},
+        {"stage": "deskew"},
+        {"stage": "dewarp"},
+    ]
+    out = build_pipeline(ds, config)
+
+Third-party stages register with ``@register_stage`` — the analog of
+adding an entry point + ocrd-tool.json block.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+
+@dataclass
+class Stage:
+    name: str
+    build: Callable  # (ds, **params) -> ds
+    defaults: dict[str, Any] = field(default_factory=dict)
+    requires_features: str = ""  # comma-list that must be present on input
+    produces_feature: str = ""  # lineage tag appended by the stage
+    description: str = ""
+
+
+REGISTRY: dict[str, Stage] = {}
+
+
+def register_stage(name: str, *, defaults=None, requires_features="", produces_feature="", description=""):
+    def deco(fn):
+        REGISTRY[name] = Stage(
+            name=name,
+            build=fn,
+            defaults=dict(defaults or {}),
+            requires_features=requires_features,
+            produces_feature=produces_feature,
+            description=description,
+        )
+        return fn
+
+    return deco
+
+
+def build_pipeline(ds, config: list[dict]):
+    """Fold a JSON stage-config list over a Dataset (lazy — nothing
+    executes until the caller consumes). Unknown stage or parameter →
+    ValueError up front (the reference validates tool JSON before
+    running)."""
+    for step in config:
+        name = step.get("stage")
+        if name not in REGISTRY:
+            raise ValueError(f"unknown stage '{name}'; known: {sorted(REGISTRY)}")
+        stage = REGISTRY[name]
+        params = dict(stage.defaults)
+        extra = step.get("params", {})
+        unknown = set(extra) - set(stage.defaults)
+        if unknown and stage.defaults:
+            raise ValueError(f"stage '{name}': unknown params {sorted(unknown)}")
+        params.update(extra)
+        ds = stage.build(ds, **params)
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# built-in registrations
+
+
+@register_stage(
+    "binarize",
+    defaults={"method": "global"},
+    produces_feature="binarized",
+    description="Otsu / nlbin binarization (ocropy/common.py:204-247 semantics)",
+)
+def _binarize(ds, **p):
+    from .stages.image_ops import media_op
+
+    return media_op(ds, "binarize", **p)
+
+
+@register_stage(
+    "denoise",
+    defaults={"minsize": 4},
+    produces_feature="despeckled",
+    description="connected-component despeckle (common.py:1153-1169)",
+)
+def _denoise(ds, **p):
+    from .stages.image_ops import media_op
+
+    return media_op(ds, "denoise", **p)
+
+
+@register_stage(
+    "deskew",
+    defaults={"maxskew": 5.0, "steps": 8},
+    produces_feature="deskewed",
+    description="projection-profile deskew (common.py:93-169)",
+)
+def _deskew(ds, **p):
+    from .stages.image_ops import media_op
+
+    return media_op(ds, "deskew", **p)
+
+
+@register_stage(
+    "dewarp",
+    defaults={"target_h": 24},
+    produces_feature="dewarped",
+    description="centerline dewarp (lineest.py:60-87)",
+)
+def _dewarp(ds, **p):
+    from .stages.image_ops import media_op
+
+    return media_op(ds, "dewarp", **p)
+
+
+@register_stage(
+    "segment",
+    defaults={},
+    description="recursive XY-cut page segmentation into line rows",
+)
+def _segment(ds, **p):
+    from .stages.segment import segment_pages
+
+    return segment_pages(ds, **p)
+
+
+@register_stage(
+    "recognize",
+    defaults={"concurrency": 4, "batch_size": 64, "num_cpus": 0.5},
+    description="actor-pool line recognition (recognize.py semantics)",
+)
+def _recognize(ds, **p):
+    from .stages.recognize import recognize_lines
+
+    return recognize_lines(ds, **p)
+
+
+@register_stage(
+    "extract",
+    defaults={},
+    description="span extraction/normalization over interleaved docs",
+)
+def _extract(ds, **p):
+    from .stages.extract import extract
+
+    return extract(ds, **p)
+
+
+@register_stage(
+    "dedup_exact",
+    defaults={"column": "text", "key": "doc_id"},
+    description="exact dedup by content hash, min-key winner",
+)
+def _dedup_exact(ds, **p):
+    from .stages.dedup import dedup_exact
+
+    return dedup_exact(ds, **p)

@@ -110,24 +110,51 @@ class PostCorrector:
 
     # -- batch interface ---------------------------------------------------
 
+    VOTE_BONUS = 2.0  # log-domain bonus for a peer-OCR-confirmed candidate
+    # (the reference's nOCR ranking feature: candidates supported by
+    # other aligned OCR engines outrank lexicon-only ones,
+    # data/config.json rrFeatures/dmFeatures)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..util import lev_within
+
         tokens = batch["token"].to_pylist()
+        peers = batch["peer"].to_pylist() if "peer" in batch.column_names else [None] * len(tokens)
         cand_type = pa.struct(
             [("suggestion", pa.string()), ("distance", pa.int32()), ("weight", pa.float32())]
         )
         suspicious, corrected, cands_col = [], [], []
-        cache: dict[str, tuple] = {}
-        for tok in tokens:
+        cache: dict[tuple, tuple] = {}
+        for tok, peer in zip(tokens, peers):
             key = clean_token(tok or "")
             if not key or key in self.lexicon:
                 suspicious.append(False)
                 corrected.append(tok)
                 cands_col.append([])
                 continue
-            if key in cache:
-                sus, corr, cl = cache[key]
+            peer_key = clean_token(peer or "") if peer else ""
+            ck = (key, peer_key)
+            if ck in cache:
+                sus, corr, cl = cache[ck]
             else:
                 cands = self.candidates(key)
+                # nOCR vote: the aligned token from another engine is a
+                # candidate with a vote bonus when it's a lexicon word
+                # within edit range of the suspicious token
+                if (
+                    peer_key
+                    and peer_key != key
+                    and peer_key in self.lexicon
+                    and lev_within(key, peer_key, self.max_dist + 1)
+                ):
+                    from ..util import levenshtein
+
+                    d = levenshtein(key, peer_key)
+                    score = self._score(key, peer_key, d) + self.VOTE_BONUS
+                    cands = sorted(
+                        [c for c in cands if c[0] != peer_key] + [(peer_key, d, score)],
+                        key=lambda t: (-t[2], t[1], t[0]),
+                    )[: self.max_candidates]
                 cl = [
                     {"suggestion": c, "distance": np.int32(d), "weight": np.float32(s)}
                     for c, d, s in cands
@@ -137,7 +164,7 @@ class PostCorrector:
                     sus = True
                 else:
                     corr, sus = key, True
-                cache[key] = (sus, corr, cl)
+                cache[ck] = (sus, corr, cl)
             suspicious.append(sus)
             corrected.append(corr if corr else tok)
             cands_col.append(cl)

@@ -1,0 +1,61 @@
+"""Stage registry, JSON pipeline assembly, CLI surface."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from ocrd_cis_ray.registry import REGISTRY, build_pipeline
+from ocrd_cis_ray.sources.media import encode_gray, render_line
+
+
+def test_registry_has_core_stages():
+    for name in ("binarize", "denoise", "deskew", "dewarp", "segment", "recognize", "extract", "dedup_exact"):
+        assert name in REGISTRY
+        assert REGISTRY[name].description
+
+
+def test_build_pipeline_validates_config(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"x": 1}])
+    with pytest.raises(ValueError, match="unknown stage"):
+        build_pipeline(ds, [{"stage": "nope"}])
+    with pytest.raises(ValueError, match="unknown params"):
+        build_pipeline(ds, [{"stage": "binarize", "params": {"bogus": 1}}])
+
+
+def test_json_pipeline_matches_direct_calls(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.image_ops import media_op
+
+    rows = [
+        {
+            "doc_id": f"d{i}",
+            "span_id": "s0",
+            "media_ref": "",
+            "features": "",
+            "pixels": encode_gray(render_line(f"config test {i}")),
+        }
+        for i in range(4)
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    config = [
+        {"stage": "binarize", "params": {"method": "global"}},
+        {"stage": "denoise", "params": {"minsize": 2}},
+    ]
+    via_config = build_pipeline(rd.from_arrow(tbl), config).to_pandas()
+    direct = media_op(media_op(rd.from_arrow(tbl), "binarize", method="global"), "denoise", minsize=2).to_pandas()
+    a = via_config.sort_values("doc_id").reset_index(drop=True)
+    b = direct.sort_values("doc_id").reset_index(drop=True)
+    assert list(a["features"]) == list(b["features"])
+    assert [bytes(x) for x in a["pixels"]] == [bytes(x) for x in b["pixels"]]
+
+
+def test_cli_stages_listing():
+    from ocrd_cis_ray.__main__ import main
+
+    assert main(["stages"]) == 0
