@@ -33,6 +33,12 @@ def main(argv=None):
     flag.add_argument("-o", "--output", default="")
     flag.add_argument("--num-cpus", type=int, default=8)
 
+    ing = sub.add_parser("ingest", help="resumable ingest of raw page texts into the corpus schema")
+    ing.add_argument("-i", "--input", required=True, help="directory of UTF-8 page files")
+    ing.add_argument("-o", "--output", required=True, help="partitioned parquet output dir")
+    ing.add_argument("--partitions", type=int, default=8)
+    ing.add_argument("--num-cpus", type=int, default=8)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "stages":
@@ -61,6 +67,11 @@ def main(argv=None):
             out = build_pipeline(ds, config)
             out.write_parquet(args.output)
             print(json.dumps({"rows": out.count(), "output": args.output}))
+        elif args.cmd == "ingest":
+            from .sources.ingest import ingest_resumable
+
+            res = ingest_resumable(args.input, args.output, n_partitions=args.partitions)
+            print(json.dumps(res))
         elif args.cmd == "flagship":
             from .pipelines.flagship import extract_pipeline
             from .stages.extract import flatten_spans_batch
