@@ -283,21 +283,95 @@ def postcorrect_lines(variants, lexicon: dict[str, int], confusions, *, master: 
     return bucketed_groupby(corrected, "doc_id", rebuild, whole_bucket=True)
 
 
+def wide_lines(variants, *, sources=("OCR-1", "OCR-2", "GT")):
+    """THE chain's single shuffle: long-form variant lines pivoted to one
+    row per (doc_id, line_no) with one text column per source. Every
+    downstream step (CER, confusion learning, line correction) is then
+    row-local — at corpus scale this is the difference between one
+    exchange and five."""
+    from ..shuffle import bucketed_groupby
+
+    srcs = list(sources)
+
+    def pivot(bucket: pd.DataFrame) -> pd.DataFrame:
+        wide = bucket.pivot_table(
+            index=["doc_id", "line_no"], columns="source", values="text", aggfunc="first"
+        ).reset_index()
+        for s in srcs:
+            if s not in wide.columns:
+                wide[s] = ""
+            wide[s] = wide[s].fillna("")
+        return wide[["doc_id", "line_no"] + srcs]
+
+    return bucketed_groupby(variants, "doc_id", pivot, whole_bucket=True)
+
+
+def _cer_partials_wide(wide: pa.Table, pairs: list[tuple[str, str]]) -> pa.Table:
+    """Row-local CER partials from the wide frame: one output row per
+    (stage-source) per batch."""
+    from ..util import levenshtein
+
+    cols = {name: wide[name].to_pylist() for name in {c for pr in pairs for c in pr}}
+    out_src, out_err, out_chars = [], [], []
+    for src, gt_col in pairs:
+        e = c = 0
+        for t, g in zip(cols[src], cols[gt_col]):
+            e += levenshtein(t or "", g or "")
+            c += len(g or "")
+        out_src.append(src)
+        out_err.append(e)
+        out_chars.append(c)
+    return pa.table(
+        {
+            "source": pa.array(out_src, pa.string()),
+            "char_errors": pa.array(out_err, pa.int64()),
+            "gt_chars": pa.array(out_chars, pa.int64()),
+        }
+    )
+
+
+def _cer_reduce(partials, stage: str) -> pd.DataFrame:
+    from ray.data.aggregate import Sum
+
+    out = partials.groupby("source").aggregate(
+        Sum("char_errors", alias_name="char_errors"), Sum("gt_chars", alias_name="gt_chars")
+    ).to_pandas()
+    out["char_error_rate"] = np.where(out["gt_chars"] > 0, out["char_errors"] / out["gt_chars"], 0.0)
+    out["stage"] = stage
+    return out
+
+
 def run_ocr_chain(sf_dir: str, *, concurrency: int = 4):
     """Full chain; returns a summary frame
     (stage, source, char_errors, gt_chars, char_error_rate) with one
     'raw' row per OCR source and one 'postcorrected' row for OCR-2
-    (the noisier engine — the reference corrects the aligned master)."""
-    import pyarrow.parquet as pq
+    (the noisier engine — the reference corrects the aligned master).
+
+    Shuffle budget: ONE bucketed exchange (the wide pivot). CER,
+    confusion learning, and line correction all run row-locally over
+    the materialized wide frame.
+    """
     from collections import Counter
 
-    pages = synth_pages(sf_dir)
-    v1 = ocr_source_lines(pages, "OCR-1", 0.9, concurrency=concurrency)
-    v2 = ocr_source_lines(synth_pages(sf_dir), "OCR-2", 0.7, concurrency=concurrency)
-    gt = gt_lines(sf_dir)
-    variants = v1.union(v2).union(gt).materialize()  # reused 3x below; bounded size (text lines)
+    import pyarrow.parquet as pq
+    from functools import partial
 
-    cer_raw = cer_from_variants(variants, sources=("OCR-1", "OCR-2"), stage="raw").to_pandas()
+    # render pages ONCE and share across engine channels (pages are the
+    # expensive media payload; the object store holds them for both)
+    pages = synth_pages(sf_dir).materialize()
+    v1 = ocr_source_lines(pages, "OCR-1", 0.9, concurrency=concurrency)
+    v2 = ocr_source_lines(pages, "OCR-2", 0.7, concurrency=concurrency)
+    gt = gt_lines(sf_dir)
+    variants = v1.union(v2).union(gt)
+    wide = wide_lines(variants).materialize()  # the chain's one shuffle
+
+    cer_raw = _cer_reduce(
+        wide.map_batches(
+            partial(_cer_partials_wide, pairs=[("OCR-1", "GT"), ("OCR-2", "GT")]),
+            batch_format="pyarrow",
+        ),
+        stage="raw",
+    )
 
     # lexicon from the corpus vocabulary (the reference's language dict)
     tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
@@ -306,27 +380,40 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4):
         freq.update((text or "").split(" "))
     lexicon = dict(freq)
 
-    # channel model learned from OCR-2-vs-GT aligned pairs (distributed)
-    from ..stages.postcorrect import learn_confusions
+    # channel model learned from OCR-2-vs-GT pairs — row-local over wide
+    from ..stages.postcorrect import LineCorrector, learn_confusions
 
-    def pairs_for_learning(bucket: pd.DataFrame) -> pd.DataFrame:
-        wide = bucket.pivot_table(
-            index=["doc_id", "line_no"], columns="source", values="text", aggfunc="first"
-        ).reset_index()
-        if "OCR-2" not in wide.columns or "GT" not in wide.columns:
-            return pd.DataFrame({"text": [], "gt_text": []})
-        return pd.DataFrame({"text": wide["OCR-2"].fillna(""), "gt_text": wide["GT"].fillna("")})
+    def to_pairs(t: pa.Table) -> pa.Table:
+        return pa.table({"text": t["OCR-2"], "gt_text": t["GT"]})
 
-    from ..shuffle import bucketed_groupby
+    confusions = learn_confusions(wide.map_batches(to_pairs, batch_format="pyarrow"))
 
-    pairs = bucketed_groupby(variants, "doc_id", pairs_for_learning, whole_bucket=True)
-    confusions = learn_confusions(pairs)
+    # line-level correction inside the actor pool (cursor matcher + nOCR
+    # peer vote per token; no token-level shuffle)
+    def to_correct(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "line_no": t["line_no"], "text": t["OCR-2"],
+             "peer_text": t["OCR-1"], "GT": t["GT"]}
+        )
 
-    fixed = postcorrect_lines(
-        variants, lexicon, confusions, master="OCR-2", peer="OCR-1", concurrency=concurrency
+    fixed = wide.map_batches(to_correct, batch_format="pyarrow").map_batches(
+        LineCorrector,
+        fn_constructor_args=(lexicon, confusions),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=1024,
+        num_cpus=0.5,
     )
-    fixed_variants = fixed.union(variants.filter(lambda r: r["source"] == "GT"))
-    cer_fixed = cer_from_variants(fixed_variants, sources=("OCR-2",), stage="postcorrected").to_pandas()
+
+    def fixed_wide(t: pa.Table) -> pa.Table:
+        return pa.table({"OCR-2": t["corrected_text"], "GT": t["GT"]})
+
+    cer_fixed = _cer_reduce(
+        fixed.map_batches(fixed_wide, batch_format="pyarrow").map_batches(
+            partial(_cer_partials_wide, pairs=[("OCR-2", "GT")]), batch_format="pyarrow"
+        ),
+        stage="postcorrected",
+    )
 
     return pd.concat([cer_raw, cer_fixed], ignore_index=True)[
         ["stage", "source", "char_errors", "gt_chars", "char_error_rate"]

@@ -77,6 +77,10 @@ class PostCorrector:
         for w in self.lexicon:
             for d in _deletes(w, max_dist):
                 self.index.setdefault(d, []).append(w)
+        # decision cache lives on the actor: correction of a (token,
+        # peer) pair is deterministic, so it amortizes across ALL
+        # batches the actor processes, not just one
+        self._cache: dict[tuple, tuple] = {}
 
     # -- candidate generation ("profiler") --------------------------------
 
@@ -124,7 +128,7 @@ class PostCorrector:
             [("suggestion", pa.string()), ("distance", pa.int32()), ("weight", pa.float32())]
         )
         suspicious, corrected, cands_col = [], [], []
-        cache: dict[tuple, tuple] = {}
+        cache = self._cache
         for tok, peer in zip(tokens, peers):
             key = clean_token(tok or "")
             if not key or key in self.lexicon:
@@ -173,6 +177,70 @@ class PostCorrector:
         cols["corrected"] = pa.array(corrected, pa.string())
         cols["candidates"] = pa.array(cands_col, pa.list_(cand_type))
         return pa.table(cols)
+
+
+    # -- line-level interface (explode/correct/rejoin inside the actor,
+    #    so the surrounding pipeline needs NO token-level shuffle) -------
+
+    def correct_line(self, text: str, peer_text: str = "") -> str:
+        """Correct every token of one line, using the peer engine's
+        cursor-aligned token as the nOCR vote (match_cursor semantics,
+        align/cli.py:224-245; give-up leaves tokens unvoted)."""
+        from ..stages.align import match_cursor
+
+        words = text.split(" ") if text else []
+        if not words:
+            return text
+        ptoks = peer_text.split(" ") if peer_text else []
+        matched = match_cursor(words, ptoks) if ptoks else None
+        out = []
+        for wn, w in enumerate(words):
+            peer = ptoks[matched[wn]] if matched is not None else ""
+            out.append(self._correct_token(w, peer))
+        return " ".join(out)
+
+    def _correct_token(self, tok: str, peer: str) -> str:
+        from ..util import lev_within, levenshtein
+
+        key = clean_token(tok or "")
+        if not key or key in self.lexicon:
+            return tok
+        peer_key = clean_token(peer or "") if peer else ""
+        ck = (key, peer_key)
+        hit = self._cache.get(ck)
+        if hit is not None:
+            return hit[1]
+        cands = self.candidates(key)
+        if (
+            peer_key
+            and peer_key != key
+            and peer_key in self.lexicon
+            and lev_within(key, peer_key, self.max_dist + 1)
+        ):
+            d = levenshtein(key, peer_key)
+            score = self._score(key, peer_key, d) + self.VOTE_BONUS
+            cands = sorted(
+                [c for c in cands if c[0] != peer_key] + [(peer_key, d, score)],
+                key=lambda t: (-t[2], t[1], t[0]),
+            )[: self.max_candidates]
+        corr = cands[0][0] if cands and cands[0][2] >= self.accept_threshold else key
+        self._cache[ck] = (True, corr, None)
+        return corr
+
+    def correct_lines_batch(self, batch: pa.Table, *, text_col: str = "text", peer_col: str = "peer_text", out_col: str = "corrected_text") -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        peers = batch[peer_col].to_pylist() if peer_col in batch.column_names else [""] * len(texts)
+        corrected = [self.correct_line(t or "", p or "") for t, p in zip(texts, peers)]
+        cols = {n: batch[n] for n in batch.column_names}
+        cols[out_col] = pa.array(corrected, pa.string())
+        return pa.table(cols)
+
+
+class LineCorrector(PostCorrector):
+    """PostCorrector exposed as a line-level actor stage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        return self.correct_lines_batch(batch)
 
 
 def postcorrect_tokens(ds, lexicon: dict[str, int], confusions=None, *, concurrency: int = 4, batch_size: int = 4096, num_cpus: float = 1, **kw):

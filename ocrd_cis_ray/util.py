@@ -147,13 +147,21 @@ def edit_ops(a: list[str] | str, b: list[str] | str):
     dp = np.zeros((n + 1, m + 1), dtype=np.int32)
     dp[:, 0] = np.arange(n + 1)
     dp[0, :] = np.arange(m + 1)
-    for i in range(1, n + 1):
-        ai = a[i - 1]
-        row_prev = dp[i - 1]
-        row = dp[i]
-        for j in range(1, m + 1):
-            c = 0 if ai == b[j - 1] else 1
-            row[j] = min(row_prev[j] + 1, row[j - 1] + 1, row_prev[j - 1] + c)
+    if n and m:
+        # vectorized row fill: the sequential row[j-1]+1 dependency is
+        # resolved with the cummin identity row[j]-j = min_{k<=j}(t[k]-k)
+        if isinstance(a, str) and isinstance(b, str):
+            bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+            aa = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+            neq = aa[:, None] != bb[None, :]
+        else:
+            neq = np.array([[x != y for y in b] for x in a], dtype=bool)
+        js = np.arange(1, m + 1, dtype=np.int32)
+        for i in range(1, n + 1):
+            prev = dp[i - 1]
+            t = np.minimum(prev[1:] + 1, prev[:-1] + neq[i - 1])
+            t = np.minimum(t, js + i)  # k=0 path: row[0]=i, cost i+j
+            dp[i, 1:] = np.minimum.accumulate(t - js) + js
     # backtrace
     pairs: list[tuple[int | None, int | None]] = []
     i, j = n, m
