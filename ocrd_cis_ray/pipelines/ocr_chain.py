@@ -172,117 +172,6 @@ def gt_lines(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def cer_from_variants(variants, *, sources=("OCR-1", "OCR-2"), stage: str = "raw"):
-    """Per-source CER of variant lines vs the GT rows in the same table
-    (one bucketed shuffle on doc_id, partial sums inside)."""
-    from ray.data.aggregate import Sum
-
-    from ..shuffle import bucketed_groupby
-    from ..util import levenshtein
-
-    def partials(bucket: pd.DataFrame) -> pd.DataFrame:
-        wide = bucket.pivot_table(
-            index=["doc_id", "line_no"], columns="source", values="text", aggfunc="first"
-        ).reset_index()
-        acc = {}
-        if "GT" in wide.columns:
-            gts = wide["GT"].fillna("").to_numpy()
-            for src in sources:
-                if src not in wide.columns:
-                    continue
-                e = c = 0
-                for t, g in zip(wide[src].fillna("").to_numpy(), gts):
-                    e += levenshtein(t, g)
-                    c += len(g)
-                acc[src] = (e, c)
-        ks = sorted(acc)
-        return pd.DataFrame(
-            {
-                "source": ks,
-                "char_errors": pd.array([acc[k][0] for k in ks], dtype="int64"),
-                "gt_chars": pd.array([acc[k][1] for k in ks], dtype="int64"),
-            }
-        )
-
-    out = (
-        bucketed_groupby(variants, "doc_id", partials, whole_bucket=True)
-        .groupby("source")
-        .aggregate(Sum("char_errors", alias_name="char_errors"), Sum("gt_chars", alias_name="gt_chars"))
-    )
-
-    def rate(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["char_error_rate"] = np.where(b["gt_chars"] > 0, b["char_errors"] / b["gt_chars"], 0.0)
-        b["stage"] = stage
-        return b
-
-    return out.map_batches(rate, batch_format="pandas")
-
-
-def postcorrect_lines(variants, lexicon: dict[str, int], confusions, *, master: str = "OCR-2", peer: str = "OCR-1", concurrency: int = 4):
-    """Correct the master engine's tokens with the PostCorrector actor
-    pool, feeding each token its word-aligned token from the peer engine
-    (the reference's nOCR ranking feature: aligned variants vote on
-    candidates). One bucketed shuffle pairs master and peer lines; the
-    cursor matcher (align/cli.py:203-245 semantics) attaches peer
-    tokens; then the pool corrects and lines are rebuilt (word join,
-    recognize.py:237 inverse)."""
-    from ..shuffle import bucketed_groupby
-    from ..stages.align import match_cursor
-    from ..stages.postcorrect import postcorrect_tokens
-
-    def explode(bucket: pd.DataFrame) -> pd.DataFrame:
-        wide = bucket.pivot_table(
-            index=["doc_id", "line_no"], columns="source", values=["text", "conf"], aggfunc="first"
-        )
-        out = {"doc_id": [], "source": [], "line_no": [], "word_no": [], "token": [], "peer": [], "conf": []}
-        for (did, ln), row in wide.iterrows():
-            mtext = row.get(("text", master), "") or ""
-            ptext = row.get(("text", peer), "") or ""
-            conf = row.get(("conf", master), 0.0)
-            if pd.isna(mtext) or mtext == "":
-                continue
-            mwords = mtext.split(" ")
-            ptoks = ptext.split(" ") if isinstance(ptext, str) and ptext else []
-            matched = match_cursor(mwords, ptoks) if ptoks else None
-            for wn, w in enumerate(mwords):
-                out["doc_id"].append(did)
-                out["source"].append(master)
-                out["line_no"].append(np.int32(ln))
-                out["word_no"].append(np.int32(wn))
-                out["token"].append(w)
-                out["peer"].append(ptoks[matched[wn]] if matched is not None else "")
-                out["conf"].append(np.float32(conf if not pd.isna(conf) else 0.0))
-        return pd.DataFrame(out)
-
-    tokens = bucketed_groupby(
-        variants.filter(lambda r: r["source"] in (master, peer)),
-        "doc_id",
-        explode,
-        whole_bucket=True,
-    )
-    corrected = postcorrect_tokens(tokens, lexicon, confusions, concurrency=concurrency, num_cpus=0.5)
-
-    from ..shuffle import bucketed_groupby
-
-    def rebuild(bucket: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for (did, src, ln), g in bucket.groupby(["doc_id", "source", "line_no"], sort=False):
-            g = g.sort_values("word_no")
-            rows.append(
-                {
-                    "doc_id": did,
-                    "source": src,
-                    "line_no": np.int32(ln),
-                    "text": " ".join(g["corrected"].astype(str)),
-                    "conf": np.float32(g["conf"].iloc[0]),
-                }
-            )
-        return pd.DataFrame(rows, columns=["doc_id", "source", "line_no", "text", "conf"])
-
-    return bucketed_groupby(corrected, "doc_id", rebuild, whole_bucket=True)
-
-
 def wide_lines(variants, *, sources=("OCR-1", "OCR-2", "GT")):
     """THE chain's single shuffle: long-form variant lines pivoted to one
     row per (doc_id, line_no) with one text column per source. Every
