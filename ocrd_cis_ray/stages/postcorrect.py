@@ -133,7 +133,9 @@ class PostCorrector:
             key = clean_token(tok or "")
             if not key or key in self.lexicon:
                 suspicious.append(False)
-                corrected.append(tok)
+                corrected.append(
+                    key if key and tok != key and (tok or "").lower() == key else tok
+                )
                 cands_col.append([])
                 continue
             peer_key = clean_token(peer or "") if peer else ""
@@ -203,8 +205,12 @@ class PostCorrector:
         from ..util import lev_within, levenshtein
 
         key = clean_token(tok or "")
-        if not key or key in self.lexicon:
+        if not key:
             return tok
+        if key in self.lexicon:
+            # case-normalize pure case errors (OCR 'D'/'d' confusions):
+            # the token is lexicon-valid after lowercasing only
+            return key if tok != key and tok.lower() == key else tok
         peer_key = clean_token(peer or "") if peer else ""
         ck = (key, peer_key)
         hit = self._cache.get(ck)

@@ -58,9 +58,24 @@ class Recognizer:
         ink_cols = np.flatnonzero(fg.any(axis=0))
         if len(ink_rows) == 0:
             return "", 0.0, []
-        y0 = int(ink_rows[0])  # first glyph row (render: PAD_Y+2)
-        x_base = int(ink_cols[0]) - 1  # cell origin (render: PAD_X + i*GLYPH_W)
-        n_cells = max(0, (int(ink_cols[-1]) - x_base + GLYPH_W) // GLYPH_W)
+        # noise-robust grid anchoring: a stray speck before the first
+        # glyph shifts a first-ink-pixel anchor and garbles the whole
+        # line. Instead: x phase = the grid offset whose cell MARGIN
+        # columns carry the least ink (clean render: exactly zero);
+        # y0 = the 8-row window holding the most ink.
+        col_ink = fg.sum(axis=0).astype(np.int64)
+        mods = np.arange(w) % GLYPH_W
+        phase_scores = [
+            col_ink[(mods == p) | (mods == (p + GLYPH_W - 1) % GLYPH_W)].sum()
+            for p in range(GLYPH_W)
+        ]
+        p = int(np.argmin(phase_scores))
+        fic = int(ink_cols[0])
+        x_base = (fic - 1) - ((fic - 1 - p) % GLYPH_W)
+        row_ink = fg.sum(axis=1).astype(np.int64)
+        win = np.convolve(row_ink, np.ones(gh, dtype=np.int64), mode="valid")
+        y0 = int(np.argmax(win))
+        n_cells = max(0, (int(ink_cols[-1]) - x_base) // GLYPH_W + 1)
         if n_cells == 0:
             return "", 0.0, []
         cells = np.zeros((n_cells, gh * gw), dtype=np.float64)
@@ -74,6 +89,17 @@ class Recognizer:
                 cell = padded
             cells[i] = (cell < 128).astype(np.float64).ravel()
         cnorm = np.linalg.norm(cells, axis=1)
+        # drop leading empty cells (a lone speck can pull the ink bbox
+        # left of the first glyph; GT lines never start with spaces)
+        nz = np.flatnonzero(cnorm)
+        if len(nz) == 0:
+            return "", 0.0, []
+        if nz[0] > 0:
+            s = int(nz[0])
+            cells = cells[s:]
+            cnorm = cnorm[s:]
+            x_base += s * GLYPH_W
+            n_cells -= s
         sims = (cells @ self.templates.T) / (np.maximum(cnorm[:, None], 1e-9) * self.tnorm[None, :])
         best = np.argmax(sims, axis=1)
         confs = sims[np.arange(n_cells), best]
