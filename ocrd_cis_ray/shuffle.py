@@ -144,11 +144,19 @@ def weighted_ranges(ds, key: str, weight_col: str, n_partitions: int, *, sample_
 
     Boundaries are estimated from a bounded sample of (key, weight)
     pairs (weighted quantiles), so driver memory is O(sample), not
-    O(rows). Returns a sorted list of n-1 split keys.
+    O(rows). Block order is randomized before limiting so the sample
+    spans the keyspace even when the input is key-sorted (a plain
+    limit() of a sorted corpus would sample only the first key range).
+    Returns a sorted list of n-1 split keys.
     """
     import numpy as np
 
-    pairs = ds.select_columns([key, weight_col]).limit(sample_limit).to_pandas()
+    pairs = (
+        ds.select_columns([key, weight_col])
+        .randomize_block_order(seed=42)
+        .limit(sample_limit)
+        .to_pandas()
+    )
     pairs = pairs.sort_values(key)
     w = pairs[weight_col].to_numpy(dtype=np.float64)
     cum = np.cumsum(w)

@@ -72,6 +72,8 @@ class Recognizer:
         p = int(np.argmin(phase_scores))
         fic = int(ink_cols[0])
         x_base = (fic - 1) - ((fic - 1 - p) % GLYPH_W)
+        while x_base < -1:  # keep phase, never slice before the image
+            x_base += GLYPH_W
         row_ink = fg.sum(axis=1).astype(np.int64)
         win = np.convolve(row_ink, np.ones(gh, dtype=np.int64), mode="valid")
         y0 = int(np.argmax(win))

@@ -89,6 +89,11 @@ def run_partitioned(
     Returns {"completed": k, "skipped": s, "rows": total}.
     """
     os.makedirs(out_dir, exist_ok=True)
+    # sweep stale tmp dirs from killed runs (their manifests were never
+    # committed, so their work is redone below)
+    for name in os.listdir(out_dir):
+        if name.startswith(".tmp-"):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
     done = completed_partitions(out_dir)
     skipped = completed = rows_total = 0
     for pid, (lo, hi) in enumerate(partitions):

@@ -94,15 +94,19 @@ def test_extract_drops_invalid_spans():
                     {"kind": "bogus", "text": "x", "media_ref": "", "offset": 2},
                     {"kind": "image", "text": "", "media_ref": "", "offset": 3},  # no ref -> drop
                     {"kind": "image", "text": "", "media_ref": "m/1", "offset": 4},
+                    {"kind": "glyph", "text": "a", "media_ref": "", "offset": 5},
+                    {"kind": "separator", "text": "", "media_ref": "", "offset": 6},
+                    {"kind": "table", "text": "t", "media_ref": "", "offset": 7},
                 ]
             ],
         }
     )
     out = extract_spans_batch(t)["spans"].to_pylist()[0]
     kinds = [s["kind"] for s in out]
-    assert kinds == ["region", "line", "word", "word", "image"]
+    # glyph/separator/table pass through in position (full kind vocabulary)
+    assert kinds == ["region", "line", "word", "word", "image", "glyph", "separator", "table"]
     assert out[0]["text"] == "a b"  # region text recomputed
-    assert [s["offset"] for s in out] == [0, 1, 2, 3, 4]
+    assert [s["offset"] for s in out] == list(range(8))
 
 
 def test_flatten_spans():
