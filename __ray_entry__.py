@@ -643,6 +643,59 @@ def _media_lines(sf_dir: str, *, max_chars: int = 40):
     return ds.map_batches(render, batch_format="pyarrow")
 
 
+def q62_align_words_oracle(sf_dir: str):
+    """Word-level alignment with an ORACLE: the variant corrupts at most
+    ONE word per line by a single substitution (first 'e'→'c'), so the
+    3-tier cursor matcher always matches positionally (tier-1 exact for
+    clean words, tier-2 lev≤1 for the corrupted one) and never gives up
+    — the GT word attachments equal the positional zip, which SQL
+    expresses exactly. The full give-up semantics stay covered by q61 +
+    unit tests."""
+    import re
+
+    from ocrd_cis_ray.stages.align import align_variants
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "source": [], "line_no": [], "text": [], "conf": []}
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            words = (text or "").split(" ")
+            lines = [" ".join(words[k : k + 8]) for k in range(0, len(words), 8)]
+            for ln, lt in enumerate(lines):
+                for src, sub, conf in (("OCR-A", True, 0.8), ("GT", False, 1.0)):
+                    out["doc_id"].append(did)
+                    out["source"].append(src)
+                    out["line_no"].append(ln)
+                    out["text"].append(re.sub("e", "c", lt, count=1) if sub else lt)
+                    out["conf"].append(conf)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "source": pa.array(out["source"], pa.string()),
+                "line_no": pa.array(out["line_no"], pa.int32()),
+                "text": pa.array(out["text"], pa.string()),
+                "conf": pa.array(out["conf"], pa.float32()),
+            }
+        )
+
+    variants = ds.map_batches(explode, batch_format="pyarrow")
+    aligned = align_variants(variants, ["OCR-A", "GT"])
+
+    def gt_words(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["level"] == "word") & (b["source"] == "GT")]
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "line_no": b["line_no"].astype("int32"),
+                "word_no": b["word_no"].astype("int32"),
+                "text": b["text"],
+            }
+        )
+
+    return aligned.map_batches(gt_words, batch_format="pandas")
+
+
 def q70_preprocess_media(sf_dir: str):
     """binarize→denoise→deskew→dewarp chain over rendered line media
     (rows-only: binary payloads aren't SQL-comparable). Output is the
@@ -805,6 +858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q51_cer_by_source": q51_cer_by_source,
         "q60_align_lines": q60_align_lines,
         "q61_align_words": q61_align_words,
+        "q62_align_words_oracle": q62_align_words_oracle,
         "q70_preprocess_media": q70_preprocess_media,
         "q71_recognize": q71_recognize,
         "q72_postcorrect": q72_postcorrect,
@@ -1023,6 +1077,15 @@ SELECT source,
        CAST(SUM(levenshtein(replace(text, 'a', '@'), text)) AS DOUBLE)
          / SUM(length(text)) AS char_error_rate
 FROM documents GROUP BY source
+""",
+        "q62_align_words_oracle": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS wi
+  FROM documents
+)
+SELECT doc_id, CAST(wi // 8 AS INT) AS line_no, CAST(wi % 8 AS INT) AS word_no, w AS text
+FROM tok
 """,
         "q71_recognize": """
 SELECT doc_id, rtrim(substring(text, 1, 40), ' ') AS text FROM documents
