@@ -292,6 +292,29 @@ def q14_anti_join(sf_dir: str):
     )
 
 
+def q15_running_total(sf_dir: str):
+    """Cumulative window function: per-user running total of event value
+    in (ts, event_id) order. One bucketed shuffle on user_id; the
+    cumsum is a vectorized per-group scan inside the bucket."""
+    from ocrd_cis_ray.shuffle import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def running(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.floor(bucket["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        run = pd.Series(cents).groupby(bucket["user_id"].to_numpy()).cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": bucket["event_id"].to_numpy(),
+                "user_id": bucket["user_id"].to_numpy(),
+                "running_cents": run.to_numpy(),
+            }
+        )
+
+    return bucketed_groupby(ds, "user_id", running, whole_bucket=True)
+
+
 # ---------------------------------------------------------------------------
 # extraction
 
@@ -840,6 +863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q09_distinct_users": q09_distinct_users,
         "q13_top_docs_per_lang": q13_top_docs_per_lang,
         "q14_anti_join": q14_anti_join,
+        "q15_running_total": q15_running_total,
         "q10_extract_spans": q10_extract_spans,
         "q11_span_stats": q11_span_stats,
         "q20_token_count": q20_token_count,
@@ -990,6 +1014,14 @@ SELECT o_orderpriority, COUNT(*) AS n_orders
 FROM orders
 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
 GROUP BY o_orderpriority
+""",
+        "q15_running_total": """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_cents
+FROM events
 """,
         "q10_extract_spans": spans_cte + "SELECT * FROM spans",
         "q11_span_stats": spans_cte
