@@ -514,6 +514,68 @@ def q40_ann_topk(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def q41_ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-5 for query vectors vec_id < 10
+    (rows-only: ANN recall is approximate by design; the pytest suite
+    bounds recall vs the exact q40)."""
+    from ocrd_cis_ray.stages.similarity import ivf_topk
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtbl = qtbl.filter(pc.less(qtbl["vec_id"], 10))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(
+        ds,
+        qtbl["vec_id"].to_pylist(),
+        np.stack([np.asarray(v, dtype=np.float64) for v in qtbl["embedding"].to_pylist()]),
+        k=5,
+        nlist=8,
+        nprobe=4,
+    )
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "query_id": b["query_id"].astype("int64"),
+                "neighbor_id": b["neighbor_id"].astype("int64"),
+                "rank": b["rank"].astype("int32"),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+def q36_dedup_keep(sf_dir: str):
+    """End-to-end near-dup removal: exact Jaccard pairs (τ=0.5) →
+    connected components → keep only each cluster's canonical doc
+    (min id) plus all unpaired docs. Rows-only (recursive labeling)."""
+    import ray
+
+    from ocrd_cis_ray.stages.dedup import dup_clusters, jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = jaccard_pairs(ds, n=3, threshold=0.5).select_columns(["id_a", "id_b"])
+    clusters = dup_clusters(pairs).to_pandas()
+    drop = set(clusters.loc[clusters["doc_id"] != clusters["cluster"], "doc_id"].astype(int))
+    ref = ray.put(drop)
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        mask = pa.array([int(x) not in d for x in t["doc_id"].to_pylist()])
+        return t.filter(mask)
+
+    return _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(keep, batch_format="pyarrow")
+
+
+def q17_approx_distinct(sf_dir: str):
+    """HLL approximate distinct users (mergeable per-batch sketches;
+    rows-only: approximate by design, error bounded in tests)."""
+    from ocrd_cis_ray.stages.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pd.DataFrame({"metric": ["approx_distinct_users"], "estimate": [round(float(est), 1)]})
+
+
 # ---------------------------------------------------------------------------
 # metrics (WER / CER vs a deterministic corrupted variant)
 
@@ -877,7 +939,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q33_simhash": q33_simhash,
         "q34_embedding_dups": q34_embedding_dups,
         "q35_dup_clusters": q35_dup_clusters,
+        "q36_dedup_keep": q36_dedup_keep,
+        "q17_approx_distinct": q17_approx_distinct,
         "q40_ann_topk": q40_ann_topk,
+        "q41_ann_ivf": q41_ann_ivf,
         "q50_wer_global": q50_wer_global,
         "q51_cer_by_source": q51_cer_by_source,
         "q60_align_lines": q60_align_lines,
