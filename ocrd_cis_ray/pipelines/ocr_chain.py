@@ -96,8 +96,12 @@ def degrade(pages, source: str, noise: int, erode: float, seed: int = 42):
                 ys, xs = np.nonzero(img < 128)
                 drop = rng.random(len(ys)) < erode
                 img[ys[drop], xs[drop]] = 255
-            placed = 0
-            while placed < noise:
+            # bounded draws: a dense page may lack `noise` isolated white
+            # 3x3 sites — give up after 50*noise attempts instead of
+            # spinning the worker forever
+            placed, attempts = 0, 0
+            while placed < noise and attempts < 50 * noise:
+                attempts += 1
                 y, x = int(rng.integers(1, h - 1)), int(rng.integers(1, w - 1))
                 if img[y - 1 : y + 2, x - 1 : x + 2].min() == 255:
                     img[y, x] = 0

@@ -84,8 +84,11 @@ def render_line(
         img = shear_vertical(img, skew_deg)
     rng = np.random.default_rng(seed)
     if noise:
-        placed = 0
-        while placed < noise:
+        # bounded draws: small/dense lines may lack enough isolated
+        # white 3x3 sites — stop after 50*noise attempts
+        placed, attempts = 0, 0
+        while placed < noise and attempts < 50 * noise:
+            attempts += 1
             y = int(rng.integers(1, h - 1))
             x = int(rng.integers(1, w - 1))
             # keep speckles isolated: 8-neighbourhood must be white

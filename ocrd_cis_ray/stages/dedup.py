@@ -18,19 +18,34 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import stable_hash64
+# Hot shingles shared by more docs than this are dropped from candidate
+# generation by default: one stop-phrase in 10^6 docs creates 10^12
+# candidate pairs inside its bucket. At this cap the pair blowup per
+# shingle is bounded at ~8M rows while the oracle fixtures (≤20k docs)
+# never reach it, so exact-Jaccard parity holds at test scale. Pass
+# ``max_shingle_freq=None`` for exact semantics at any scale.
+DEFAULT_MAX_SHINGLE_FREQ = 4096
 
 # ---------------------------------------------------------------------------
 # exact dedup
 
 
 def add_content_hash(batch: pa.Table, *, column: str = "text") -> pa.Table:
-    """Append a 64-bit content hash column (vectorized FNV via numpy)."""
+    """Append a 64-bit content hash column — one vectorized
+    ``pd.util.hash_array`` (siphash) call over the whole batch, no
+    per-row Python hashing."""
     texts = batch[column]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    hashes = [stable_hash64(t) if t is not None else 0 for t in texts.to_pylist()]
-    return batch.append_column("content_hash", pa.array(np.array(hashes, dtype=np.uint64)))
+    arr = np.asarray(texts.to_pylist(), dtype=object)
+    if len(arr):
+        null = np.array([t is None for t in arr])
+        arr[null] = ""
+        hashes = pd.util.hash_array(arr)
+        hashes[null] = 0
+    else:
+        hashes = np.zeros(0, dtype=np.uint64)
+    return batch.append_column("content_hash", pa.array(hashes.astype(np.uint64)))
 
 
 def dedup_exact(ds, *, column: str = "text", key: str = "doc_id"):
@@ -57,37 +72,69 @@ def dedup_exact(ds, *, column: str = "text", key: str = "doc_id"):
 # word n-gram shingles (shared by jaccard / minhash)
 
 
+_GRAM_MULT = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit mixer for the rolling combine
+
+
+def _batch_shingle_hashes(texts: list, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct 64-bit word-n-gram shingle hashes for a whole batch.
+
+    Returns (flat, lengths): ``flat`` is the concatenation of each doc's
+    distinct shingle hashes (ascending within a doc), ``lengths[i]`` the
+    count for doc i. Fully vectorized: ONE ``pd.util.hash_array``
+    (siphash) call over every word in the batch, then a rolling
+    multiply-xor combine of n consecutive word hashes (equivalent to
+    hashing the joined gram — words cannot contain the split char), and
+    a lexsort-based per-doc distinct. Docs with fewer than n words emit
+    ZERO shingles — matching the oracle SQL's lead()-based n-gram CTE,
+    which produces no rows for short docs.
+    """
+    n_docs = len(texts)
+    words_per_doc = [t.split(" ") if t else [] for t in texts]
+    word_counts = np.array([len(ws) for ws in words_per_doc], dtype=np.int64)
+    gram_counts = np.maximum(word_counts - n + 1, 0)
+    total = int(gram_counts.sum())
+    if total == 0:
+        return np.zeros(0, np.uint64), np.zeros(n_docs, np.int64)
+    all_words = np.asarray([w for ws in words_per_doc for w in ws], dtype=object)
+    wh = pd.util.hash_array(all_words).astype(np.uint64)
+    doc_word_off = np.concatenate([[0], np.cumsum(word_counts)])[:-1]
+    starts = np.repeat(doc_word_off, gram_counts) + (
+        np.arange(total) - np.repeat(np.cumsum(gram_counts) - gram_counts, gram_counts)
+    )
+    with np.errstate(over="ignore"):
+        acc = np.zeros(total, np.uint64)
+        for j in range(n):
+            acc = acc * _GRAM_MULT ^ wh[starts + j]
+    # per-doc distinct: lexsort (doc, hash), drop consecutive duplicates
+    doc_idx = np.repeat(np.arange(n_docs), gram_counts)
+    order = np.lexsort((acc, doc_idx))
+    d_s, h_s = doc_idx[order], acc[order]
+    keep = np.ones(total, bool)
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    return h_s[keep], np.bincount(d_s[keep], minlength=n_docs).astype(np.int64)
+
+
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
-    """Distinct 64-bit hashes of word n-gram shingles of one doc."""
-    words = text.split(" ") if text else []
-    if len(words) < n:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    return np.unique(np.array([stable_hash64(g) for g in grams], dtype=np.uint64))
+    """Distinct shingle hashes of ONE doc (unit-test convenience)."""
+    flat, _ = _batch_shingle_hashes([text], n)
+    return flat
 
 
 def shingle_batch(batch: pa.Table, *, n: int = 3) -> pa.Table:
     """Explode docs to (doc_id, shingle:uint64, n_shingles) rows."""
-    ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
-    out_id, out_sh, out_n = [], [], []
-    for did, text in zip(ids, texts):
-        hs = _shingle_hashes(text or "", n)
-        out_id.extend([did] * len(hs))
-        out_sh.append(hs)
-        out_n.extend([len(hs)] * len(hs))
-    sh = np.concatenate(out_sh) if out_sh else np.zeros(0, dtype=np.uint64)
+    flat, lengths = _batch_shingle_hashes(texts, n)
+    idx = np.repeat(np.arange(len(texts)), lengths)
     return pa.table(
         {
-            "doc_id": pa.array(out_id),
-            "shingle": pa.array(sh),
-            "n_shingles": pa.array(np.array(out_n, dtype=np.int64)),
+            "doc_id": batch["doc_id"].take(pa.array(idx)),
+            "shingle": pa.array(flat),
+            "n_shingles": pa.array(np.repeat(lengths, lengths)),
         }
     )
 
 
-def jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.8, max_shingle_freq: int | None = None):
+def jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.8, max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ):
     """Exact n-gram Jaccard near-dup pairs via a shingle-key shuffle.
 
     docs → shingle rows → ONE bucketed shuffle on the shingle hash →
@@ -95,8 +142,11 @@ def jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.8, max_shingle_freq: i
     (id_a, id_b, shared-count) rows → a small groupby(pair) sum →
     jaccard = shared / (na + nb - shared) ≥ threshold. Exact (no LSH
     recall loss) — the oracle-checkable baseline for the sketch
-    variants. ``max_shingle_freq`` optionally drops shingles hotter
-    than the cap (stop-phrase skew at corpus scale); None = exact.
+    variants. ``max_shingle_freq`` drops shingles hotter than the cap
+    from candidate generation (stop-phrase skew protection: a shingle
+    shared by f docs contributes f² candidate pairs); the default cap
+    never triggers at oracle-fixture scale, pass None for exact
+    semantics at any scale.
     """
     from ..shuffle import bucketed_aggregate, bucketed_groupby
 
@@ -168,12 +218,10 @@ class MinHasher:
         dispatch."""
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        per_doc = [_shingle_hashes(t or "", self.ngram) for t in texts]
-        lengths = np.array([len(h) for h in per_doc], dtype=np.int64)
-        if len(ids) == 0 or lengths.sum() == 0:
+        flat, lengths = _batch_shingle_hashes(texts, self.ngram)
+        if len(ids) == 0 or len(flat) == 0:
             sigs = np.zeros((len(ids), self.num_perm), np.uint64)
         else:
-            flat = np.concatenate([h for h in per_doc if len(h)])
             with np.errstate(over="ignore"):
                 prod = self.a[:, None] * flat[None, :] + self.b[:, None]  # (k, S)
             nonempty = lengths > 0
@@ -228,7 +276,7 @@ def band_batch(batch: pa.Table, *, bands: int = 32, rows: int = 4) -> pa.Table:
     )
 
 
-def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32, ngram: int = 3, threshold: float = 0.8, concurrency: int = 4, verify_strategy: str = "broadcast"):
+def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32, ngram: int = 3, threshold: float = 0.8, concurrency: int = 4, verify_strategy: str = "auto"):
     """MinHash-LSH candidate pairs with estimated Jaccard ≥ threshold.
 
     shingle→minhash (actor pool) → band rows → groupby(band) buckets →
@@ -335,24 +383,41 @@ def _estimate_large(ds, limit: int = 1_000_000) -> bool:
 # near-dup clustering (connected components) + dedup decision
 
 
-def dup_clusters(pairs_ds, *, max_rounds: int = 10, num_buckets: int | None = None):
+def dup_clusters(pairs_ds, *, max_rounds: int = 30, num_buckets: int | None = None, strict: bool = True):
     """Connected components over near-dup pairs via distributed
-    min-label propagation (the Ray-guide pattern: a few rounds of
-    groupby-min until no label changes).
+    min-label propagation WITH pointer doubling.
 
     Input: pairs (id_a, id_b). Output: (doc_id, cluster) where cluster
     is the min doc_id of the component — the canonical keeper, so
     dedup = drop rows where doc_id != cluster.
+
+    Each round combines (a) one-hop neighbour offers (edges ⋈ labels)
+    with (b) a pointer-doubling shortcut (labels ⋈ labels: each node
+    adopts its label's label), so the distance a min label travels
+    doubles per round — O(log diameter) rounds instead of O(diameter)
+    one-hop rounds (a chain of 1000 near-dups converges in ~11 rounds).
+    Convergence is detected via the monotone non-increasing label sum;
+    if the round budget is exhausted first, raises (``strict=True``,
+    default) or logs a warning — never a silent wrong answer.
     """
-    from ..shuffle import bucketed_aggregate
+    import logging
+
+    from ..shuffle import bucketed_aggregate, hash_join
 
     def to_edges(b: pd.DataFrame) -> pd.DataFrame:
         fwd = pd.DataFrame({"node": b["id_a"], "nbr": b["id_b"]})
         rev = pd.DataFrame({"node": b["id_b"], "nbr": b["id_a"]})
         return pd.concat([fwd, rev], ignore_index=True)
 
+    from ..shuffle import n_default_buckets
+
+    nb = num_buckets or n_default_buckets()
+    # edges are re-joined every round: coalesce to ~nb blocks ONCE so
+    # each round schedules O(nb) tasks, not O(input blocks) (a
+    # fine-grained input would otherwise spawn hundreds of tiny tasks
+    # per round), then pin in the object store
     edges = pairs_ds.map_batches(to_edges, batch_format="pandas")
-    edges = edges.materialize()  # reused every round; small (pairs only)
+    edges = edges.repartition(nb).materialize()
     # labels: node -> current component label (min known)
     labels = bucketed_aggregate(edges, "node", {"label": ("nbr", "min")}, num_buckets=num_buckets)
 
@@ -361,27 +426,57 @@ def dup_clusters(pairs_ds, *, max_rounds: int = 10, num_buckets: int | None = No
         b["label"] = np.minimum(b["node"].to_numpy(), b["label"].to_numpy())
         return b
 
-    labels = labels.map_batches(tighten, batch_format="pandas").materialize()
-    from ..shuffle import hash_join
+    labels = labels.map_batches(tighten, batch_format="pandas").repartition(nb).materialize()
+
+    def offer(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": b["nbr"], "label": b["label"]})
+
+    def as_ptr(b: pd.DataFrame) -> pd.DataFrame:
+        # labels re-keyed by their label value: (mid=label(u), src=u)
+        return pd.DataFrame({"mid": b["label"], "src": b["node"]})
+
+    def as_mid(b: pd.DataFrame) -> pd.DataFrame:
+        # labels keyed by node for the shortcut join: (mid=u, mid_label=label(u))
+        return pd.DataFrame({"mid": b["node"], "mid_label": b["label"]})
+
+    def shortcut_out(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": b["src"], "label": b["mid_label"]})
 
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
-        # propagate: each node offers its label to all neighbours
-        offers = hash_join(edges, labels, on="node", num_buckets=num_buckets)
-
-        def offer(b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"node": b["nbr"], "label": b["label"]})
-
-        offered = offers.map_batches(offer, batch_format="pandas")
-        both = offered.union(labels.select_columns(["node", "label"]))
+        # (a) one-hop: each node offers its label to all neighbours
+        offered = hash_join(edges, labels, on="node", num_buckets=num_buckets).map_batches(
+            offer, batch_format="pandas"
+        )
+        # (b) pointer doubling: node u adopts label(label(u))
+        ptr = labels.map_batches(as_ptr, batch_format="pandas")
+        mid = labels.map_batches(as_mid, batch_format="pandas")
+        shortcut = hash_join(ptr, mid, on="mid", num_buckets=num_buckets).map_batches(
+            shortcut_out, batch_format="pandas"
+        )
+        both = offered.union(shortcut).union(labels.select_columns(["node", "label"]))
+        # repartition to nb blocks each round: groupby output block count
+        # tracks its INPUT block count, which would otherwise compound
+        # ~4× per round (measured 40 → 168 → 680 blocks by round 3)
         labels = bucketed_aggregate(
             both, "node", {"label": ("label", "min")}, num_buckets=num_buckets
-        ).materialize()
+        ).repartition(nb).materialize()
         # converged? label sum is monotone non-increasing
         new_sum = int(labels.sum("label") or 0)
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+
+    if not converged:
+        msg = (
+            f"dup_clusters: label propagation did not stabilize within "
+            f"{max_rounds} rounds — component labels may be split"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        logging.getLogger(__name__).warning(msg)
 
     def finalize(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": b["node"], "cluster": b["label"]})
@@ -394,18 +489,22 @@ def dup_clusters(pairs_ds, *, max_rounds: int = 10, num_buckets: int | None = No
 
 
 def simhash_batch(batch: pa.Table, *, ngram: int = 3) -> pa.Table:
-    """64-bit SimHash per doc over word-ngram hashes (vectorized bit-count)."""
+    """64-bit SimHash per doc over word-ngram hashes — whole-batch
+    vectorized: one (total_shingles, 64) bit expansion + per-doc bit
+    votes via ``np.add.reduceat`` at the doc offsets."""
     ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
     out = np.zeros(len(ids), dtype=np.uint64)
-    bits = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
-    for i, t in enumerate(texts):
-        hs = _shingle_hashes(t or "", ngram)
-        if len(hs) == 0:
-            continue
-        bm = (hs[:, None] & bits) != 0  # (s, 64) bool
-        votes = bm.sum(axis=0) * 2 - len(hs)
-        out[i] = np.sum(bits[0][votes > 0], dtype=np.uint64)
+    flat, lengths = _batch_shingle_hashes(texts, ngram)
+    if len(flat):
+        bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        bm = (flat[:, None] & bits[None, :]) != 0  # (S, 64)
+        nonempty = lengths > 0
+        offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
+        ones = np.add.reduceat(bm, offsets, axis=0)  # (docs_nonempty, 64)
+        votes = ones * 2 - lengths[nonempty][:, None]
+        out[nonempty] = ((votes > 0) * bits[None, :]).sum(axis=1, dtype=np.uint64)
     return pa.table({"doc_id": pa.array(ids), "simhash": pa.array(out)})
 
 

@@ -132,57 +132,93 @@ def deskew(img: np.ndarray, *, maxskew: float = 5.0, steps: int = 8) -> tuple[np
     return shear_vertical(img, -angle), angle
 
 
+def _runs(binary_fg: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Maximal horizontal foreground runs, vectorized: one np.diff over
+    the padded mask. Returns (row, col_start, col_end_exclusive), sorted
+    row-major (np.nonzero order)."""
+    h, w = binary_fg.shape
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = binary_fg
+    d = np.diff(padded, axis=1)
+    sr, sc = np.nonzero(d == 1)
+    _, ec = np.nonzero(d == -1)  # same row order as starts
+    return sr, sc, ec
+
+
 def label_components(binary_fg: np.ndarray) -> tuple[np.ndarray, int]:
-    """Two-pass 4-connected component labeling (union-find), pure numpy.
+    """4-connected component labeling via run-length union-find.
 
     ``binary_fg``: bool array, True = foreground. Returns (labels, n)
     with labels in 1..n (0 = background). Replaces the reference's
     scipy ``measurements.label`` (used throughout ocrolib/morph.py).
+
+    Cost is O(runs), not O(pixels): horizontal runs are found with one
+    vectorized ``np.diff`` per image, run-vs-previous-row overlaps come
+    from two global ``searchsorted`` calls (runs are row-major sorted,
+    so (row*stride+col) keys make the previous-row window a contiguous
+    slice), and only the union-find over run-adjacency edges is a
+    Python loop — typically 100-1000× fewer iterations than pixels.
     """
     h, w = binary_fg.shape
     labels = np.zeros((h, w), dtype=np.int32)
-    parent = [0]  # union-find; parent[i] == i means root
+    if h == 0 or w == 0:
+        return labels, 0
+    sr, sc, ec = _runs(binary_fg)
+    nruns = len(sc)
+    if nruns == 0:
+        return labels, 0
+    stride = w + 1
+    row64 = sr.astype(np.int64)
+    key_start = row64 * stride + sc
+    key_end = row64 * stride + ec
+    # runs of the previous row overlapping run j's column span:
+    # key_end > (row_j-1)*stride + sc_j  and  key_start < (row_j-1)*stride + ec_j
+    q_lo = (row64 - 1) * stride + sc
+    q_hi = (row64 - 1) * stride + ec
+    lo = np.searchsorted(key_end, q_lo, side="right")
+    hi = np.searchsorted(key_start, q_hi, side="left")
+    counts = np.maximum(hi - lo, 0)
+    total_edges = int(counts.sum())
+    parent = list(range(nruns))  # python list: scalar indexing ~5× numpy
 
     def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
 
-    nxt = 0
-    for y in range(h):
-        row = binary_fg[y]
-        lab_row = labels[y]
-        up = labels[y - 1] if y > 0 else None
-        left = 0
-        for x in range(w):
-            if not row[x]:
-                left = 0
-                continue
-            u = up[x] if up is not None else 0
-            if left and u:
-                ru, rl = find(u), find(left)
-                lab = min(ru, rl)
-                if ru != rl:
-                    parent[max(ru, rl)] = lab
-            elif left:
-                lab = left
-            elif u:
-                lab = u
-            else:
-                nxt += 1
-                parent.append(nxt)
-                lab = nxt
-            lab_row[x] = lab
-            left = lab
-    if nxt == 0:
-        return labels, 0
-    # resolve + compact
-    roots = np.array([find(i) for i in range(nxt + 1)], dtype=np.int32)
-    uniq, compact = np.unique(roots[1:], return_inverse=True)
-    remap = np.zeros(nxt + 1, dtype=np.int32)
-    remap[1:] = compact + 1
-    return remap[labels], len(uniq)
+    if total_edges:
+        j_idx = np.repeat(np.arange(nruns), counts)
+        i_idx = np.repeat(lo, counts) + (
+            np.arange(total_edges) - np.repeat(np.cumsum(counts) - counts, counts)
+        )
+        for a, b in zip(i_idx.tolist(), j_idx.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+    # vectorized root resolution: parents always point to smaller ids,
+    # so iterated pointer-jumping converges in O(log depth) passes
+    roots = np.asarray(parent, dtype=np.int64)
+    while True:
+        nxt = roots[roots]
+        if np.array_equal(nxt, roots):
+            break
+        roots = nxt
+    uniq, compact = np.unique(roots, return_inverse=True)
+    run_labels = (compact + 1).astype(np.int32)
+    # paint runs into the label image: one vectorized multi-range fill
+    lengths = (ec - sc).astype(np.int64)
+    total_px = int(lengths.sum())
+    flat_starts = row64 * w + sc
+    offs = np.arange(total_px) - np.repeat(np.cumsum(lengths) - lengths, lengths)
+    flat = labels.ravel()
+    flat[np.repeat(flat_starts, lengths) + offs] = np.repeat(run_labels, lengths)
+    return labels, len(uniq)
 
 
 def remove_small_components(img: np.ndarray, *, minsize: int = 4) -> tuple[np.ndarray, int]:
@@ -214,16 +250,21 @@ def borderclean(img: np.ndarray, *, margin: int = 4) -> np.ndarray:
     h, w = img.shape
     ys, xs = np.nonzero(labels)
     ls = labels[ys, xs]
+    # vectorized per-component bounding boxes via scatter-min/max
+    y0 = np.full(n + 1, h, dtype=np.int64)
+    y1 = np.full(n + 1, -1, dtype=np.int64)
+    x0 = np.full(n + 1, w, dtype=np.int64)
+    x1 = np.full(n + 1, -1, dtype=np.int64)
+    np.minimum.at(y0, ls, ys)
+    np.maximum.at(y1, ls, ys)
+    np.minimum.at(x0, ls, xs)
+    np.maximum.at(x1, ls, xs)
+    inside_margin = (y1 < margin) | (y0 >= h - margin) | (x1 < margin) | (x0 >= w - margin)
+    inside_margin[0] = False
+    if not inside_margin.any():
+        return img
     out = img.copy()
-    for lab in range(1, n + 1):
-        sel = ls == lab
-        if not sel.any():
-            continue
-        y0, y1 = ys[sel].min(), ys[sel].max()
-        x0, x1 = xs[sel].min(), xs[sel].max()
-        inside_margin = y1 < margin or y0 >= h - margin or x1 < margin or x0 >= w - margin
-        if inside_margin:
-            out[ys[sel], xs[sel]] = 255
+    out[inside_margin[labels] & fg] = 255
     return out
 
 
@@ -293,16 +334,6 @@ def check_line(img: np.ndarray, *, min_h: int = 4, max_h: int = 200, min_w: int 
 
 # ---------------------------------------------------------------------------
 # feature lineage + batch stages
-
-_OPS = {}
-
-
-def _register(tag, required=None):
-    def deco(fn):
-        _OPS[tag] = (fn, required or "")
-        return fn
-
-    return deco
 
 
 def has_feature(features: str, tag: str) -> bool:

@@ -216,7 +216,20 @@ def test_cer_partials_formula():
 def test_shingles():
     hs = _shingle_hashes("a b c d", 3)
     assert len(hs) == 2  # "a b c", "b c d"
-    assert len(_shingle_hashes("a b", 3)) == 1  # short doc -> whole text
+    # short docs emit ZERO shingles — matches the oracle SQL's
+    # lead()-based n-gram CTE which produces no rows for them
+    assert len(_shingle_hashes("a b", 3)) == 0
+    assert len(_shingle_hashes("", 3)) == 0
+    # repeated grams are distinct-counted once
+    assert len(_shingle_hashes("x y x y x y", 2)) == 2  # "x y", "y x"
+    # batch helper agrees with the single-doc wrapper
+    from ocrd_cis_ray.stages.dedup import _batch_shingle_hashes
+
+    flat, lens = _batch_shingle_hashes(["a b c d", "a b", None, "b c d e"], 3)
+    assert list(lens) == [2, 0, 0, 2]
+    assert len(flat) == 4
+    # shared gram "b c d" hashes identically across docs
+    assert len(np.intersect1d(flat[:2], flat[2:])) == 1
 
 
 def test_popcount():

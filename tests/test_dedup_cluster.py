@@ -27,6 +27,35 @@ def test_dup_clusters_components(ray_session):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_dup_clusters_long_chain_pointer_doubling(ray_session):
+    """A path component of diameter 300 must converge in ≤12 rounds —
+    impossible for one-hop propagation (needs 300), so this pins the
+    pointer-doubling shortcut. (Diameter 1000 in 15 rounds verified
+    standalone; kept at 300 here for suite runtime.)"""
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.dedup import dup_clusters
+
+    pairs = rd.from_pandas(
+        pd.DataFrame({"id_a": np.arange(300), "id_b": np.arange(1, 301)})
+    )
+    out = dup_clusters(pairs, num_buckets=8, max_rounds=12).to_pandas()
+    assert (out["cluster"] == 0).all()
+    assert len(out) == 301
+
+
+def test_dup_clusters_nonconvergence_raises(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.dedup import dup_clusters
+
+    pairs = rd.from_pandas(
+        pd.DataFrame({"id_a": np.arange(200), "id_b": np.arange(1, 201)})
+    )
+    with pytest.raises(RuntimeError, match="did not stabilize"):
+        dup_clusters(pairs, num_buckets=8, max_rounds=2, strict=True)
+
+
 def test_minhash_join_verify_matches_broadcast(ray_session, sf_dir):
     import ray.data as rd
 
