@@ -85,12 +85,14 @@ def q02_revenue_by_segment(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    lookup = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
-    ref = ray.put(lookup)
+    # broadcast (keys, values) arrays; per-batch lookup is a vectorized
+    # pc.index_in + take — no per-row Python dict probing
+    ref = ray.put((cust["c_custkey"].combine_chunks(), cust["c_mktsegment"].combine_chunks()))
 
     def attach(t: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        seg = pa.array([lk.get(k) for k in t["o_custkey"].to_pylist()], pa.string())
+        keys, vals = ray.get(ref)
+        idx = pc.index_in(t["o_custkey"], value_set=keys)
+        seg = pc.take(vals, idx)
         return pa.table({"c_mktsegment": seg, "price_cents": _cents(t["o_totalprice"])})
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -272,17 +274,13 @@ def q14_anti_join(sf_dir: str):
     from ray.data.aggregate import Count
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    building = {
-        k
-        for k, s in zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
-        if s == "BUILDING"
-    }
+    building = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].combine_chunks()
     ref = ray.put(building)
 
     def anti(t: pa.Table) -> pa.Table:
         keys = ray.get(ref)
-        mask = pa.array([k not in keys for k in t["o_custkey"].to_pylist()])
-        return t.filter(mask)
+        # vectorized set-membership (pc.is_in) instead of a per-row loop
+        return t.filter(pc.invert(pc.is_in(t["o_custkey"], value_set=keys)))
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
     return (
@@ -470,9 +468,9 @@ def q34_embedding_dups(sf_dir: str):
 
 def q35_dup_clusters(sf_dir: str):
     """Near-dup clusters: exact Jaccard pairs (τ=0.5) → connected
-    components via distributed min-label propagation → (doc_id, cluster)
-    where cluster = canonical keeper (min id). Rows-only: recursive
-    component labeling isn't ANSI-SQL."""
+    components via distributed min-label propagation with pointer
+    doubling → (doc_id, cluster) where cluster = canonical keeper
+    (min id). Oracle: DuckDB WITH RECURSIVE reachability + MIN."""
     from ocrd_cis_ray.stages.dedup import dup_clusters, jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -547,23 +545,31 @@ def q41_ann_ivf(sf_dir: str):
 def q36_dedup_keep(sf_dir: str):
     """End-to-end near-dup removal: exact Jaccard pairs (τ=0.5) →
     connected components → keep only each cluster's canonical doc
-    (min id) plus all unpaired docs. Rows-only (recursive labeling)."""
-    import ray
+    (min id) plus all unpaired docs.
 
+    The drop-list (non-canonical cluster members) stays distributed: a
+    left ``hash_join`` of documents against drop markers + null filter
+    = an anti join — no driver materialization of the cluster map (at
+    corpus scale it can exceed driver memory)."""
+    from ocrd_cis_ray.shuffle import hash_join
     from ocrd_cis_ray.stages.dedup import dup_clusters, jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = jaccard_pairs(ds, n=3, threshold=0.5).select_columns(["id_a", "id_b"])
-    clusters = dup_clusters(pairs).to_pandas()
-    drop = set(clusters.loc[clusters["doc_id"] != clusters["cluster"], "doc_id"].astype(int))
-    ref = ray.put(drop)
 
-    def keep(t: pa.Table) -> pa.Table:
-        d = ray.get(ref)
-        mask = pa.array([int(x) not in d for x in t["doc_id"].to_pylist()])
-        return t.filter(mask)
+    def drop_marks(b: pd.DataFrame) -> pd.DataFrame:
+        nc = b[b["doc_id"] != b["cluster"]]
+        return pd.DataFrame({"doc_id": nc["doc_id"].astype("int64"), "__drop": np.int8(1)})
 
-    return _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(keep, batch_format="pyarrow")
+    marks = dup_clusters(pairs).map_batches(drop_marks, batch_format="pandas")
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    joined = hash_join(docs, marks, on="doc_id", how="left")
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[b["__drop"].isna()][["doc_id", "n_chars"]]
+        return out.astype({"doc_id": "int64", "n_chars": "int64"})
+
+    return joined.map_batches(keep, batch_format="pandas")
 
 
 def q17_approx_distinct(sf_dir: str):
@@ -1135,6 +1141,71 @@ pairs AS (
 SELECT id_a, id_b, CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
 FROM pairs JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
 WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5
+""",
+        "q35_dup_clusters": """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS wi
+  FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY wi)
+),
+sh AS (SELECT DISTINCT doc_id, s FROM tri WHERE s IS NOT NULL),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jp AS (
+  SELECT id_a, id_b FROM pr
+  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+  WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b, id_a FROM jp),
+conn(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT c.node, e.b FROM conn c JOIN edges e ON e.a = c.reach
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(reach) AS BIGINT) AS cluster
+FROM conn GROUP BY node
+""",
+        "q36_dedup_keep": """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS wi
+  FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY wi)
+),
+sh AS (SELECT DISTINCT doc_id, s FROM tri WHERE s IS NOT NULL),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jp AS (
+  SELECT id_a, id_b FROM pr
+  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+  WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b, id_a FROM jp),
+conn(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT c.node, e.b FROM conn c JOIN edges e ON e.a = c.reach
+),
+comp AS (SELECT node, MIN(reach) AS cl FROM conn GROUP BY node)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> cl)
 """,
         "q34_embedding_dups": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
