@@ -3,13 +3,17 @@
 The reference loads a pickled BIDILSTM once per processor in setup()
 (ocrd_cis/ocropy/recognize.py:94-102) and then recognizes line images
 sequentially, splitting results into words/glyphs with positions and
-confidences (recognize.py:237-302). No ML stack ships in this sandbox,
-so the "model" here is a deterministic glyph-template bank matching the
-synthetic renderer (sources/media.py) — template matching per glyph
-cell, argmax char, cosine-IoU confidence. The Ray-side shape is the
-real one: model built ONCE per actor in ``__init__``, batches of line
-images in ``__call__``, ``map_batches(Recognizer, concurrency=N,
-batch_size=B)``.
+confidences (recognize.py:237-302). Two model paths:
+
+- ``model_path=...``: a pickled numpy BIDILSTM+CTC model
+  (stages/lstm.py — real forward pass, translate_back decoding, codec)
+  matching the reference's recognition semantics;
+- default: a deterministic glyph-template bank matching the synthetic
+  renderer (sources/media.py) — exact goldens for the oracle queries.
+
+The Ray-side shape is the same for both: model built ONCE per actor in
+``__init__``, batches of line images in ``__call__``,
+``map_batches(Recognizer, concurrency=N, batch_size=B)``.
 
 Confidence semantics copied from the reference:
 - glyph conf = per-char match score (recognize.py:267-268 TextEquiv conf)
@@ -35,8 +39,15 @@ class Recognizer:
     words: list<struct<text, conf:float32, x0:int32>>.
     """
 
-    def __init__(self, *, min_conf: float = 0.0):
-        # "model load": build the template bank once per actor
+    def __init__(self, *, min_conf: float = 0.0, model_path: str | None = None):
+        # "model load" once per actor: either a pickled numpy BIDILSTM
+        # (the reference's load_object + walk/postLoad path,
+        # recognize.py:94-102) or the deterministic template bank
+        self.seq = None
+        if model_path:
+            from .lstm import SeqRecognizer
+
+            self.seq = SeqRecognizer.load(model_path)
         tmpls = []
         for ch in CHARSET:
             if ch == " ":
@@ -46,6 +57,29 @@ class Recognizer:
         self.templates = np.stack(tmpls)  # (C, gh*gw)
         self.tnorm = np.maximum(np.linalg.norm(self.templates, axis=1), 1e-9)
         self.min_conf = min_conf
+
+    def recognize_line_lstm(self, img: np.ndarray) -> tuple[str, float, list[dict]]:
+        """BIDILSTM + CTC path: predict, then split into words with
+        positions and (min+max)/2 word confidences — the reference's
+        word assembly over clist/rlist/confidlist (recognize.py:237-265)."""
+        text, confs, positions = self.seq.predict_line(img)
+        words = []
+        i, n = 0, len(text)
+        while i < n:
+            if text[i] == " ":
+                i += 1
+                continue
+            j = i
+            while j < n and text[j] != " ":
+                j += 1
+            wconfs = confs[i:j]
+            wconf = float((min(wconfs) + max(wconfs)) / 2.0) if wconfs else 0.0
+            words.append(
+                {"text": text[i:j], "conf": np.float32(wconf), "x0": np.int32(positions[i])}
+            )
+            i = j
+        line_conf = float(np.mean(confs)) if confs else 0.0
+        return text.strip(), line_conf, words
 
     def recognize_line(self, img: np.ndarray) -> tuple[str, float, list[dict]]:
         """Auto-locates the glyph grid from the ink bounding box, so it
@@ -136,9 +170,10 @@ class Recognizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         pixels = batch["pixels"].to_pylist()
         texts, confs, words_col = [], [], []
+        rec = self.recognize_line_lstm if self.seq is not None else self.recognize_line
         for buf in pixels:
             try:
-                t, c, ws = self.recognize_line(decode_gray(buf))
+                t, c, ws = rec(decode_gray(buf))
             except Exception:
                 t, c, ws = "", 0.0, []  # log-and-skip (recognize.py:227-232)
             texts.append(t)
@@ -156,12 +191,17 @@ class Recognizer:
         )
 
 
-def recognize_lines(ds, *, concurrency: int = 4, batch_size: int = 64, num_cpus: float = 1):
-    """Dataset wrapper: the actor-pool map (model loaded once per actor)."""
+def recognize_lines(ds, *, concurrency: int = 4, batch_size: int = 64, num_cpus: float = 1, model_path: str | None = None):
+    """Dataset wrapper: the actor-pool map (model loaded once per actor).
+
+    ``model_path`` selects the numpy BIDILSTM+CTC model (stages/lstm.py)
+    — each actor unpickles it once in ``__init__``; the path string,
+    not the weights, ships with the task spec."""
     return ds.map_batches(
         Recognizer,
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,
         num_cpus=num_cpus,
+        fn_constructor_kwargs={"model_path": model_path} if model_path else {},
     )
