@@ -31,6 +31,7 @@ class Stage:
     name: str
     build: Callable  # (ds, **params) -> ds
     defaults: dict[str, Any] = field(default_factory=dict)
+    allowed_params: frozenset = frozenset()  # full accepted set (≥ defaults)
     requires_features: str = ""  # comma-list that must be present on input
     produces_feature: str = ""  # lineage tag appended by the stage
     description: str = ""
@@ -39,12 +40,19 @@ class Stage:
 REGISTRY: dict[str, Stage] = {}
 
 
-def register_stage(name: str, *, defaults=None, requires_features="", produces_feature="", description=""):
+def register_stage(name: str, *, defaults=None, allowed=None, requires_features="", produces_feature="", description=""):
+    """``allowed`` declares the full accepted parameter set when it is
+    wider than ``defaults`` (stages whose optional params have no
+    default value). Validation is unconditional — a stage with no
+    declared params accepts none."""
+
     def deco(fn):
+        d = dict(defaults or {})
         REGISTRY[name] = Stage(
             name=name,
             build=fn,
-            defaults=dict(defaults or {}),
+            defaults=d,
+            allowed_params=frozenset(d) | frozenset(allowed or ()),
             requires_features=requires_features,
             produces_feature=produces_feature,
             description=description,
@@ -58,7 +66,7 @@ def build_pipeline(ds, config: list[dict]):
     """Fold a JSON stage-config list over a Dataset (lazy — nothing
     executes until the caller consumes). Unknown stage or parameter →
     ValueError up front (the reference validates tool JSON before
-    running)."""
+    running), regardless of whether the stage declares defaults."""
     for step in config:
         name = step.get("stage")
         if name not in REGISTRY:
@@ -66,8 +74,8 @@ def build_pipeline(ds, config: list[dict]):
         stage = REGISTRY[name]
         params = dict(stage.defaults)
         extra = step.get("params", {})
-        unknown = set(extra) - set(stage.defaults)
-        if unknown and stage.defaults:
+        unknown = set(extra) - stage.allowed_params
+        if unknown:
             raise ValueError(f"stage '{name}': unknown params {sorted(unknown)}")
         params.update(extra)
         ds = stage.build(ds, **params)
@@ -127,8 +135,34 @@ def _dewarp(ds, **p):
 
 
 @register_stage(
+    "clip",
+    defaults={"margin": 3},
+    requires_features="binarized",
+    produces_feature="clipped",
+    description="remove sibling-line intruders not reaching the core box (clip.py:218-267)",
+)
+def _clip(ds, **p):
+    from .stages.image_ops import media_op
+
+    return media_op(ds, "clip", **p)
+
+
+@register_stage(
+    "borderclean",
+    defaults={"margin": 4},
+    produces_feature="cleaned",
+    description="remove components confined to the margins (common.py:251-297)",
+)
+def _borderclean(ds, **p):
+    from .stages.image_ops import media_op
+
+    return media_op(ds, "borderclean", **p)
+
+
+@register_stage(
     "segment",
     defaults={},
+    allowed=("min_line_gap", "min_col_gap", "min_line_h", "order"),
     description="recursive XY-cut page segmentation into line rows",
 )
 def _segment(ds, **p):
@@ -138,8 +172,21 @@ def _segment(ds, **p):
 
 
 @register_stage(
+    "resegment",
+    defaults={"min_line_h": 4},
+    produces_feature="resegmented",
+    description="line box re-estimation against a fresh segmentation (resegment.py:57)",
+)
+def _resegment(ds, **p):
+    from .stages.segment import resegment_rows
+
+    return resegment_rows(ds, **p)
+
+
+@register_stage(
     "recognize",
     defaults={"concurrency": 4, "batch_size": 64, "num_cpus": 0.5},
+    allowed=("model_path",),
     description="actor-pool line recognition (recognize.py semantics)",
 )
 def _recognize(ds, **p):

@@ -308,6 +308,152 @@ def dewarp_centerline(img: np.ndarray, *, target_h: int = 24, r: float = 1.2, sm
     return np.where(ok, img[np.clip(rows, 0, h - 1), cols], 255).astype(np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# morphology suite (reference ocrolib/morph.py:14-444 semantics, scipy-free)
+
+
+def _sliding_extreme_1d(a: np.ndarray, size: int, axis: int, maximum: bool) -> np.ndarray:
+    """Centered sliding max/min along one axis via log-shift folding —
+    O(log size) vectorized passes, no scipy."""
+    if size <= 1:
+        return a
+    op = np.maximum if maximum else np.minimum
+    pad_val = a.min() if maximum else a.max()
+    lo = size // 2
+    hi = size - 1 - lo
+    pad_width = [(0, 0), (0, 0)]
+    pad_width[axis] = (lo, hi)
+    x = np.pad(a, pad_width, mode="constant", constant_values=pad_val)
+    # fold shifted copies: window extreme = extremes of doubling offsets
+    out = x.copy()
+    shift = 1
+    remaining = size - 1
+    while remaining > 0:
+        s = min(shift, remaining)
+        out = op(out, np.roll(out, -s, axis=axis))
+        remaining -= s
+        shift *= 2
+    sel = [slice(None), slice(None)]
+    sel[axis] = slice(0, a.shape[axis])
+    return out[tuple(sel)]
+
+
+def r_dilation(image: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """Binary/grayscale dilation with a (h, w) box structuring element
+    (morph.py:76-80; separable sliding max)."""
+    out = _sliding_extreme_1d(np.asarray(image), size[0], axis=0, maximum=True)
+    return _sliding_extreme_1d(out, size[1], axis=1, maximum=True)
+
+
+def r_erosion(image: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """Binary/grayscale erosion with a (h, w) box (morph.py:82-86)."""
+    out = _sliding_extreme_1d(np.asarray(image), size[0], axis=0, maximum=False)
+    return _sliding_extreme_1d(out, size[1], axis=1, maximum=False)
+
+
+def r_opening(image: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    return r_dilation(r_erosion(image, size), size)
+
+
+def r_closing(image: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    return r_erosion(r_dilation(image, size), size)
+
+
+def keep_marked(image: np.ndarray, markers: np.ndarray) -> np.ndarray:
+    """Keep only those foreground components of ``image`` (bool) that
+    overlap ``markers`` (bool) (morph.py:229-236)."""
+    labels, n = label_components(image)
+    if n == 0:
+        return np.zeros_like(image, dtype=bool)
+    hit = np.zeros(n + 1, dtype=bool)
+    marked = labels[markers & image]
+    hit[marked] = True
+    hit[0] = False
+    return hit[labels]
+
+
+def remove_marked(image: np.ndarray, markers: np.ndarray) -> np.ndarray:
+    """Remove components of ``image`` touching ``markers`` (morph.py:238-245)."""
+    return image & ~keep_marked(image, markers)
+
+
+def propagate_labels(image: np.ndarray, labels: np.ndarray, conflict: int = 0) -> np.ndarray:
+    """Propagate seed ``labels`` to the components of ``image``;
+    components receiving more than one distinct seed label get
+    ``conflict`` (morph.py:293-307). Vectorized over (component, seed)
+    pairs — no per-component Python loop."""
+    comp, n = label_components(image)
+    if n == 0:
+        return np.zeros_like(labels)
+    sel = (comp > 0) & (labels > 0)
+    pairs = np.unique(np.stack([comp[sel], labels[sel]], axis=1), axis=0) if sel.any() else np.zeros((0, 2), np.int64)
+    out_lab = np.zeros(n + 1, dtype=labels.dtype)
+    if len(pairs):
+        counts = np.bincount(pairs[:, 0], minlength=n + 1)
+        firsts = np.zeros(n + 1, dtype=labels.dtype)
+        firsts[pairs[:, 0][::-1]] = pairs[:, 1][::-1]  # first label wins (pairs sorted)
+        out_lab = np.where(counts == 1, firsts, np.where(counts > 1, conflict, 0)).astype(labels.dtype)
+    return out_lab[comp]
+
+
+def propagate_labels_majority(image: np.ndarray, labels: np.ndarray) -> np.ndarray:
+    """Propagate the MAJORITY overlapping seed label into each component
+    (morph.py:273-291) — majority by overlap pixel count."""
+    comp, n = label_components(image)
+    if n == 0:
+        return np.zeros_like(labels)
+    sel = (comp > 0) & (labels > 0)
+    if not sel.any():
+        return np.zeros_like(labels)
+    c, l = comp[sel].astype(np.int64), labels[sel].astype(np.int64)
+    lmax = int(l.max())
+    keys = c * (lmax + 1) + l
+    uniq, counts = np.unique(keys, return_counts=True)
+    uc, ul = uniq // (lmax + 1), uniq % (lmax + 1)
+    # winner per component = label with the max overlap count
+    order = np.lexsort((counts, uc))  # per component ascending by count
+    out_lab = np.zeros(n + 1, dtype=labels.dtype)
+    out_lab[uc[order]] = ul[order]  # last write per component = max count
+    return out_lab[comp]
+
+
+def spread_labels(labels: np.ndarray, maxdist: int = 9999999) -> np.ndarray:
+    """Spread labels to nearby background up to ``maxdist``
+    (morph.py:204-214 semantics). Chessboard metric via iterative 3×3
+    label dilation (the reference uses the euclidean distance
+    transform; boundaries between labels can differ by <1 px)."""
+    out = labels.copy()
+    rounds = min(maxdist, max(labels.shape))
+    for _ in range(rounds):
+        empty = out == 0
+        if not empty.any():
+            break
+        grown = r_dilation(out, (3, 3))
+        out = np.where(empty, grown, out)
+    return out
+
+
+def select_regions(binary: np.ndarray, score_fn, min_score: float = 0, nbest: int = 100000) -> np.ndarray:
+    """Keep the ``nbest`` highest-scoring components with score >
+    ``min_score`` (morph.py:309-318). ``score_fn`` maps a boolean
+    component mask -> float; scoring loops components (scores are
+    arbitrary Python), everything else is vectorized."""
+    labels, n = label_components(binary)
+    if n == 0:
+        return np.zeros_like(binary, dtype=bool)
+    scores = np.array([score_fn(labels == i) for i in range(1, n + 1)])
+    keep_ids = np.argsort(-scores)[:nbest] + 1
+    keep = np.zeros(n + 1, dtype=bool)
+    keep[keep_ids] = True
+    keep[1:] &= scores > min_score
+    keep[0] = False
+    return keep[labels]
+
+
+# ---------------------------------------------------------------------------
+# validity predicates (common.py:300-381)
+
+
 def check_line(img: np.ndarray, *, min_h: int = 4, max_h: int = 200, min_w: int = 8, max_components_per_px: float = 0.5) -> str:
     """Validity predicate (check_line, common.py:300-327): returns ""
     when plausible, else an error string (the reference logs + skips,
@@ -329,6 +475,65 @@ def check_line(img: np.ndarray, *, min_h: int = 4, max_h: int = 200, min_w: int 
     _, n = label_components(fg)
     if n > max_components_per_px * w:
         return f"too many connected components for a line {n}"
+    return ""
+
+
+def check_region(img: np.ndarray, *, zoom: float = 1.0) -> str:
+    """Validity predicate for a text REGION image (check_region,
+    common.py:329-354): size plausibility, inversion check, and a
+    CC-count budget of 4 slots per 30×30 px."""
+    if img.size == 0:
+        return "image dimensions are zero"
+    if img.max() == img.min():
+        return "image is blank"
+    # inversion check on the ink mask (reference works on inverted
+    # binary where ink=1: mean<median flags mostly-ink images)
+    b = (img < 128).astype(np.float64)
+    if np.mean(b) < np.median(b):
+        return "image may be inverted"
+    h, w = img.shape
+    if h < 45 / zoom:
+        return f"image not tall enough for a region image {img.shape}"
+    if h > 5000 / zoom:
+        return f"image too tall for a region image {img.shape}"
+    if w < 100 / zoom:
+        return f"image too narrow for a region image {img.shape}"
+    if w > 5000 / zoom:
+        return f"image too wide for a region image {img.shape}"
+    slots = int(w * h / (30 * 30) * zoom * zoom) * 4
+    _, n = label_components(img < 128)
+    if n < 5:
+        return f"too few connected components for a region image (got {n})"
+    if n > slots and n > 10:
+        return f"too many connected components for a region image ({n} > {slots})"
+    return ""
+
+
+def check_page(img: np.ndarray, *, zoom: float = 1.0) -> str:
+    """Validity predicate for a PAGE image (check_page,
+    common.py:357-381)."""
+    if img.size == 0:
+        return "image dimensions are zero"
+    if img.max() == img.min():
+        return "image is blank"
+    b = (img < 128).astype(np.float64)
+    if np.mean(b) < np.median(b):
+        return "image may be inverted"
+    h, w = img.shape
+    if h < 600 / zoom:
+        return f"image not tall enough for a page image {img.shape}"
+    if h > 10000 / zoom:
+        return f"image too tall for a page image {img.shape}"
+    if w < 600 / zoom:
+        return f"image too narrow for a page image {img.shape}"
+    if w > 10000 / zoom:
+        return f"image too wide for a page image {img.shape}"
+    slots = int(w * h / (30 * 30) * zoom * zoom) * 4
+    _, n = label_components(img < 128)
+    if n < 10:
+        return f"too few connected components for a page image (got {n})"
+    if n > slots and n > 10:
+        return f"too many connected components for a page image ({n} > {slots})"
     return ""
 
 
@@ -376,6 +581,16 @@ def _media_stage(batch: pa.Table, op: str, params: dict) -> pa.Table:
             elif op == "borderclean":
                 img = borderclean(img, margin=params.get("margin", 4))
                 tag = "cleaned"
+            elif op == "clip":
+                # sibling-intrusion clip (clip.py:218-267): the core box
+                # is the segment inset by `margin` at top/bottom (where
+                # neighbouring lines' ascenders/descenders intrude in
+                # the row-local crop); components not reaching the core
+                # are painted to background
+                m = int(params.get("margin", 3))
+                hh = img.shape[0]
+                img = clip_intruders(img, (min(m, hh - 1), max(hh - m, 1), 0, img.shape[1]))
+                tag = "clipped"
             else:
                 raise ValueError(f"unknown media op {op}")
             out_px.append(encode_gray(img))
