@@ -575,40 +575,107 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 # embedding-cosine near-dup
 
 
-def embedding_dup_pairs(ds, *, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"):
+def embedding_dup_pairs(
+    ds,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "auto",
+    broadcast_limit: int = 100_000,
+    nlist: int = 64,
+    assign_top: int = 2,
+    sample_size: int = 2048,
+    seed: int = 42,
+):
     """Embedding near-dup pairs with cosine ≥ threshold.
 
-    Brute-force within LSH-ish buckets would lose recall; for the
-    oracle-checked variant we do blocked brute force: each batch holds
-    its vectors; the full (small) matrix is broadcast once via
-    ``ray.put`` and each batch computes its block-vs-all similarities
-    with one float64 matmul — O(n²) flops but only O(n·d) bytes moved
-    (the broadcast), the right trade at ≤1M vectors. Pairs emitted with
-    id_a < id_b.
+    Two strategies:
+    - ``"broadcast"`` (exact): the full matrix is broadcast once via
+      ``ray.put`` and each batch computes block-vs-all similarities in
+      one float64 matmul — O(n²) flops, O(n·d) bytes moved; right at
+      ≤~100k vectors and the oracle-checkable baseline.
+    - ``"blocked"`` (the 100 TB path): vectors are assigned to their
+      ``assign_top`` nearest of ``nlist`` k-means centroids (multi-probe
+      so near-boundary pairs still co-locate) and shuffled ONCE on the
+      centroid id; all-pairs matmul runs inside each bucket only. Flops
+      and shuffle bytes scale with bucket sizes, not n². Approximate:
+      a pair whose probe sets don't intersect is missed.
+    ``"auto"`` picks broadcast below ``broadcast_limit`` rows (exact at
+    fixture scale), blocked above.
     """
     import ray
 
-    tbl = ds.select_columns([id_col, vec_col])
-    all_rows = tbl.take_all()  # small side: materialize + broadcast
-    ids = np.array([r[id_col] for r in all_rows])
-    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in all_rows])
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
-    ref = ray.put((ids, matn))
+    if strategy == "auto":
+        strategy = "broadcast" if not _estimate_large(ds, broadcast_limit) else "blocked"
 
-    def block(batch: pd.DataFrame) -> pd.DataFrame:
-        gids, gmat = ray.get(ref)
-        bids = batch[id_col].to_numpy()
-        bmat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
-        bnorm = np.linalg.norm(bmat, axis=1)
-        bnorm[bnorm == 0] = 1.0
-        sims = (bmat / bnorm[:, None]) @ gmat.T  # (b, n)
-        ra, ca = np.nonzero(sims >= threshold)
-        a, b = bids[ra], gids[ca]
-        keep = a < b
+    if strategy == "broadcast":
+        tbl = ds.select_columns([id_col, vec_col])
+        all_rows = tbl.take_all()  # small side: materialize + broadcast
+        ids = np.array([r[id_col] for r in all_rows])
+        mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in all_rows])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
+        ref = ray.put((ids, matn))
+
+        def block(batch: pd.DataFrame) -> pd.DataFrame:
+            gids, gmat = ray.get(ref)
+            bids = batch[id_col].to_numpy()
+            bmat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+            bnorm = np.linalg.norm(bmat, axis=1)
+            bnorm[bnorm == 0] = 1.0
+            sims = (bmat / bnorm[:, None]) @ gmat.T  # (b, n)
+            ra, ca = np.nonzero(sims >= threshold)
+            a, b = bids[ra], gids[ca]
+            keep = a < b
+            return pd.DataFrame(
+                {"id_a": a[keep], "id_b": b[keep], "cosine": sims[ra, ca][keep]}
+            )
+
+        return ds.map_batches(block, batch_format="pandas")
+
+    # blocked: centroid-bucketed all-pairs
+    from ..shuffle import bucketed_aggregate, bucketed_groupby
+    from .similarity import IVFIndex, _mat_from_arrow
+
+    sample = [r[vec_col] for r in ds.take(sample_size)]
+    index = IVFIndex(np.stack([np.asarray(v, np.float64) for v in sample]), nlist=nlist, seed=seed)
+    cents_ref = ray.put(index.centroids)
+
+    def assign_rows(batch: pa.Table) -> pd.DataFrame:
+        cents = ray.get(cents_ref)
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        mat = _mat_from_arrow(batch[vec_col])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
+        sims = matn @ cents.T
+        top = np.argsort(-sims, axis=1)[:, :assign_top]  # (n, assign_top)
+        n = len(ids)
         return pd.DataFrame(
-            {"id_a": a[keep], "id_b": b[keep], "cosine": sims[ra, ca][keep]}
+            {
+                "bucket": top.ravel().astype(np.int32),
+                "vid": np.repeat(ids, assign_top),
+                "vec": [matn[i].tobytes() for i in np.repeat(np.arange(n), assign_top)],
+            }
         )
 
-    return ds.map_batches(block, batch_format="pandas")
+    assigned = ds.map_batches(assign_rows, batch_format="pyarrow")
+
+    def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.drop_duplicates("vid")
+        if len(b) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = b["vid"].to_numpy()
+        mat = np.stack([np.frombuffer(v, dtype=np.float64) for v in b["vec"]])
+        sims = mat @ mat.T
+        ra, ca = np.nonzero(sims >= threshold)
+        keep = ids[ra] < ids[ca]
+        return pd.DataFrame(
+            {"id_a": ids[ra][keep], "id_b": ids[ca][keep], "cosine": sims[ra, ca][keep]}
+        )
+
+    pairs = bucketed_groupby(assigned, "bucket", bucket_pairs, whole_bucket=True)
+    # a pair can surface in up to assign_top shared buckets: dedupe
+    return bucketed_aggregate(pairs, ["id_a", "id_b"], {"cosine": ("cosine", "max")})

@@ -94,22 +94,29 @@ class LangIdStage:
                 self.mask[w] = self.mask.get(w, 0) | (1 << i)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        langs = self.langs
-        mask = self.mask
-        nl = len(langs)
-
-        def detect(text: str) -> str:
-            counts = [0] * nl
-            for tok in self.split.split(text.lower()):
-                m = mask.get(tok)
-                if m:
-                    for i in range(nl):
-                        if m >> i & 1:
-                            counts[i] += 1
-            best = max(range(nl), key=lambda i: (counts[i], -i))
-            return langs[best] if counts[best] > 0 else "und"
-
-        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": batch["text"].map(detect)})
+        """Whole-batch vectorized: tokenize once, ONE hashmap lookup per
+        token (pandas map, C hash table) to a language bitmask, then one
+        bincount per language over the doc index — no per-token Python
+        bit loop."""
+        nl = len(self.langs)
+        texts = batch["text"].tolist()
+        toks_per_doc = [self.split.split((t or "").lower()) for t in texts]
+        lengths = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
+        ndocs = len(texts)
+        flat = [tok for ts in toks_per_doc for tok in ts]
+        if not flat:
+            return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": ["und"] * ndocs})
+        masks = pd.Series(flat).map(self.mask).fillna(0).to_numpy(dtype=np.int64)
+        doc_idx = np.repeat(np.arange(ndocs), lengths)
+        counts = np.zeros((ndocs, nl), dtype=np.int64)
+        for i in range(nl):
+            hit = (masks >> i) & 1 == 1
+            if hit.any():
+                counts[:, i] = np.bincount(doc_idx[hit], minlength=ndocs)
+        best = counts.argmax(axis=1)  # ties -> first (lowest code order)
+        pred = np.array(self.langs, dtype=object)[best]
+        pred[counts.max(axis=1) == 0] = "und"
+        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": pred})
 
 
 FP_BASE = np.uint64(1099511628211)  # FNV-ish odd multiplier

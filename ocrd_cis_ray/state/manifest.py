@@ -97,10 +97,25 @@ def run_partitioned(
     done = completed_partitions(out_dir)
     skipped = completed = rows_total = 0
     for pid, (lo, hi) in enumerate(partitions):
-        if pid in done:
+        rec = done.get(pid)
+        # a committed partition is only reusable when it was produced
+        # from the SAME inputs over the SAME key range — a rerun with
+        # changed inputs or re-derived partition bounds must invalidate
+        # and recompute, not silently serve stale rows
+        if rec is not None and (
+            rec.get("input_fingerprint", "") == input_fingerprint
+            and rec.get("lo") == lo
+            and rec.get("hi") == hi
+        ):
             skipped += 1
-            rows_total += int(done[pid].get("rows", 0))
+            rows_total += int(rec.get("rows", 0))
             continue
+        if rec is not None:
+            # invalidate: remove the stale manifest row before redoing
+            try:
+                os.remove(os.path.join(_manifest_dir(out_dir), f"{pid:05d}.json"))
+            except OSError:
+                pass
         final = partition_dir(out_dir, pid)
         tmp = os.path.join(out_dir, f".tmp-{pid:05d}-{uuid.uuid4().hex}")
         ds = make_ds(lo, hi)

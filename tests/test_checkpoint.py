@@ -84,6 +84,49 @@ def test_run_and_resume(ray_session, sf_dir, out_dir):
     assert n == 500
 
 
+def test_resume_invalidates_on_changed_inputs_or_bounds(ray_session, sf_dir, out_dir):
+    """A committed partition is reused ONLY when fingerprint AND key
+    range match; changed inputs or re-derived bounds recompute instead
+    of silently serving stale rows."""
+    calls: list = []
+    parts = [("", "5"), ("5", "")]
+    make_ds = _make_ds_factory(sf_dir, calls)
+    run_partitioned(make_ds, out_dir, parts, stage="x", input_fingerprint="fpA")
+
+    # same fingerprint + same bounds -> all skipped
+    calls.clear()
+    r = run_partitioned(make_ds, out_dir, parts, stage="x", input_fingerprint="fpA")
+    assert r["skipped"] == 2 and calls == []
+
+    # changed fingerprint -> full recompute
+    calls.clear()
+    r = run_partitioned(make_ds, out_dir, parts, stage="x", input_fingerprint="fpB")
+    assert r["completed"] == 2 and r["skipped"] == 0
+    assert len(calls) == 2
+
+    # changed bounds for one partition -> only that one recomputes
+    calls.clear()
+    parts2 = [("", "5"), ("5", "9")]  # second range re-derived differently
+    r = run_partitioned(make_ds, out_dir, parts2, stage="x", input_fingerprint="fpB")
+    assert r["completed"] == 1 and r["skipped"] == 1
+    assert calls == [("5", "9")]
+
+
+def test_ingest_fingerprint_tracks_listing(tmp_path):
+    from ocrd_cis_ray.sources.ingest import _listing_fingerprint
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.txt").write_text("one")
+    fp1 = _listing_fingerprint(str(d))
+    assert fp1 == _listing_fingerprint(str(d))  # stable
+    (d / "b.txt").write_text("two")
+    fp2 = _listing_fingerprint(str(d))
+    assert fp2 != fp1  # new file changes it
+    os.utime(d / "a.txt", ns=(1, 1))
+    assert _listing_fingerprint(str(d)) != fp2  # touch changes it
+
+
 def test_torn_manifest_ignored(out_dir):
     os.makedirs(os.path.join(out_dir, "_manifest"))
     with open(os.path.join(out_dir, "_manifest", "00000.json"), "w") as f:

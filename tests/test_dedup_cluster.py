@@ -92,3 +92,31 @@ def test_ivf_recall_vs_brute(ray_session, sf_dir):
     approx = pairs(ivf_topk(ds2, qids, qmat, k=5, nlist=8, nprobe=4).to_pandas())
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, recall  # bucketed ANN trades recall for work
+
+
+def test_embedding_blocked_strategy_recall(ray_session):
+    """Blocked (centroid-bucketed) embedding dedup: precision 1 vs the
+    exact broadcast path, high recall at a near-dup threshold (clones
+    land in the same centroid bucket)."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16)) * 3
+    rows, vid = [], 0
+    for b in base:
+        for _ in range(rng.integers(1, 4)):  # 1-3 near-clones each
+            rows.append({"vec_id": vid, "embedding": (b + rng.standard_normal(16) * 0.05).tolist()})
+            vid += 1
+    df = pd.DataFrame(rows)
+    ex = embedding_dup_pairs(rd.from_pandas(df), threshold=0.95, strategy="broadcast").to_pandas()
+    bl = embedding_dup_pairs(
+        rd.from_pandas(df), threshold=0.95, strategy="blocked", nlist=8, assign_top=2,
+        sample_size=len(df),
+    ).to_pandas()
+    pe = set(zip(ex["id_a"].astype(int), ex["id_b"].astype(int)))
+    pb = set(zip(bl["id_a"].astype(int), bl["id_b"].astype(int)))
+    assert pb <= pe  # no false pairs
+    assert len(pe) > 10
+    assert len(pe & pb) / len(pe) >= 0.9
