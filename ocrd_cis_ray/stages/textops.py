@@ -22,13 +22,87 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# small public stopword lists per language (subset; heuristic signal only)
+# per-language stopword (function-word) lists — standard closed-class
+# vocabulary, the same signal the reference's stopwords.json carries
+# (div/stopwords.json: german 129 / english 174 / latin 90 words;
+# div/lang.py:19-88 consumes it). The q22 oracle SQL is GENERATED from
+# this dict (_langid_sql), so engine and oracle stay in lockstep.
 STOPWORDS: dict[str, frozenset[str]] = {
-    "en": frozenset("the and of to a in is it you that he was for on are".split()),
-    "de": frozenset("der die das und ist ich nicht sie mit ein auf für von zu".split()),
-    "fr": frozenset("le la les et de un une est je pas pour dans sur avec".split()),
-    "es": frozenset("el la los las y de un una es no por para con su".split()),
-    "zh": frozenset("的 是 不 了 在 人 有 我 他 这 个 们 中 来".split()),
+    "en": frozenset(
+        """the and of to a in is it you that he was for on are as with his they
+        i at be this have from or one had by word but not what all were we when
+        your can said there use an each which she do how their if will up other
+        about out many then them these so some her would make like him into time
+        has look two more write go see number no way could people my than first
+        been who its now find long down day did get come made may part over new
+        sound take only little work know place year live me back give most very
+        after thing our just name good sentence man think say great where help
+        through much before line right too mean old any same tell boy follow
+        came want show also around form three small set put end does another
+        well large must big even such because turn here why ask went men read
+        need land different home us move try kind hand picture again change off
+        play spell air away animal house point page letter mother answer found
+        study still learn should world high every near add food between own
+        below country plant last school father keep tree never start city earth
+        eye light thought head under story saw left dont few while along might
+        close something seem next hard open example begin life always those both
+        paper together got group often run""".split()
+    ),
+    "de": frozenset(
+        """der die das und ist ich nicht sie mit ein auf für von zu den dem des
+        er es wir ihr sind war waren sein eine einer eines einem einen auch als
+        an aber bei bis da dann doch durch ehe ohne nach noch nur oder so um
+        unter vor wenn wie wo zwar über aus man mir mich dir dich uns euch ihm
+        ihn ihnen was wer wem wen welche welcher welches hier dort heute morgen
+        immer wieder schon sehr mehr viel viele alle alles etwas nichts kein
+        keine keiner meines deines seines hat hatte haben hatten wird werden
+        wurde wurden kann können konnte muss müssen sollte würde jetzt dieser
+        diese dieses jener jene jenes mein dein sein unser ihre sich selbst
+        gegen zwischen während wegen trotz statt damit dass weil obwohl indem
+        sondern sowie beim vom zum zur ins ans aufs""".split()
+    ),
+    "fr": frozenset(
+        """le la les et de un une est je pas pour dans sur avec que qui quoi ne
+        se ce cette ces son sa ses mon ma mes ton ta tes notre votre leur nous
+        vous ils elles il elle on tu au aux du des par plus moins très bien mal
+        tout tous toute toutes rien quelque chose comme mais ou donc or ni car
+        si quand où dont être avoir fait faire dit dire peut pouvoir veut
+        vouloir va aller vient venir sans sous entre vers chez depuis pendant
+        avant après aussi encore déjà toujours jamais ici là alors ainsi même
+        autre autres deux trois premier dernier nouveau grand petit bon mauvais
+        était été sont avait avaient sera seront cet celui celle ceux celles
+        lui leur eux moi toi soi y en""".split()
+    ),
+    "es": frozenset(
+        """el la los las y de un una es no por para con su en que se del al lo
+        le les me te nos os mi tu sus mis tus este esta estos estas ese esa
+        esos esas aquel aquella como más menos muy mucho muchos poco pocos
+        todo todos toda todas otro otros otra otras pero o ni si cuando donde
+        porque pues aunque mientras durante antes después también tampoco ya
+        aún siempre nunca aquí allí entonces así mismo misma dos tres primero
+        último nuevo grande pequeño bueno malo era fue son había habían será
+        serán estar estaba estaban ser tener tiene tienen hacer hace hacen
+        decir dice dijo puede pueden ir va van venir viene sin sobre entre
+        hacia desde hasta contra según cada cual quien cuyo ello ella ellos
+        ellas usted ustedes yo él""".split()
+    ),
+    "zh": frozenset(
+        """的 是 不 了 在 人 有 我 他 这 个 们 中 来 上 大 为 和 国 地 到 以 说 时
+        要 就 出 会 可 也 你 对 生 能 而 子 那 得 于 着 下 自 之 年 过 发 后 作 里
+        用 道 行 所 然 家 种 事 成 方 多 经 么 去 法 学 如 都 同 现 当 没 动 面 起
+        看 定 天 分 还 进 好 小 部 其 些 主 样 理 心 她 本 前 开 但 因 只 从 想 实""".split()
+    ),
+    "la": frozenset(
+        """et in est non ad ut cum de quod qui quae sed si ex per aut atque enim
+        autem nec neque quam etiam iam tamen esse sunt erat erant fuit a ab ac
+        apud ante post inter sub super contra sine pro propter ob tam ita sic
+        nam vero igitur ergo itaque quia quoniam dum donec ubi unde quo cur
+        quid quis quem cuius cui ipse ille hic haec hoc ea id eius eorum se
+        sibi suus sua suum noster vester meus tuus omnis omnia nihil nemo
+        semper numquam saepe modo tum tunc nunc hodie cras heri ibi illic
+        huc illuc inde deinde primum denique quidem quoque vel sive seu an
+        ne uti velut quasi tamquam""".split()
+    ),
 }
 
 _TOKEN_SPLIT = r"\s+"

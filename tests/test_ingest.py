@@ -50,3 +50,27 @@ def test_ingest_resumable_skips_done(ray_session, raw_dir, tmp_path):
         pq.read_metadata(f).num_rows for f in glob.glob(os.path.join(out, "part=*", "*.parquet"))
     )
     assert n == 12
+
+
+def test_external_ocr_importer_unions_into_alignment(ray_session, tmp_path):
+    """External .pred.txt lines import as a variant source with the
+    alignment schema; misnamed files are skipped (importer.py parity)."""
+    from ocrd_cis_ray.sources.external import import_external_lines
+
+    d = tmp_path / "lines"
+    d.mkdir()
+    (d / "doc1__0.pred.txt").write_text("externer text hier\n")
+    (d / "doc1__1.pred.txt").write_text("zweite zeile")
+    (d / "doc2__0.pred.txt").write_text("anderes dokument")
+    (d / "garbage.txt").write_text("ignored")  # wrong suffix
+    (d / "nounderscore.pred.txt").write_text("ignored too")  # unparseable
+
+    out = import_external_lines(str(d), source="CALAMARI", conf=0.66).to_pandas()
+    out = out.sort_values(["doc_id", "line_no"]).reset_index(drop=True)
+    assert list(out.columns) == ["doc_id", "source", "line_no", "text", "conf"]
+    assert len(out) == 3
+    assert (out["source"] == "CALAMARI").all()
+    assert out.loc[0, "text"] == "externer text hier"
+    assert out.loc[1, "line_no"] == 1
+    import numpy as np
+    assert np.allclose(out["conf"], 0.66)
