@@ -95,7 +95,10 @@ def run_bench() -> dict:
     # full OCR-over-media lifecycle (segment -> recognize -> postcorrect)
     from ocrd_cis_ray.pipelines.ocr_chain import run_ocr_chain
 
-    timed("flagship_ocr_chain", lambda: run_ocr_chain(SF_DIR, concurrency=max(2, NUM_CPUS // 8)))
+    chain_out = timed(
+        "flagship_ocr_chain", lambda: run_ocr_chain(SF_DIR, concurrency=max(2, NUM_CPUS // 8))
+    )
+    rebalance_stats = chain_out.attrs.get("rebalance")
 
     # operator benchmarks over driver tables
     Q = entrymod.queries()
@@ -135,6 +138,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "docs": n_docs,
         "docs_per_sec": round(n_docs / headline_sec, 1) if headline_sec > 0 else None,
+        "page_partition_bytes": rebalance_stats,
     }
     ray.shutdown()
     return result

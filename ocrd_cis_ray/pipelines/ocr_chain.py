@@ -79,6 +79,60 @@ def synth_pages(sf_dir: str):
     return ds.map_batches(render, batch_format="pyarrow")
 
 
+def rebalance_pages(pages, *, n_partitions: int | None = None):
+    """Byte-weighted range rebalance of the media-heavy page rows — the
+    north_rule's explicit groupby-shuffle rebalancing of skewed
+    partitions (shuffle.weighted_ranges). One exchange: rows are tagged
+    with their byte-balanced doc_id range (driver-side weighted
+    quantiles over a bounded sample) and co-located per range.
+
+    Returns (pages_dataset, stats) where stats reports the realized
+    per-partition byte distribution: {"parts", "max_mb", "mean_mb",
+    "spread"} — spread = max/mean partition bytes (1.0 = perfect).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..shuffle import weighted_ranges
+
+    if n_partitions is None:
+        n_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def with_bytes(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "media_bytes", pc.cast(pc.binary_length(t["pixels"]), pa.int64())
+        )
+
+    sized = pages.map_batches(with_bytes, batch_format="pyarrow").materialize()
+    bounds = weighted_ranges(sized, "doc_id", "media_bytes", n_partitions)
+    bounds_arr = np.array(bounds, dtype=object)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=object)
+        part = np.searchsorted(bounds_arr, ids, side="right").astype(np.int32)
+        return t.append_column("__part", pa.array(part))
+
+    parted = sized.map_batches(assign, batch_format="pyarrow")
+    balanced = parted.groupby("__part").map_groups(_drop_part_cols, batch_format="pyarrow").materialize()
+    spread_df = (
+        parted.groupby("__part").aggregate(Sum("media_bytes", alias_name="bytes")).to_pandas()
+    )
+    b = spread_df["bytes"].to_numpy(dtype=np.float64)
+    stats = {
+        "parts": int(len(b)),
+        "max_mb": round(float(b.max()) / 2**20, 2),
+        "mean_mb": round(float(b.mean()) / 2**20, 2),
+        "spread": round(float(b.max() / b.mean()), 3),
+    }
+    return balanced, stats
+
+
+def _drop_part_cols(t: pa.Table) -> pa.Table:
+    return t.drop_columns(["__part", "media_bytes"])
+
+
 def degrade(pages, source: str, noise: int, erode: float, seed: int = 42):
     """Seeded per-(doc, source) degradation — the scanner/engine variance
     each OCR file group carries in the reference: salt specks in the
@@ -234,7 +288,7 @@ def _cer_reduce(partials, stage: str) -> pd.DataFrame:
     return out
 
 
-def run_ocr_chain(sf_dir: str, *, concurrency: int = 4):
+def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
     """Full chain; returns a summary frame
     (stage, source, char_errors, gt_chars, char_error_rate) with one
     'raw' row per OCR source and one 'postcorrected' row for OCR-2
@@ -250,8 +304,14 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4):
     from functools import partial
 
     # render pages ONCE and share across engine channels (pages are the
-    # expensive media payload; the object store holds them for both)
-    pages = synth_pages(sf_dir).materialize()
+    # expensive media payload; the object store holds them for both);
+    # rebalance=True re-partitions by byte-weighted doc_id ranges so the
+    # fan-out sees equal-byte blocks even under media-size skew
+    rb_stats = None
+    if rebalance:
+        pages, rb_stats = rebalance_pages(synth_pages(sf_dir))
+    else:
+        pages = synth_pages(sf_dir).materialize()
     v1 = ocr_source_lines(pages, "OCR-1", 0.9, concurrency=concurrency)
     v2 = ocr_source_lines(pages, "OCR-2", 0.7, concurrency=concurrency)
     gt = gt_lines(sf_dir)
@@ -308,6 +368,9 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4):
         stage="postcorrected",
     )
 
-    return pd.concat([cer_raw, cer_fixed], ignore_index=True)[
+    out = pd.concat([cer_raw, cer_fixed], ignore_index=True)[
         ["stage", "source", "char_errors", "gt_chars", "char_error_rate"]
     ]
+    if rb_stats is not None:
+        out.attrs["rebalance"] = rb_stats  # surfaced by bench.py
+    return out

@@ -44,12 +44,20 @@ def decode_gray(buf: bytes) -> np.ndarray:
     return np.frombuffer(buf, dtype=np.uint8, offset=10).reshape(h, w)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=512)
 def _glyph(ch: str) -> np.ndarray:
-    """Deterministic (GLYPH_H-2 x GLYPH_W-2) bit pattern for a character."""
+    """Deterministic (GLYPH_H-2 x GLYPH_W-2) bit pattern for a character.
+    Cached: rendering re-uses each glyph thousands of times per page
+    batch, and the per-call default_rng construction dominated the
+    renderer before memoization."""
     code = ord(ch)
     rng = np.random.default_rng(code * 2654435761 % (2**31))
     g = rng.random((GLYPH_H - 4, GLYPH_W - 2)) < 0.55
     g[0, :] = True  # every glyph touches the x-height line (stable baseline)
+    g.setflags(write=False)  # shared cache entry must stay immutable
     return g
 
 

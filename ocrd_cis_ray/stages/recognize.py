@@ -99,10 +99,10 @@ class Recognizer:
         # y0 = the 8-row window holding the most ink.
         col_ink = fg.sum(axis=0).astype(np.int64)
         mods = np.arange(w) % GLYPH_W
-        phase_scores = [
-            col_ink[(mods == p) | (mods == (p + GLYPH_W - 1) % GLYPH_W)].sum()
-            for p in range(GLYPH_W)
-        ]
+        # ink per phase class, then margin score = own + previous class
+        # (vectorized bincount replaces the per-phase mask loop)
+        per_mod = np.bincount(mods, weights=col_ink, minlength=GLYPH_W)
+        phase_scores = per_mod + np.roll(per_mod, 1)
         p = int(np.argmin(phase_scores))
         fic = int(ink_cols[0])
         x_base = (fic - 1) - ((fic - 1 - p) % GLYPH_W)
@@ -114,16 +114,19 @@ class Recognizer:
         n_cells = max(0, (int(ink_cols[-1]) - x_base) // GLYPH_W + 1)
         if n_cells == 0:
             return "", 0.0, []
-        cells = np.zeros((n_cells, gh * gw), dtype=np.float64)
-        for i in range(n_cells):
-            x0 = x_base + i * GLYPH_W + 1
-            cell = img[y0 : y0 + gh, x0 : x0 + gw]
-            if cell.shape != (gh, gw):
-                ch, cw = cell.shape
-                padded = np.full((gh, gw), 255, dtype=img.dtype)
-                padded[:ch, :cw] = cell
-                cell = padded
-            cells[i] = (cell < 128).astype(np.float64).ravel()
+        # all cells in ONE strided reshape: pad the grid band to full
+        # cell extent, reshape to (gh, n_cells, GLYPH_W), take the glyph
+        # columns — no per-cell Python slicing
+        x_start = x_base + 1  # x_base >= -1 so x_start >= 0
+        band = np.full((gh, n_cells * GLYPH_W), 255, dtype=img.dtype)
+        src = img[y0 : y0 + gh, x_start : x_start + n_cells * GLYPH_W]
+        band[: src.shape[0], : src.shape[1]] = src
+        strips = band.reshape(gh, n_cells, GLYPH_W)
+        cells = (
+            (strips[:, :, :gw].transpose(1, 0, 2) < 128)
+            .reshape(n_cells, gh * gw)
+            .astype(np.float64)
+        )
         cnorm = np.linalg.norm(cells, axis=1)
         # drop leading empty cells (a lone speck can pull the ink bbox
         # left of the first glyph; GT lines never start with spaces)

@@ -28,20 +28,21 @@ def test_dup_clusters_components(ray_session):
 
 
 def test_dup_clusters_long_chain_pointer_doubling(ray_session):
-    """A path component of diameter 300 must converge in ≤12 rounds —
-    impossible for one-hop propagation (needs 300), so this pins the
+    """A path component of diameter 64 must converge in ≤9 rounds —
+    impossible for one-hop propagation (needs 64), so this pins the
     pointer-doubling shortcut. (Diameter 1000 in 15 rounds verified
-    standalone; kept at 300 here for suite runtime.)"""
+    standalone; kept small here for suite runtime — per-round cost is
+    fixed Ray shuffle overhead, so chain length barely changes it.)"""
     import ray.data as rd
 
     from ocrd_cis_ray.stages.dedup import dup_clusters
 
     pairs = rd.from_pandas(
-        pd.DataFrame({"id_a": np.arange(300), "id_b": np.arange(1, 301)})
+        pd.DataFrame({"id_a": np.arange(64), "id_b": np.arange(1, 65)})
     )
-    out = dup_clusters(pairs, num_buckets=8, max_rounds=12).to_pandas()
+    out = dup_clusters(pairs, num_buckets=8, max_rounds=9).to_pandas()
     assert (out["cluster"] == 0).all()
-    assert len(out) == 301
+    assert len(out) == 65
 
 
 def test_dup_clusters_nonconvergence_raises(ray_session):
@@ -50,7 +51,7 @@ def test_dup_clusters_nonconvergence_raises(ray_session):
     from ocrd_cis_ray.stages.dedup import dup_clusters
 
     pairs = rd.from_pandas(
-        pd.DataFrame({"id_a": np.arange(200), "id_b": np.arange(1, 201)})
+        pd.DataFrame({"id_a": np.arange(64), "id_b": np.arange(1, 65)})
     )
     with pytest.raises(RuntimeError, match="did not stabilize"):
         dup_clusters(pairs, num_buckets=8, max_rounds=2, strict=True)
