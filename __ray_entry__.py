@@ -432,7 +432,7 @@ def q32_minhash_pairs(sf_dir: str):
     from ocrd_cis_ray.stages.dedup import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(ds, num_perm=128, bands=32, ngram=3, threshold=0.5, concurrency=2)
+    return minhash_lsh_pairs(ds, num_perm=128, bands=32, ngram=3, threshold=0.5, concurrency=8)
 
 
 def q33_simhash(sf_dir: str):
