@@ -613,6 +613,57 @@ def q51_cer_by_source(sf_dir: str):
     return cer_by_source(pairs)
 
 
+def q52_source_agreement(sf_dir: str):
+    """Per-OCR-source agreement report vs GT over aligned variant lines
+    — the reference's div/stats.py per-source match aggregation +
+    auswerter.py summary (exact-line matches, levenshtein mass): one
+    wide pivot (the ocr_chain shuffle), row-local compares, Sum-reduce."""
+    from ray.data.aggregate import Sum
+
+    from ocrd_cis_ray.pipelines.ocr_chain import wide_lines
+    from ocrd_cis_ray.util import levenshtein
+
+    wide = wide_lines(_variant_lines(sf_dir), sources=tuple(_ALIGN_SOURCES))
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src in ("OCR-1", "OCR-2"):
+            gt = b["GT"]
+            t = b[src]
+            rows.append(
+                {
+                    "source": src,
+                    "n_lines": len(b),
+                    "n_exact": int((t == gt).sum()),
+                    "lev_sum": int(sum(levenshtein(x or "", g or "") for x, g in zip(t, gt))),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    agg = (
+        wide.map_batches(partials, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("n_lines", alias_name="n_lines"),
+            Sum("n_exact", alias_name="n_exact"),
+            Sum("lev_sum", alias_name="lev_sum"),
+        )
+    )
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": b["source"],
+                "n_lines": b["n_lines"].astype("int64"),
+                "n_exact": b["n_exact"].astype("int64"),
+                "lev_sum": b["lev_sum"].astype("int64"),
+                "match_rate": (b["n_exact"] / b["n_lines"]).astype("float64"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # n-way alignment
 
@@ -951,6 +1002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q41_ann_ivf": q41_ann_ivf,
         "q50_wer_global": q50_wer_global,
         "q51_cer_by_source": q51_cer_by_source,
+        "q52_source_agreement": q52_source_agreement,
         "q60_align_lines": q60_align_lines,
         "q61_align_words": q61_align_words,
         "q62_align_words_oracle": q62_align_words_oracle,
@@ -1257,6 +1309,20 @@ FROM tok
 """,
         "q71_recognize": """
 SELECT doc_id, rtrim(substring(text, 1, 40), ' ') AS text FROM documents
+""",
+        "q52_source_agreement": variant_cte
+        + """
+SELECT 'OCR-1' AS source, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN replace(ltext, 'e', 'c') = ltext THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(levenshtein(replace(ltext, 'e', 'c'), ltext)) AS BIGINT) AS lev_sum,
+       CAST(SUM(CASE WHEN replace(ltext, 'e', 'c') = ltext THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS match_rate
+FROM lines
+UNION ALL
+SELECT 'OCR-2', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN replace(ltext, 't', 'l') = ltext THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(levenshtein(replace(ltext, 't', 'l'), ltext)) AS BIGINT),
+       CAST(SUM(CASE WHEN replace(ltext, 't', 'l') = ltext THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+FROM lines
 """,
         "q60_align_lines": variant_cte
         + """

@@ -39,6 +39,16 @@ def main(argv=None):
     ing.add_argument("--partitions", type=int, default=8)
     ing.add_argument("--num-cpus", type=int, default=8)
 
+    trn = sub.add_parser("train", help="train the BIDILSTM+CTC recognizer on GT line rows (ocrd-cis-ocropy-train analog)")
+    trn.add_argument("-i", "--input", required=True, help="parquet of line rows (pixels, gt_text)")
+    trn.add_argument("--model", required=True, help="output model pickle path")
+    trn.add_argument("--epochs", type=int, default=40)
+    trn.add_argument("--nstates", type=int, default=40)
+    trn.add_argument("--lr", type=float, default=0.01)
+    trn.add_argument("--max-lines", type=int, default=512)
+    trn.add_argument("--line-height", type=int, default=28)
+    trn.add_argument("--num-cpus", type=int, default=8)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "stages":
@@ -71,6 +81,19 @@ def main(argv=None):
             from .sources.ingest import ingest_resumable
 
             res = ingest_resumable(args.input, args.output, n_partitions=args.partitions)
+            print(json.dumps(res))
+        elif args.cmd == "train":
+            from .stages.lstm import train_recognizer
+
+            res = train_recognizer(
+                rd.read_parquet(args.input),
+                args.model,
+                nstates=args.nstates,
+                epochs=args.epochs,
+                lr=args.lr,
+                max_lines=args.max_lines,
+                line_height=args.line_height,
+            )
             print(json.dumps(res))
         elif args.cmd == "flagship":
             from .pipelines.flagship import extract_pipeline

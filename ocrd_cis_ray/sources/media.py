@@ -108,6 +108,20 @@ def render_line(
     return img
 
 
+def resize_to_height(img: np.ndarray, target_h: int) -> np.ndarray:
+    """Nearest-neighbour rescale to a fixed height, width scaled to
+    keep aspect (the reference resizes lines to 48 px before
+    recognition — resize_keep_ratio, ocropy/recognize.py:221-224)."""
+    h, w = img.shape
+    if h == target_h:
+        return img
+    scale = target_h / h
+    tw = max(1, int(round(w * scale)))
+    rows = np.clip((np.arange(target_h) / scale).astype(int), 0, h - 1)
+    cols = np.clip((np.arange(tw) / scale).astype(int), 0, w - 1)
+    return img[rows][:, cols]
+
+
 def shear_vertical(img: np.ndarray, angle_deg: float) -> np.ndarray:
     """Vertical shear by tan(angle): out[y, x] = img[y - shift(x), x]
     (nearest-neighbour gather, white fill outside)."""

@@ -359,3 +359,48 @@ class SeqRecognizer:
         if not isinstance(obj, SeqRecognizer):
             raise TypeError(f"not a SeqRecognizer model: {path}")
         return obj
+
+
+def train_recognizer(
+    ds,
+    model_path: str,
+    *,
+    nstates: int = 40,
+    epochs: int = 40,
+    lr: float = 0.01,
+    max_lines: int = 512,
+    line_height: int = 28,
+    seed: int = 7,
+) -> dict:
+    """Train a BIDILSTM+CTC recognizer from a Dataset of line rows
+    (``pixels`` raw-gray payload, ``gt_text``) and pickle it to
+    ``model_path``.
+
+    Training is single-process over a bounded line sample — the exact
+    shape of the reference (ocropy/train.py:58-207 / ocropus_rtrain:
+    one process, `ntrain` random line draws); the distributed part of
+    the story is INFERENCE, where the pickled model fans out to
+    recognizer actor pools via ``model_path`` (loaded once per actor).
+    The codec is built from the sample's character inventory. Returns
+    {"lines", "classes", "epochs", "final_cer"}.
+    """
+    from ..sources.media import decode_gray, resize_to_height
+    from ..util import levenshtein
+
+    rows = ds.take(max_lines)
+    imgs = [resize_to_height(decode_gray(r["pixels"]), line_height) for r in rows]
+    texts = [r["gt_text"] or "" for r in rows]
+    codec = Codec(["", "~"] + sorted({c for t in texts for c in t}))
+    rec = SeqRecognizer(line_height, nstates, codec, seed=seed)
+    for _ in range(epochs):
+        for img, t in zip(imgs, texts):
+            rec.train_line(img, t, lr=lr)
+    errs = sum(levenshtein(rec.predict_line(img)[0], t) for img, t in zip(imgs, texts))
+    total = max(1, sum(len(t) for t in texts))
+    rec.save(model_path)
+    return {
+        "lines": len(rows),
+        "classes": codec.size(),
+        "epochs": epochs,
+        "final_cer": round(errs / total, 4),
+    }

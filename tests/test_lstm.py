@@ -175,3 +175,51 @@ def test_recognizer_actor_lstm_path(ray_session, tmp_path):
     assert errs <= 2
     w0 = out.loc["d0", "words"]
     assert len(w0) >= 1 and all(w["conf"] > 0 for w in w0)
+
+
+def test_train_recognizer_dataset_entrypoint(ray_session, tmp_path):
+    """train_recognizer (the ocrd-cis-ocropy-train analog): Dataset of
+    (pixels, gt_text) line rows -> pickled model; heights normalized
+    via resize_to_height; model drives the actor pool."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocrd_cis_ray.sources.media import encode_gray
+    from ocrd_cis_ray.stages.lstm import train_recognizer
+    from ocrd_cis_ray.stages.recognize import recognize_lines
+
+    imgs = [render_line(t) for t in TEXTS]
+    tbl = pa.table(
+        {
+            "pixels": pa.array([encode_gray(im) for im in imgs], pa.large_binary()),
+            "gt_text": list(TEXTS),
+        }
+    )
+    path = str(tmp_path / "model.pkl")
+    res = train_recognizer(rd.from_arrow(tbl), path, epochs=40, line_height=imgs[0].shape[0])
+    assert res["lines"] == len(TEXTS)
+    assert res["final_cer"] < 0.10
+    rows = pa.table(
+        {
+            "doc_id": [f"d{i}" for i in range(len(TEXTS))],
+            "span_id": ["line-0"] * len(TEXTS),
+            "pixels": pa.array([encode_gray(im) for im in imgs], pa.large_binary()),
+        }
+    )
+    out = recognize_lines(rd.from_arrow(rows), concurrency=1, model_path=path).to_pandas()
+    errs = sum(
+        levenshtein(t_pred, t) for t_pred, t in zip(out.sort_values("doc_id")["text"], TEXTS)
+    )
+    assert errs <= 2
+
+
+def test_resize_to_height():
+    from ocrd_cis_ray.sources.media import resize_to_height
+
+    img = render_line("resize me")
+    h, w = img.shape
+    out = resize_to_height(img, 48)
+    assert out.shape[0] == 48
+    assert abs(out.shape[1] - round(w * 48 / h)) <= 1
+    assert (out < 128).any()
+    assert resize_to_height(img, h) is img
