@@ -103,7 +103,7 @@ def run_bench() -> dict:
     from ocrd_cis_ray.pipelines.ocr_chain import run_ocr_chain
 
     chain_out = timed(
-        "flagship_ocr_chain", lambda: run_ocr_chain(SF_DIR, concurrency=max(2, NUM_CPUS // 8))
+        "flagship_ocr_chain", lambda: run_ocr_chain(SF_DIR, concurrency=max(2, NUM_CPUS // 4))
     )
     rebalance_stats = chain_out.attrs.get("rebalance")
 
