@@ -382,6 +382,23 @@ def q23_lang_counts(sf_dir: str):
     return ds.groupby("lang").aggregate(Count(alias_name="n"))
 
 
+_BPE_PRETOKEN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def q25_bpe_token_count(sf_dir: str):
+    """BPE-style pretokenizer token count per doc (the GPT-2 pretoken
+    split, RE2-compatible subset — no lookahead). Fully vectorized:
+    one pc.count_substring_regex kernel per batch; engine and oracle
+    both run RE2, so tokenization parity is by construction."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], _BPE_PRETOKEN)
+        return pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
 def q24_fingerprint(sf_dir: str):
     from ocrd_cis_ray.stages.textops import fingerprint_batch
 
@@ -990,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_langid": q22_langid,
         "q23_lang_counts": q23_lang_counts,
         "q24_fingerprint": q24_fingerprint,
+        "q25_bpe_token_count": q25_bpe_token_count,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,
         "q32_minhash_pairs": q32_minhash_pairs,
@@ -1153,6 +1171,11 @@ SELECT doc_id, COUNT(*) AS n_spans,
        CAST(SUM(CASE WHEN kind = 'word' THEN 1 ELSE 0 END) AS BIGINT) AS n_words,
        CAST(SUM(CASE WHEN kind = 'line' THEN 1 ELSE 0 END) AS BIGINT) AS n_lines
 FROM spans GROUP BY doc_id
+""",
+        "q25_bpe_token_count": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+')) AS BIGINT) AS n_bpe_tokens
+FROM documents
 """,
         "q20_token_count": """
 SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents

@@ -142,6 +142,66 @@ def _parquet_rows(path: str) -> int:
     return pq.read_metadata(path).num_rows
 
 
+def write_resumable(
+    ds,
+    out_dir: str,
+    *,
+    key: str = "doc_id",
+    n_partitions: int = 16,
+    stage: str = "stage",
+    input_fingerprint: str = "",
+    sample_limit: int = 200_000,
+) -> dict:
+    """Checkpointed partitioned write of ANY Dataset — the generic
+    per-stage lineage sink (north_rule: every stage's output is
+    per-partition manifested so a killed job resumes).
+
+    The Dataset is materialized ONCE; key-range bounds come from a
+    bounded driver-side sample (works for string or int keys), and each
+    partition filters the materialized blocks (vectorized pc range
+    mask) — no pipeline recompute per partition. Writes go through
+    ``run_partitioned``: tmp-dir + fsync-rename + manifest row, reruns
+    skip committed (fingerprint- and range-matched) partitions.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ds = ds.materialize()
+    sample = (
+        ds.select_columns([key])
+        .randomize_block_order(seed=42)
+        .limit(sample_limit)
+        .to_pandas()[key]
+        .sort_values()
+        .to_numpy()
+    )
+    if len(sample) == 0:
+        return {"completed": 0, "skipped": 0, "rows": 0}
+    idx = [round(i * len(sample) / n_partitions) for i in range(1, n_partitions)]
+    bounds = sorted({sample[min(i, len(sample) - 1)] for i in idx})
+    bounds = [b.item() if isinstance(b, np.generic) else b for b in bounds]
+    partitions: list[tuple] = []
+    prev = None
+    for b in bounds:
+        partitions.append((prev, b))
+        prev = b
+    partitions.append((prev, None))
+
+    def make_ds(lo, hi):
+        def in_range(t):
+            ids = t[key]
+            mask = pc.greater_equal(ids, lo) if lo is not None else pc.equal(ids, ids)
+            if hi is not None:
+                mask = pc.and_(mask, pc.less(ids, hi))
+            return t.filter(mask)
+
+        return ds.map_batches(in_range, batch_format="pyarrow")
+
+    return run_partitioned(
+        make_ds, out_dir, partitions, stage=stage, input_fingerprint=input_fingerprint
+    )
+
+
 def doc_id_ranges(n_partitions: int, *, prefix: str = "d", id_width: int = 8, max_id: int = 10**8) -> list[tuple[str, str]]:
     """Range-partition the doc_id keyspace ``d{num:08d}p*`` into
     lexicographic (lo, hi) bounds — the north_rule's range partitioning.

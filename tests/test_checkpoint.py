@@ -135,3 +135,40 @@ def test_torn_manifest_ignored(out_dir):
     commit_partition(out_dir, 1, {"rows": 5})
     done = completed_partitions(out_dir)
     assert list(done) == [1] and done[1]["rows"] == 5
+
+
+def test_write_resumable_generic_dataset(ray_session, sf_dir, tmp_path):
+    """write_resumable: any Dataset checkpoints per key range; a killed
+    run resumes recomputing only the missing partition."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.state.manifest import write_resumable
+
+    out = str(tmp_path / "sink")
+
+    def make():
+        return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    r1 = write_resumable(make(), out, key="doc_id", n_partitions=4, stage="extract",
+                         input_fingerprint="fpX")
+    assert r1["completed"] >= 3 and r1["rows"] == 500
+
+    # simulate a kill: drop one committed partition + its manifest
+    victim = sorted(os.listdir(os.path.join(out, "_manifest")))[1]
+    pid = int(victim.split(".")[0])
+    shutil.rmtree(partition_dir(out, pid))
+    os.remove(os.path.join(out, "_manifest", victim))
+
+    r2 = write_resumable(make(), out, key="doc_id", n_partitions=4, stage="extract",
+                         input_fingerprint="fpX")
+    assert r2["completed"] == 1 and r2["skipped"] == r1["completed"] - 1
+    assert r2["rows"] == 500
+
+    # disjoint union of partition outputs == input
+    n = 0
+    for name in os.listdir(out):
+        if name.startswith("part="):
+            for f in os.listdir(os.path.join(out, name)):
+                if f.endswith(".parquet"):
+                    n += pq.read_metadata(os.path.join(out, name, f)).num_rows
+    assert n == 500
