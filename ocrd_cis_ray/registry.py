@@ -162,7 +162,7 @@ def _borderclean(ds, **p):
 @register_stage(
     "segment",
     defaults={},
-    allowed=("min_line_gap", "min_col_gap", "min_line_h", "order"),
+    allowed=("min_line_gap", "min_col_gap", "min_line_h", "order", "remove_separators"),
     description="recursive XY-cut page segmentation into line rows",
 )
 def _segment(ds, **p):

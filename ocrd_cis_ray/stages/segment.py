@@ -103,7 +103,7 @@ def reading_order(boxes: list[tuple[int, int, int, int]]) -> list[int]:
 
 
 def segment_page(
-    img: np.ndarray, *, min_line_gap: int | str = 3, min_col_gap: int = 20, min_line_h: int = 4, order: str = "xy"
+    img: np.ndarray, *, min_line_gap: int | str = 3, min_col_gap: int = 20, min_line_h: int = 4, order: str = "xy", remove_separators: bool = False
 ) -> list[tuple[int, int, int, int]]:
     """Line boxes (y0, y1, x0, x1) in reading order via recursive XY cut.
 
@@ -115,6 +115,14 @@ def segment_page(
     instead of the depth-first XY order — needed for marginalia and
     skewed multi-column layouts."""
     binary = binarize_global(img)
+    if remove_separators:
+        # paint out long black rules (column dividers / hrules) so the
+        # whitespace-gap cuts can see through them (remove_hlines +
+        # separator semantics, common.py:512-519)
+        from .image_ops import remove_separator_lines
+
+        fg0 = binary < 128
+        binary, _ = remove_separator_lines(binary, estimate_scale(fg0))
     fg = binary < 128
     if min_line_gap == "auto":
         # inter-line white gaps scale with the glyph size; ~1/3 of the

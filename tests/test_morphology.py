@@ -233,3 +233,34 @@ def test_resegment_tightens_boxes(ray_session):
     new = decode_gray(out["pixels"][0])
     assert new.shape == (ny1 - ny0, nx1 - nx0)
     assert (new < 128).any()
+
+
+def test_separator_removal_recovers_columns():
+    """A vertical rule between two columns blocks the whitespace-gap
+    cut; with remove_separators=True the rule is painted out and both
+    columns segment in reading order (remove_hlines/compute_separators
+    semantics)."""
+    from ocrd_cis_ray.sources.media import render_line
+    from ocrd_cis_ray.stages.segment import segment_page
+
+    left = render_line("left col text")
+    right = render_line("right side here")
+    h = max(left.shape[0], right.shape[0])
+    rule_w = 3
+    gap = 24
+    w = left.shape[1] + gap + rule_w + gap + right.shape[1]
+    page = np.full((h * 2, w), 255, np.uint8)
+    page[: left.shape[0], : left.shape[1]] = left
+    x_rule = left.shape[1] + gap
+    page[:, x_rule : x_rule + rule_w] = 0  # full-height vertical rule
+    x_r = x_rule + rule_w + gap
+    page[: right.shape[0], x_r : x_r + right.shape[1]] = right
+
+    plain = segment_page(page)
+    cleaned = segment_page(page, remove_separators=True)
+    # with the rule removed, the two column blocks separate...
+    assert len(cleaned) == 2
+    (y0a, y1a, x0a, x1a), (y0b, y1b, x0b, x1b) = cleaned
+    assert x1a <= x_rule and x0b >= x_rule  # left col first, right second
+    # ...while the rule forces a different (merged or rule-spanning) cut
+    assert plain != cleaned

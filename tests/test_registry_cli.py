@@ -59,3 +59,34 @@ def test_cli_stages_listing():
     from ocrd_cis_ray.__main__ import main
 
     assert main(["stages"]) == 0
+
+
+def test_cli_train_subcommand(ray_session, tmp_path):
+    """CLI train (ocrd-cis-ocropy-train analog): parquet of GT line
+    rows -> pickled model, JSON report on stdout."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocrd_cis_ray.sources.media import encode_gray, render_line
+    from ocrd_cis_ray.__main__ import main
+
+    texts = ["cli train a", "cli train b", "nice lines"]
+    tbl = pa.table(
+        {
+            "pixels": pa.array([encode_gray(render_line(t)) for t in texts], pa.large_binary()),
+            "gt_text": texts,
+        }
+    )
+    d = tmp_path / "lines"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "lines.parquet"))
+    model = str(tmp_path / "m.pkl")
+    rc = main(["train", "-i", str(d), "--model", model, "--epochs", "5"])
+    assert rc in (0, None)
+    assert os.path.exists(model)
+
+    from ocrd_cis_ray.stages.lstm import SeqRecognizer
+
+    rec = SeqRecognizer.load(model)
+    assert rec.codec.size() > 5
