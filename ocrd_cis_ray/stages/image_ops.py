@@ -656,13 +656,15 @@ def media_op(ds, op: str, **params):
     )
 
 
-def preprocess_chain(ds, *, binarize_method: str = "global"):
+def preprocess_chain(ds, *, binarize_method: str = "global", clip_margin: int = 3):
     """The reference's full preprocessing chain
-    binarize→denoise→deskew→dewarp
-    (tests/run_image_preprocessing_test.bash:23-50 order, minus
-    clip/segment which need sibling geometry)."""
+    binarize→denoise→clip→deskew→dewarp
+    (tests/run_image_preprocessing_test.bash:23-50 order; clip removes
+    sibling-line intruders from the margin band before geometry
+    estimation, clip.py:218-267)."""
     ds = media_op(ds, "binarize", method=binarize_method)
     ds = media_op(ds, "denoise")
+    ds = media_op(ds, "clip", margin=clip_margin)
     ds = media_op(ds, "deskew")
     ds = media_op(ds, "dewarp")
     return ds

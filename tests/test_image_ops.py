@@ -135,7 +135,7 @@ def test_media_pipeline_chain(ray_session):
     out = preprocess_chain(ds).to_pandas()
     assert len(out) == 6
     for feats in out["features"]:
-        assert feats == "binarized,despeckled,deskewed,dewarped"
+        assert feats == "binarized,despeckled,clipped,deskewed,dewarped"
     assert (out["error"] == "").all()
     # all outputs decode and have the dewarp target height
     for buf in out["pixels"]:
