@@ -5,7 +5,8 @@ parquet tables at ``sf_dir``; the matching ``oracle_sql()`` entry is an
 ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
-sketch dedup, fingerprints) get the driver's rows-only check.
+sketch dedup, fingerprints, ANN recall, media payloads) get the
+driver's rows-only check. 41 queries, 31 oracle-checked.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.

@@ -39,6 +39,11 @@ def main(argv=None):
     ing.add_argument("--partitions", type=int, default=8)
     ing.add_argument("--num-cpus", type=int, default=8)
 
+    chain = sub.add_parser("ocr-chain", help="full OCR-over-media lifecycle (the aio super-pipeline analog)")
+    chain.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    chain.add_argument("--concurrency", type=int, default=4)
+    chain.add_argument("--num-cpus", type=int, default=8)
+
     trn = sub.add_parser("train", help="train the BIDILSTM+CTC recognizer on GT line rows (ocrd-cis-ocropy-train analog)")
     trn.add_argument("-i", "--input", required=True, help="parquet of line rows (pixels, gt_text)")
     trn.add_argument("--model", required=True, help="output model pickle path")
@@ -82,6 +87,11 @@ def main(argv=None):
 
             res = ingest_resumable(args.input, args.output, n_partitions=args.partitions)
             print(json.dumps(res))
+        elif args.cmd == "ocr-chain":
+            from .pipelines.ocr_chain import run_ocr_chain
+
+            out = run_ocr_chain(args.sf_dir, concurrency=args.concurrency)
+            print(out.to_json(orient="records"))
         elif args.cmd == "train":
             from .stages.lstm import train_recognizer
 

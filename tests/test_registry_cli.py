@@ -90,3 +90,21 @@ def test_cli_train_subcommand(ray_session, tmp_path):
 
     rec = SeqRecognizer.load(model)
     assert rec.codec.size() > 5
+
+
+def test_cli_ocr_chain_subcommand(ray_session):
+    """CLI ocr-chain (aio super-pipeline analog) runs at sf0.001 and
+    reports raw + postcorrected CER rows."""
+    import json as _json
+    import io
+    from contextlib import redirect_stdout
+
+    from ocrd_cis_ray.__main__ import main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["ocr-chain", "--sf-dir", "/root/testdata/sf0.001", "--concurrency", "2"])
+    assert rc in (0, None)
+    rows = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    stages = {(r["stage"], r["source"]) for r in rows}
+    assert ("raw", "OCR-1") in stages and ("postcorrected", "OCR-2") in stages
