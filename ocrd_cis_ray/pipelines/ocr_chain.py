@@ -369,7 +369,7 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
         LineCorrector,
         fn_constructor_args=(lexicon, confusions),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         batch_size=1024,
         num_cpus=0.5,
     )

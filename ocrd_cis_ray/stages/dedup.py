@@ -293,7 +293,9 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32, ngram: int = 
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "ngram": ngram},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        # autoscaling (1, N) pool: a FIXED pool larger than the session's
+        # CPU count would wait forever for actors that can never start
+        concurrency=(1, concurrency),
     )
     # signatures feed BOTH the banding pipeline and the verify pass;
     # without materializing, each consumer re-runs the shingle+minhash

@@ -178,7 +178,7 @@ def featurize_media(ds, *, fake_decode: bool = False, concurrency: int = 4, batc
         MediaFeaturizer,
         fn_constructor_kwargs={"fake_decode": fake_decode},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         batch_size=batch_size,
         num_cpus=num_cpus,
     )

@@ -256,7 +256,7 @@ def postcorrect_tokens(ds, lexicon: dict[str, int], confusions=None, *, concurre
         fn_constructor_args=(lexicon, confusions),
         fn_constructor_kwargs=kw,
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         batch_size=batch_size,
         num_cpus=num_cpus,
     )

@@ -203,7 +203,7 @@ def recognize_lines(ds, *, concurrency: int = 4, batch_size: int = 64, num_cpus:
     return ds.map_batches(
         Recognizer,
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
         batch_size=batch_size,
         num_cpus=num_cpus,
         fn_constructor_kwargs={"model_path": model_path} if model_path else {},
