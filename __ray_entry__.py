@@ -400,6 +400,89 @@ def q25_bpe_token_count(sf_dir: str):
     return ds.map_batches(count, batch_format="pyarrow")
 
 
+def q26_token_freq_quality(sf_dir: str):
+    """Corpus-frequency quality features per doc (the CCNet-style
+    rare-token quality filter, made order-independent for exact oracle
+    parity): median corpus frequency of the doc's tokens, count of rare
+    tokens (corpus freq ≤ 2), rare ratio.
+
+    Two passes: (1) distributed token frequencies (per-batch vectorized
+    value_counts partials → one bucketed aggregate — the combiner
+    pattern: shuffle rows = vocab size, not token count), collected and
+    broadcast (at 100 TB: truncate to top-V + floor count; the long
+    tail is 'rare' by definition); (2) per-doc scoring with one
+    pd merge + segment medians — no float summation, so engine and
+    DuckDB agree bit-exactly."""
+    import ray
+
+    from ocrd_cis_ray.shuffle import bucketed_aggregate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_counts(t: pa.Table) -> pd.DataFrame:
+        texts = t["text"].to_pylist()
+        toks = [w for txt in texts for w in (txt or "").split(" ")]
+        vc = pd.Series(toks).value_counts()
+        return pd.DataFrame({"w": vc.index, "c": vc.to_numpy()})
+
+    freq = bucketed_aggregate(
+        ds.map_batches(tok_counts, batch_format="pyarrow"), "w", {"c": ("c", "sum")}
+    ).to_pandas()
+    fmap = pd.Series(freq["c"].to_numpy(), index=freq["w"])
+    ref = ray.put(fmap)
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        fm = ray.get(ref)
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        toks_per_doc = [(txt or "").split(" ") for txt in texts]
+        lengths = np.array([len(ts) for ts in toks_per_doc], np.int64)
+        flat = [w for ts in toks_per_doc for w in ts]
+        cs = fm.reindex(flat).fillna(0).to_numpy(dtype=np.int64)
+        doc_idx = np.repeat(np.arange(len(ids)), lengths)
+        # per-doc median via one lexsort + middle-element gather
+        order = np.lexsort((cs, doc_idx))
+        cs_sorted = cs[order]
+        starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+        lo = starts + (lengths - 1) // 2
+        hi = starts + lengths // 2
+        med = (cs_sorted[lo] + cs_sorted[hi]) / 2.0
+        n_rare = np.bincount(doc_idx[cs <= 2], minlength=len(ids)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "median_freq": med,
+                "n_rare": n_rare,
+                "rare_ratio": n_rare / lengths,
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+_REDACT_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+|[0-9][0-9][0-9][0-9][0-9][0-9]+"
+
+
+def q27_redact(sf_dir: str):
+    """PII-style redaction: emails and long digit runs replaced with
+    <PII> (one RE2 replace + count kernel per batch; both engine and
+    DuckDB run RE2 so replacement parity is by construction)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def redact(t: pa.Table) -> pa.Table:
+        clean = pc.replace_substring_regex(t["text"], _REDACT_PATTERN, "<PII>")
+        n = pc.count_substring_regex(t["text"], _REDACT_PATTERN)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "clean_text": clean,
+                "n_redactions": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
 def q24_fingerprint(sf_dir: str):
     from ocrd_cis_ray.stages.textops import fingerprint_batch
 
@@ -1009,6 +1092,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q23_lang_counts": q23_lang_counts,
         "q24_fingerprint": q24_fingerprint,
         "q25_bpe_token_count": q25_bpe_token_count,
+        "q26_token_freq_quality": q26_token_freq_quality,
+        "q27_redact": q27_redact,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,
         "q32_minhash_pairs": q32_minhash_pairs,
@@ -1176,6 +1261,24 @@ FROM spans GROUP BY doc_id
         "q25_bpe_token_count": """
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+        "q26_token_freq_quality": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w)
+SELECT doc_id,
+       CAST(MEDIAN(c) AS DOUBLE) AS median_freq,
+       CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rare_ratio
+FROM tok JOIN freq USING (w)
+GROUP BY doc_id
+""",
+        "q27_redact": """
+SELECT doc_id,
+       regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+|[0-9][0-9][0-9][0-9][0-9][0-9]+', '<PII>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+|[0-9][0-9][0-9][0-9][0-9][0-9]+')) AS BIGINT) AS n_redactions
 FROM documents
 """,
         "q20_token_count": """

@@ -191,7 +191,13 @@ def _agg_bucket(bucket_df: pd.DataFrame, key, spec: dict) -> pd.DataFrame:
     return bucket_df.groupby(key, sort=False).agg(**kwargs).reset_index()
 
 
-def bucketed_aggregate(ds, key, spec: dict, *, num_buckets: int | None = None):
+def _combine_batch(df: pd.DataFrame, key, spec: dict) -> pd.DataFrame:
+    keys = [key] if isinstance(key, str) else list(key)
+    kwargs = {out: (col, how) for out, (col, how) in spec.items()}
+    return df.groupby(keys, sort=False).agg(**kwargs).reset_index()
+
+
+def bucketed_aggregate(ds, key, spec: dict, *, num_buckets: int | None = None, combine: bool = False):
     """High-cardinality grouped aggregation.
 
     Ray's native ``groupby().aggregate()`` is sort-based and degrades
@@ -203,11 +209,28 @@ def bucketed_aggregate(ds, key, spec: dict, *, num_buckets: int | None = None):
     ``spec`` maps output column -> (input column, how), how being any
     pandas agg name ('sum', 'max', 'min', 'size', 'first', ...).
 
+    ``combine=True`` adds a MAP-SIDE COMBINER: each input batch
+    pre-aggregates before the shuffle, so the exchange moves at most
+    (#batches × distinct keys per batch) rows instead of every row —
+    the decisive lever when key cardinality ≪ row count. Valid for
+    algebraic aggs only: sum/min/max/first are closed under
+    re-aggregation; 'size' partials re-aggregate with 'sum'
+    (rewritten automatically). Do NOT combine non-algebraic aggs
+    (mean, median, nunique).
+
     NOTE: assumes one pass (rows for a key meet in exactly one bucket),
     which the bucket shuffle guarantees. For algebraic re-aggregation of
     pre-partials, apply the matching combine op in ``how``.
     """
     nb = num_buckets or n_default_buckets()
+    if combine:
+        ds = ds.map_batches(
+            partial(_combine_batch, key=key, spec=spec), batch_format="pandas"
+        )
+        # partials land in columns named by OUTPUT; re-aggregate them
+        spec = {
+            out: (out, "sum" if how == "size" else how) for out, (_, how) in spec.items()
+        }
     bucketed = ds.map_batches(
         partial(_add_bucket, key=key, num_buckets=nb), batch_format="pandas"
     )

@@ -467,9 +467,11 @@ def dup_clusters(pairs_ds, *, max_rounds: int = 30, num_buckets: int | None = No
         both = offered.union(shortcut).union(labels.select_columns(["node", "label"]))
         # repartition to nb blocks each round: groupby output block count
         # tracks its INPUT block count, which would otherwise compound
-        # ~4× per round (measured 40 → 168 → 680 blocks by round 3)
+        # ~4× per round (measured 40 → 168 → 680 blocks by round 3).
+        # combine=True: per-batch min partials shrink the exchange when
+        # high-degree nodes receive many offers in one batch
         labels = bucketed_aggregate(
-            both, "node", {"label": ("label", "min")}, num_buckets=num_buckets
+            both, "node", {"label": ("label", "min")}, num_buckets=num_buckets, combine=True
         ).repartition(nb).materialize()
         # converged? label sum is monotone non-increasing
         new_sum = int(labels.sum("label") or 0)

@@ -100,3 +100,35 @@ def test_bucketed_groupby_group_integrity(ray_session):
     out = bucketed_groupby(rd.from_pandas(df), "k", whole).to_pandas()
     assert len(out) == 100
     assert (out["n"] == 7).all()
+
+
+def test_bucketed_aggregate_combiner(ray_session):
+    """combine=True pre-aggregates per batch (map-side combiner): same
+    results as the plain path for sum/min/max/size specs."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocrd_cis_ray.shuffle import bucketed_aggregate
+
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, 5000),
+            "v": rng.integers(-100, 100, 5000),
+        }
+    )
+    spec = {"total": ("v", "sum"), "lo": ("v", "min"), "hi": ("v", "max"), "n": ("v", "size")}
+    plain = (
+        bucketed_aggregate(rd.from_pandas(df).repartition(8), "k", spec, num_buckets=8)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    combined = (
+        bucketed_aggregate(rd.from_pandas(df).repartition(8), "k", spec, num_buckets=8, combine=True)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, combined, check_like=True)
+    ref = df.groupby("k").agg(total=("v", "sum"), lo=("v", "min"), hi=("v", "max"), n=("v", "size")).reset_index()
+    pd.testing.assert_frame_equal(
+        plain.astype({"n": "int64"}), ref.astype({"n": "int64"}), check_like=True
+    )
