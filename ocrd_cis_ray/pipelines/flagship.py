@@ -48,10 +48,11 @@ def materialize_corpus(sf_dir: str, out_dir: str, *, pages_per_doc: int = 1, see
 
 
 def corpus_extract_pipeline(corpus_dir: str):
-    """read materialized corpus → extract/normalize spans."""
-    import ray.data as rd
+    """read materialized corpus (Lance when available, else parquet —
+    sources/corpus_io dispatch) → extract/normalize spans."""
+    from ..sources.corpus_io import read_corpus
 
-    return rd.read_parquet(corpus_dir).map_batches(extract_spans_batch, batch_format="pyarrow")
+    return read_corpus(corpus_dir).map_batches(extract_spans_batch, batch_format="pyarrow")
 
 
 def corpus_evaluate_pipeline(corpus_dir: str, *, seed: int = 42, sources=("OCR-1", "OCR-2", "GT")):

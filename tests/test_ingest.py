@@ -74,3 +74,18 @@ def test_external_ocr_importer_unions_into_alignment(ray_session, tmp_path):
     assert out.loc[1, "line_no"] == 1
     import numpy as np
     assert np.allclose(out["conf"], 0.66)
+
+
+def test_corpus_io_dispatch(ray_session, sf_dir, tmp_path):
+    """read_corpus: parquet paths stream with column pruning; .lance
+    paths demand the lance package (absent here -> clear error)."""
+    import pytest
+
+    from ocrd_cis_ray.sources.corpus_io import lance_available, read_corpus
+
+    ds = read_corpus(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    assert ds.count() == 500
+    assert ds.schema().names == ["doc_id"]
+    if not lance_available():
+        with pytest.raises(RuntimeError, match="lance"):
+            read_corpus(str(tmp_path / "corpus.lance"))
