@@ -66,7 +66,17 @@ def main(argv=None):
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False, logging_level="ERROR")
+        # `ray job submit` / cluster runs set RAY_ADDRESS (often "auto"):
+        # attach to that cluster and let IT own resources; only a truly
+        # local run pins num_cpus (the north_rule's submit path —
+        # `ray job submit -- python -m ocrd_cis_ray <cmd> ...`)
+        import os as _os
+
+        addr = _os.environ.get("RAY_ADDRESS", "local")
+        if addr in ("", "local"):
+            ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False, logging_level="ERROR")
+        else:
+            ray.init(address=addr, logging_level="ERROR")
     try:
         from ray.data import DataContext
 
