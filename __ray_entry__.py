@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 41 queries, 31 oracle-checked.
+driver's rows-only check. 44 queries, 33 oracle-checked.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
@@ -714,6 +714,72 @@ def q51_cer_by_source(sf_dir: str):
     return cer_by_source(pairs)
 
 
+def q74_lstm_recognize(sf_dir: str):
+    """BIDILSTM+CTC train→recognize round trip over rendered line media
+    (rows-only: float training dynamics aren't SQL-expressible).
+
+    Trains the numpy BIDILSTM (stages/lstm.py) on the first 8 docs'
+    first rendered lines (driver-side, the reference's single-process
+    ocropus-rtrain shape), then fans the pickled model out to the
+    Recognizer ACTOR POOL over 40 docs' line renders — the distributed
+    part is inference, model unpickled once per actor. Returns
+    (doc_id, lstm_text, gt_text, cer) with deterministic seeding."""
+    import tempfile
+
+    import ray.data as rd
+
+    from ocrd_cis_ray.sources.media import encode_gray, render_line
+    from ocrd_cis_ray.stages.lstm import train_recognizer
+    from ocrd_cis_ray.stages.recognize import recognize_lines
+    from ocrd_cis_ray.util import levenshtein
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    order = pc.sort_indices(docs["doc_id"])
+    docs = docs.take(order).slice(0, 40)
+    first_lines = [
+        " ".join(((t or "").split(" "))[:6]) for t in docs["text"].to_pylist()
+    ]
+    imgs = [render_line(t) for t in first_lines]
+    train_tbl = pa.table(
+        {
+            "pixels": pa.array([encode_gray(im) for im in imgs[:8]], pa.large_binary()),
+            "gt_text": first_lines[:8],
+        }
+    )
+    with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as f:
+        model_path = f.name
+    train_recognizer(
+        rd.from_arrow(train_tbl), model_path, epochs=30, lr=0.01,
+        line_height=imgs[0].shape[0], seed=7,
+    )
+    rows = pa.table(
+        {
+            "doc_id": pc.cast(docs["doc_id"], pa.int64()),
+            "span_id": pa.array(["line-0"] * len(imgs), pa.string()),
+            "pixels": pa.array([encode_gray(im) for im in imgs], pa.large_binary()),
+        }
+    )
+    rec = recognize_lines(rd.from_arrow(rows), concurrency=4, model_path=model_path).to_pandas()
+    gt = dict(zip(pc.cast(docs["doc_id"], pa.int64()).to_pylist(), first_lines))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        g = b["doc_id"].map(gt)
+        cer = [
+            levenshtein(t or "", x or "") / max(1, len(x or ""))
+            for t, x in zip(b["text"], g)
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "lstm_text": b["text"],
+                "gt_text": g,
+                "cer": np.array(cer, np.float64),
+            }
+        )
+
+    return finish(rec.sort_values("doc_id").reset_index(drop=True))
+
+
 def q52_source_agreement(sf_dir: str):
     """Per-OCR-source agreement report vs GT over aligned variant lines
     — the reference's div/stats.py per-source match aggregation +
@@ -1107,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q50_wer_global": q50_wer_global,
         "q51_cer_by_source": q51_cer_by_source,
         "q52_source_agreement": q52_source_agreement,
+        "q74_lstm_recognize": q74_lstm_recognize,
         "q60_align_lines": q60_align_lines,
         "q61_align_words": q61_align_words,
         "q62_align_words_oracle": q62_align_words_oracle,
