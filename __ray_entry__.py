@@ -406,29 +406,22 @@ def q26_token_freq_quality(sf_dir: str):
     parity): median corpus frequency of the doc's tokens, count of rare
     tokens (corpus freq ≤ 2), rare ratio.
 
-    Two passes: (1) distributed token frequencies (per-batch vectorized
-    value_counts partials → one bucketed aggregate — the combiner
-    pattern: shuffle rows = vocab size, not token count), collected and
-    broadcast (at 100 TB: truncate to top-V + floor count; the long
-    tail is 'rare' by definition); (2) per-doc scoring with one
+    Two passes: (1) distributed token frequencies truncated to the
+    top-V vocabulary (textops.token_frequencies: per-batch value_counts
+    partials → one bucketed aggregate → per-block top-V candidates →
+    driver top-V over ≤ blocks×V rows — driver memory independent of
+    vocabulary size; the long tail is 'rare' by definition, count 0),
+    broadcast once via ray.put; (2) per-doc scoring with one
     pd merge + segment medians — no float summation, so engine and
-    DuckDB agree bit-exactly."""
+    DuckDB agree bit-exactly. The sf0.01/sf0.1 vocabularies are far
+    below V, so truncation is a no-op at oracle scale."""
     import ray
 
-    from ocrd_cis_ray.shuffle import bucketed_aggregate
+    from ocrd_cis_ray.stages.textops import token_frequencies
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def tok_counts(t: pa.Table) -> pd.DataFrame:
-        texts = t["text"].to_pylist()
-        toks = [w for txt in texts for w in (txt or "").split(" ")]
-        vc = pd.Series(toks).value_counts()
-        return pd.DataFrame({"w": vc.index, "c": vc.to_numpy()})
-
-    freq = bucketed_aggregate(
-        ds.map_batches(tok_counts, batch_format="pyarrow"), "w", {"c": ("c", "sum")}
-    ).to_pandas()
-    fmap = pd.Series(freq["c"].to_numpy(), index=freq["w"])
+    fmap = token_frequencies(ds, top_v=500_000)
     ref = ray.put(fmap)
 
     def score(t: pa.Table) -> pd.DataFrame:
@@ -1056,21 +1049,15 @@ def q72_postcorrect(sf_dir: str):
     """OCR post-correction: corrupted tokens (e→c) against a lexicon
     built from the corpus vocabulary + a channel model — restored
     tokens (rows-only: ranking isn't SQL-expressible)."""
-    import pyarrow.parquet as _pq
-
     from ocrd_cis_ray.stages.postcorrect import postcorrect_tokens
-
-    # lexicon = corpus token vocabulary with frequencies (driver-side:
-    # small side, broadcast into the actor pool constructor)
-    tbl = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
-    from collections import Counter
-
-    freq = Counter()
-    for text in tbl["text"].to_pylist():
-        freq.update((text or "").split(" "))
-    lexicon = dict(freq)
+    from ocrd_cis_ray.stages.textops import token_frequencies
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # lexicon = distributed top-V corpus vocabulary (the small side,
+    # broadcast into the actor pool constructor) — no full-corpus
+    # driver scan; see token_frequencies for the 100-TB shape
+    lexicon = token_frequencies(ds, top_v=200_000).to_dict()
 
     def explode_corrupt(t: pa.Table) -> pa.Table:
         out = {"doc_id": [], "word_no": [], "token": [], "gt": []}

@@ -50,12 +50,22 @@ def compose_page(lines: list[str], *, gap: int = 6, pad: int = 12) -> np.ndarray
     return np.vstack(rows)
 
 
-def synth_pages(sf_dir: str):
+def synth_pages(sf_dir: str, *, n_blocks: int | None = None):
     """documents → page-image media rows (doc_id, span_id, media_ref,
-    features, pixels)."""
+    features, pixels).
+
+    The text-only input is repartitioned BEFORE the media render: a
+    single-file parquet read is one task, so without this the rendered
+    media lands in a handful of giant blocks and every downstream map
+    stage is starved of parallelism. The exchange moves only (doc_id,
+    text) rows — cheap — and buys N balanced media blocks."""
+    import ray
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if n_blocks is None:
+        n_blocks = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    ds = ds.repartition(n_blocks)
 
     def render(t: pa.Table) -> pa.Table:
         out = {"doc_id": [], "span_id": [], "media_ref": [], "features": [], "pixels": []}
@@ -79,16 +89,23 @@ def synth_pages(sf_dir: str):
     return ds.map_batches(render, batch_format="pyarrow")
 
 
-def rebalance_pages(pages, *, n_partitions: int | None = None):
+def rebalance_pages(pages, *, n_partitions: int | None = None, threshold: float = 1.25):
     """Byte-weighted range rebalance of the media-heavy page rows — the
     north_rule's explicit groupby-shuffle rebalancing of skewed
-    partitions (shuffle.weighted_ranges). One exchange: rows are tagged
-    with their byte-balanced doc_id range (driver-side weighted
-    quantiles over a bounded sample) and co-located per range.
+    partitions (shuffle.weighted_ranges), GATED on measured skew: the
+    pages are materialized once, per-block byte totals are read with a
+    zero-copy metadata pass, and the all-to-all media shuffle only runs
+    when the realized block spread exceeds ``threshold``. A corpus
+    that is already balanced (the common case after synth_pages'
+    up-front repartition) pays zero media movement; a skewed one pays
+    exactly one exchange: rows tagged with their byte-balanced doc_id
+    range (driver-side weighted quantiles over a bounded sample) and
+    co-located per range.
 
     Returns (pages_dataset, stats) where stats reports the realized
     per-partition byte distribution: {"parts", "max_mb", "mean_mb",
-    "spread"} — spread = max/mean partition bytes (1.0 = perfect).
+    "spread", "rebalanced"} — spread = max/mean partition bytes
+    (1.0 = perfect).
     """
     import ray
     from ray.data.aggregate import Sum
@@ -98,6 +115,29 @@ def rebalance_pages(pages, *, n_partitions: int | None = None):
     if n_partitions is None:
         n_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
+    pages = pages.materialize()
+
+    # per-block byte totals: one row out per block, payload never copied
+    def block_bytes(t: pa.Table) -> pa.Table:
+        return pa.table({"b": pa.array([t.nbytes], pa.int64())})
+
+    blk = (
+        pages.map_batches(block_bytes, batch_size=None, batch_format="pyarrow")
+        .to_pandas()["b"]
+        .to_numpy(np.float64)
+    )
+    if len(blk) >= max(2, n_partitions // 2):
+        spread = float(blk.max() / blk.mean())
+        if spread <= threshold:
+            stats = {
+                "parts": int(len(blk)),
+                "max_mb": round(float(blk.max()) / 2**20, 2),
+                "mean_mb": round(float(blk.mean()) / 2**20, 2),
+                "spread": round(spread, 3),
+                "rebalanced": False,
+            }
+            return pages, stats
+
     def with_bytes(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -105,7 +145,9 @@ def rebalance_pages(pages, *, n_partitions: int | None = None):
             "media_bytes", pc.cast(pc.binary_length(t["pixels"]), pa.int64())
         )
 
-    sized = pages.map_batches(with_bytes, batch_format="pyarrow").materialize()
+    # pages is already materialized; the byte-append map is cheap enough
+    # to recompute for the two consumers below (no second materialize)
+    sized = pages.map_batches(with_bytes, batch_format="pyarrow")
     bounds = weighted_ranges(sized, "doc_id", "media_bytes", n_partitions)
     bounds_arr = np.array(bounds, dtype=object)
 
@@ -137,6 +179,7 @@ def rebalance_pages(pages, *, n_partitions: int | None = None):
         "max_mb": round(float(b.max()) / 2**20, 2),
         "mean_mb": round(float(b.mean()) / 2**20, 2),
         "spread": round(float(b.max() / b.mean()), 3),
+        "rebalanced": True,
     }
     return balanced, stats
 
@@ -162,15 +205,37 @@ def degrade(pages, source: str, noise: int, erode: float, seed: int = 42):
                 ys, xs = np.nonzero(img < 128)
                 drop = rng.random(len(ys)) < erode
                 img[ys[drop], xs[drop]] = 255
-            # bounded draws: a dense page may lack `noise` isolated white
-            # 3x3 sites — give up after 50*noise attempts instead of
-            # spinning the worker forever
-            placed, attempts = 0, 0
-            while placed < noise and attempts < 50 * noise:
-                attempts += 1
-                y, x = int(rng.integers(1, h - 1)), int(rng.integers(1, w - 1))
-                if img[y - 1 : y + 2, x - 1 : x + 2].min() == 255:
+            if noise > 0:
+                # vectorized speck placement: batch-draw candidate
+                # coordinates, test all 3x3 neighbourhoods with nine
+                # shifted-AND lookups at once, then greedily accept the
+                # first `noise` non-conflicting sites (a placed speck
+                # blackens its cell, so later candidates within
+                # Chebyshev distance 1 must be skipped — the sequential
+                # loop's semantics at vector cost). A dense page may
+                # lack `noise` isolated white sites; the bounded draw
+                # (8x oversample) gives up instead of spinning.
+                k = 8 * noise
+                ys = rng.integers(1, h - 1, size=k)
+                xs = rng.integers(1, w - 1, size=k)
+                white = img == 255
+                ok = np.ones(k, dtype=bool)
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        ok &= white[ys + dy, xs + dx]
+                placed = 0
+                occupied: set[tuple[int, int]] = set()
+                for y, x in zip(ys[ok].tolist(), xs[ok].tolist()):
+                    if placed >= noise:
+                        break
+                    if any(
+                        (y + dy, x + dx) in occupied
+                        for dy in (-1, 0, 1)
+                        for dx in (-1, 0, 1)
+                    ):
+                        continue
                     img[y, x] = 0
+                    occupied.add((y, x))
                     placed += 1
             out.append(encode_gray(img))
         cols = {n: t[n] for n in t.column_names}
@@ -194,8 +259,17 @@ def ocr_source_lines(pages, source: str, conf: float, *, concurrency: int = 4):
     ds = media_op(ds, "denoise", minsize=2)
     ds = segment_pages(ds)
     # fractional CPUs: two engine pools + task stages must co-exist even
-    # on a 4-cpu session without the pools reserving every core
-    rec = recognize_lines(ds, concurrency=concurrency, batch_size=64, num_cpus=0.5)
+    # on a 4-cpu session without the pools reserving every core. The
+    # pool AUTOSCALES (1, max): min stays 1 so task stages never starve,
+    # max tracks the session width so recognition — the chain's heavy
+    # stage — can absorb idle cores instead of being capped at
+    # concurrency×0.5 cpus while 24 cores sit idle.
+    import ray
+
+    pool_max = max(concurrency, int(ray.cluster_resources().get("CPU", concurrency)))
+    rec = recognize_lines(
+        ds, concurrency=(min(4, pool_max), pool_max), batch_size=64, num_cpus=0.5
+    )
 
     def to_lines(t: pa.Table) -> pa.Table:
         line_no = pa.array(
@@ -275,8 +349,10 @@ def _cer_partials_wide(wide: pa.Table, pairs: list[tuple[str, str]]) -> pa.Table
     for src, gt_col in pairs:
         e = c = 0
         for t, g in zip(cols[src], cols[gt_col]):
-            e += levenshtein(t or "", g or "")
-            c += len(g or "")
+            t, g = t or "", g or ""
+            if t != g:  # fast path: corrected lines are mostly exact
+                e += levenshtein(t, g)
+            c += len(g)
         out_src.append(src)
         out_err.append(e)
         out_chars.append(c)
@@ -290,11 +366,15 @@ def _cer_partials_wide(wide: pa.Table, pairs: list[tuple[str, str]]) -> pa.Table
 
 
 def _cer_reduce(partials, stage: str) -> pd.DataFrame:
-    from ray.data.aggregate import Sum
-
-    out = partials.groupby("source").aggregate(
-        Sum("char_errors", alias_name="char_errors"), Sum("gt_chars", alias_name="gt_chars")
-    ).to_pandas()
+    # partials carry ≤ len(pairs) rows PER BLOCK (already map-side
+    # combined), so the reduce input is O(blocks × sources) tiny rows —
+    # a driver-side pandas sum, not a Ray sort-aggregate (which costs
+    # ~2 s of fixed all-to-all overhead regardless of row count)
+    out = (
+        partials.to_pandas()
+        .groupby("source", as_index=False)[["char_errors", "gt_chars"]]
+        .sum()
+    )
     out["char_error_rate"] = np.where(out["gt_chars"] > 0, out["char_errors"] / out["gt_chars"], 0.0)
     out["stage"] = stage
     return out
@@ -310,10 +390,9 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
     confusion learning, and line correction all run row-locally over
     the materialized wide frame.
     """
-    from collections import Counter
-
-    import pyarrow.parquet as pq
     from functools import partial
+
+    import ray
 
     # render pages ONCE and share across engine channels (pages are the
     # expensive media payload; the object store holds them for both);
@@ -342,20 +421,28 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
         stage="raw",
     )
 
-    # lexicon from the corpus vocabulary (the reference's language dict)
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
-    freq = Counter()
-    for text in tbl["text"].to_pylist():
-        freq.update((text or "").split(" "))
-    lexicon = dict(freq)
+    # lexicon from the corpus vocabulary (the reference's language
+    # dict), built distributed + top-V truncated — never a full-corpus
+    # driver scan (textops.token_frequencies)
+    import ray.data as rd
 
-    # channel model learned from OCR-2-vs-GT pairs — row-local over wide
+    from ..stages.textops import token_frequencies
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    lexicon = token_frequencies(docs, top_v=200_000).to_dict()
+
+    # channel model learned from OCR-2-vs-GT pairs — row-local over
+    # wide, SAMPLE-BOUND: the confusion estimate saturates after a few
+    # thousand aligned pairs, so cap the O(len²) edit alignments at 64
+    # differing lines per batch instead of paying one per corpus line
     from ..stages.postcorrect import LineCorrector, learn_confusions
 
     def to_pairs(t: pa.Table) -> pa.Table:
         return pa.table({"text": t["OCR-2"], "gt_text": t["GT"]})
 
-    confusions = learn_confusions(wide.map_batches(to_pairs, batch_format="pyarrow"))
+    confusions = learn_confusions(
+        wide.map_batches(to_pairs, batch_format="pyarrow"), max_pairs_per_batch=64
+    )
 
     # line-level correction inside the actor pool (cursor matcher + nOCR
     # peer vote per token; no token-level shuffle)
@@ -365,12 +452,13 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
              "peer_text": t["OCR-1"], "GT": t["GT"]}
         )
 
+    pool_max = max(concurrency, int(ray.cluster_resources().get("CPU", concurrency)))
     fixed = wide.map_batches(to_correct, batch_format="pyarrow").map_batches(
         LineCorrector,
         fn_constructor_args=(lexicon, confusions),
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
-        batch_size=1024,
+        concurrency=(min(4, pool_max), pool_max),
+        batch_size=256,
         num_cpus=0.5,
     )
 

@@ -266,17 +266,33 @@ def postcorrect_tokens(ds, lexicon: dict[str, int], confusions=None, *, concurre
 # channel-model learning (confusion extraction from aligned pairs)
 
 
-def confusion_partials_batch(batch: pa.Table, *, test_col: str = "text", gt_col: str = "gt_text") -> pa.Table:
+def confusion_partials_batch(
+    batch: pa.Table,
+    *,
+    test_col: str = "text",
+    gt_col: str = "gt_text",
+    max_pairs: int | None = None,
+) -> pa.Table:
     """Per-batch (src, dst, n) confusion counts from edit alignments of
     (ocr, gt) line pairs — the xlevenshtein confusion extraction
-    (ocrolib/edist.py:21-83) as a distributed partial aggregate."""
+    (ocrolib/edist.py:21-83) as a distributed partial aggregate.
+
+    ``max_pairs`` bounds the number of differing lines aligned per
+    batch: the channel model saturates after a few thousand pairs, so
+    a corpus-scale caller samples instead of paying an O(len²) edit
+    alignment for every line (the estimate stays consistent — counts
+    are normalized to rates downstream)."""
     test = batch[test_col].to_pylist()
     gt = batch[gt_col].to_pylist()
     counts: Counter = Counter()
+    aligned = 0
     for t, g in zip(test, gt):
         t, g = t or "", g or ""
         if t == g:
             continue
+        if max_pairs is not None and aligned >= max_pairs:
+            break
+        aligned += 1
         _, pairs = edit_ops(t, g)
         for ai, bi in pairs:
             a = t[ai] if ai is not None else ""
@@ -293,20 +309,37 @@ def confusion_partials_batch(batch: pa.Table, *, test_col: str = "text", gt_col:
     )
 
 
-def learn_confusions(pairs_ds, *, test_col: str = "text", gt_col: str = "gt_text") -> dict[tuple[str, str], float]:
+def learn_confusions(
+    pairs_ds,
+    *,
+    test_col: str = "text",
+    gt_col: str = "gt_text",
+    max_pairs_per_batch: int | None = None,
+) -> dict[tuple[str, str], float]:
     """Distributed confusion-weight estimation: partial counts per batch
     → small groupby sum → normalized weights (count / total edits).
     Returns the channel model dict for PostCorrector."""
     from functools import partial as fpartial
 
-    from ray.data.aggregate import Sum
-
     partials = pairs_ds.map_batches(
-        fpartial(confusion_partials_batch, test_col=test_col, gt_col=gt_col),
+        fpartial(
+            confusion_partials_batch,
+            test_col=test_col,
+            gt_col=gt_col,
+            max_pairs=max_pairs_per_batch,
+        ),
         batch_format="pyarrow",
     )
-    agg = partials.groupby(["src", "dst"]).aggregate(Sum("n", alias_name="n")).to_pandas()
+    # partials are map-side combined and ALPHABET-bounded (≤ |charset|²
+    # rows per batch, ~10² in practice), so the reduce input is
+    # O(batches × confusion pairs) tiny rows — a driver pandas sum
+    # beats a Ray sort-aggregate's ~2 s fixed all-to-all overhead. At
+    # extreme block counts, callers bound the input with
+    # max_pairs_per_batch (the estimate is a rate; sampling is exact
+    # in expectation).
+    agg = partials.to_pandas()
     if agg.empty or "n" not in agg.columns:
         return {}  # clean channel: no confusions observed
+    agg = agg.groupby(["src", "dst"], as_index=False)["n"].sum()
     total = max(1, int(agg["n"].sum()))
     return {(r.src, r.dst): float(r.n) / total for r in agg.itertuples()}

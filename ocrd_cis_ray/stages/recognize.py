@@ -199,11 +199,14 @@ def recognize_lines(ds, *, concurrency: int = 4, batch_size: int = 64, num_cpus:
 
     ``model_path`` selects the numpy BIDILSTM+CTC model (stages/lstm.py)
     — each actor unpickles it once in ``__init__``; the path string,
-    not the weights, ships with the task spec."""
+    not the weights, ships with the task spec. ``concurrency`` may be
+    an int (autoscale 1..N) or an explicit (min, max) tuple."""
+    if not isinstance(concurrency, tuple):
+        concurrency = (1, concurrency)
     return ds.map_batches(
         Recognizer,
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
+        concurrency=concurrency,
         batch_size=batch_size,
         num_cpus=num_cpus,
         fn_constructor_kwargs={"model_path": model_path} if model_path else {},

@@ -251,3 +251,62 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             "fingerprint": pa.array([format(int(x), "016x") for x in fps], pa.string()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed corpus vocabulary (shared by the rare-token quality filter,
+# the post-correction lexicon, and the OCR chain's language dict)
+
+
+def _token_count_partials(t: pa.Table, *, col: str) -> pd.DataFrame:
+    texts = t[col].to_pylist()
+    toks = [w for txt in texts for w in (txt or "").split(" ")]
+    vc = pd.Series(toks).value_counts()
+    return pd.DataFrame({"w": vc.index, "c": vc.to_numpy()})
+
+
+def token_frequencies(ds, *, col: str = "text", top_v: int | None = None,
+                      num_buckets: int | None = None) -> pd.Series:
+    """Distributed corpus token-frequency map → small pd.Series
+    (index = token, value = count), safe to ``ray.put`` and broadcast.
+
+    Pass 1 is the combiner pattern: per-batch vectorized value_counts
+    partials, then ONE bucketed hash aggregate — the exchange moves at
+    most (batches × per-batch vocab) rows, never the token stream.
+
+    ``top_v`` truncates to the V most frequent tokens WITHOUT ever
+    collecting the full vocabulary to the driver: each aggregated
+    block contributes its local top-V candidates (each token lives in
+    exactly one block after the hash aggregate, so the global top-V is
+    a subset of the per-block top-V union), and the driver selects the
+    final V from ≤ blocks×V candidate rows. Driver memory is
+    O(blocks × V), independent of vocabulary size — the 100-TB path.
+    Ties at the boundary break deterministically (count desc, token
+    asc). Tokens outside the map are "rare by definition"; callers
+    treat misses as count 0 (or a floor of their choosing).
+    """
+    from functools import partial
+
+    from ..shuffle import bucketed_aggregate
+
+    freq_ds = bucketed_aggregate(
+        ds.map_batches(partial(_token_count_partials, col=col), batch_format="pyarrow"),
+        "w",
+        {"c": ("c", "sum")},
+        num_buckets=num_buckets,
+    )
+    if top_v is None:
+        freq = freq_ds.to_pandas()
+    else:
+        def local_top(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) <= top_v:
+                return df
+            return df.sort_values(["c", "w"], ascending=[False, True]).head(top_v)
+
+        cand = freq_ds.map_batches(local_top, batch_format="pandas").to_pandas()
+        freq = (
+            cand.sort_values(["c", "w"], ascending=[False, True]).head(top_v)
+            if len(cand) > top_v
+            else cand
+        )
+    return pd.Series(freq["c"].to_numpy(), index=freq["w"])
