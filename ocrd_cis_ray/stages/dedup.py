@@ -185,60 +185,86 @@ def jaccard_pairs(ds, *, n: int = 3, threshold: float = 0.8, max_shingle_freq: i
 # MinHash + LSH
 
 
-class MinHasher:
-    """Actor-pool stage: per-doc MinHash signature (k permutations).
+_SIG_EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-    Permutation parameters are generated once per actor in __init__
-    (universal hashing a*x+b mod p over the 64-bit shingle hashes) —
-    the canonical stateful-setup pattern.
+
+def _densify_rotation(sig: np.ndarray) -> np.ndarray:
+    """Rotation densification for one-permutation MinHash (Shrivastava &
+    Li 2014): each empty bin borrows the nearest non-empty bin to its
+    left, cyclically. Fully-empty rows (zero-shingle docs) densify to
+    the all-zero signature — the engine's legacy empty-doc semantic."""
+    n, k = sig.shape
+    valid = sig != _SIG_EMPTY
+    idx = np.where(valid, np.arange(k)[None, :], -1)
+    np.maximum.accumulate(idx, axis=1, out=idx)
+    last = idx[:, -1]  # -1 only for fully-empty rows
+    idx = np.where(idx < 0, last[:, None], idx)
+    out = sig[np.arange(n)[:, None], np.clip(idx, 0, k - 1)]
+    out[last < 0] = 0
+    return out
+
+
+class MinHasher:
+    """Actor-pool stage: per-doc MinHash signature (k components) via
+    ONE-PERMUTATION HASHING with rotation densification.
+
+    Classical k-permutation MinHash pays O(shingles × k) multiplies per
+    doc; OPH splits the single 64-bit hash space into k bins and keeps
+    the min per bin — one O(shingles) pass, same unbiased
+    component-equality Jaccard estimator (Li, Owen & Zhang 2012). The
+    bin index is the hash's top bits via a fixed-point scale, so bins
+    are MONOTONE over each doc's (already ascending, distinct) shingle
+    hashes from _batch_shingle_hashes — the per-bin min is just the
+    first element of each run: no sort, no reduceat, no multiply.
     """
 
     def __init__(self, num_perm: int = 128, ngram: int = 3, seed: int = 42):
-        rng = np.random.default_rng(seed)
-        # multiply-shift universal hashing in the uint64 wraparound ring:
-        # h_i(x) = (a_i * x + b_i) mod 2^64 with odd a_i — vectorized,
-        # no big-int arithmetic, adequate permutation family for MinHash
-        self.a = (rng.integers(1, np.iinfo(np.int64).max, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
-        self.b = rng.integers(0, np.iinfo(np.int64).max, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.ngram = ngram
 
+    def _sigs_from_flat(self, flat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        k = self.num_perm
+        n = len(lengths)
+        sig = np.full(n * k, _SIG_EMPTY, np.uint64)
+        if len(flat):
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            # monotone bin: floor(high32(h) * k / 2^32) — works for any k
+            bins = (((flat >> np.uint64(32)) * np.uint64(k)) >> np.uint64(32)).astype(
+                np.int64
+            )
+            key = doc_idx * k + bins
+            first = np.ones(len(flat), bool)
+            first[1:] = key[1:] != key[:-1]
+            sig[key[first]] = flat[first]
+        return _densify_rotation(sig.reshape(n, k))
+
     def signature(self, text: str) -> np.ndarray:
-        hs = _shingle_hashes(text, self.ngram)
-        if len(hs) == 0:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            prod = self.a[:, None] * hs[None, :] + self.b[:, None]  # (k, s) mod 2^64
-        return prod.min(axis=1)
+        flat, lengths = _batch_shingle_hashes([text], self.ngram)
+        return self._sigs_from_flat(flat, lengths)[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Whole-batch vectorized: one (k, total_shingles) multiply over
-        the concatenated shingle hashes of all docs, then per-doc minima
-        with minimum.reduceat at the doc offsets — no per-doc numpy
-        dispatch."""
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
         flat, lengths = _batch_shingle_hashes(texts, self.ngram)
-        if len(ids) == 0 or len(flat) == 0:
-            sigs = np.zeros((len(ids), self.num_perm), np.uint64)
-        else:
-            # (S, k) layout: reduceat over contiguous rows (cache-friendly;
-            # measured 1.6x the (k, S) variant — uint64 multiply is scalar
-            # in numpy, so locality is the only lever)
-            with np.errstate(over="ignore"):
-                prod = flat[:, None] * self.a[None, :] + self.b[None, :]  # (S, k)
-            nonempty = lengths > 0
-            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-            np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
-            mins = np.minimum.reduceat(prod, offsets, axis=0)  # (docs_nonempty, k)
-            sigs = np.zeros((len(ids), self.num_perm), np.uint64)
-            sigs[nonempty] = mins
+        sigs = self._sigs_from_flat(flat, lengths)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "minhash": pa.array(list(sigs), pa.list_(pa.uint64(), self.num_perm)),
             }
         )
+
+
+def _sig_matrix(col) -> np.ndarray:
+    """fixed_size_list<uint64> (or Ray tensor-extension) column ->
+    (n, k) uint64 matrix without a per-row Python pass."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col.type, pa.ExtensionType):  # Ray ArrowTensorType
+        return np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.uint64)
+    k = col.type.list_size
+    flat = col.values.to_numpy(zero_copy_only=False)
+    return np.asarray(flat, dtype=np.uint64).reshape(len(col), k)
 
 
 def band_batch(batch: pa.Table, *, bands: int = 32, rows: int = 4) -> pa.Table:
@@ -259,7 +285,7 @@ def band_batch(batch: pa.Table, *, bands: int = 32, rows: int = 4) -> pa.Table:
                 "band_hash": pa.array([], pa.uint64()),
             }
         )
-    sig_mat = np.asarray(sig_col.to_pylist(), dtype=np.uint64)  # (n, k)
+    sig_mat = _sig_matrix(sig_col)  # (n, k) — zero-copy from the Arrow buffer
     FNV_OFF = np.uint64(1469598103934665603)
     FNV_PRIME = np.uint64(1099511628211)
     hashes = np.empty((bands, n), dtype=np.uint64)
@@ -288,19 +314,20 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32, ngram: int = 
     ``jaccard_pairs``: shuffle payload is (band_hash, doc_id), constant
     per doc (bands rows), independent of doc length.
     """
+    import ray
+
     rows = num_perm // bands
-    sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "ngram": ngram},
-        batch_format="pyarrow",
-        # autoscaling (1, N) pool: a FIXED pool larger than the session's
-        # CPU count would wait forever for actors that can never start
-        concurrency=(1, concurrency),
-    )
+    cpus = int(ray.cluster_resources().get("CPU", concurrency))
+    # OPH minhashing is STATELESS (no permutation table), so this is a
+    # plain task-pool map — it overlaps the read and pays zero actor
+    # spin-up, unlike the k-permutation design it replaced
+    hasher = MinHasher(num_perm=num_perm, ngram=ngram)
+    sigs = ds.map_batches(hasher, batch_format="pyarrow")
     # signatures feed BOTH the banding pipeline and the verify pass;
     # without materializing, each consumer re-runs the shingle+minhash
     # map (measured 2x the stage cost). ~1 KiB/doc resident.
     sigs = sigs.materialize()
+    n_docs = sigs.count()  # free: row count metadata of a materialized ds
     banded = sigs.map_batches(band_batch, batch_format="pyarrow", fn_kwargs={"bands": bands, "rows": rows})
 
     def bucket_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -314,20 +341,29 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32, ngram: int = 
 
     from ..shuffle import bucketed_aggregate, bucketed_groupby
 
-    cand = bucketed_groupby(banded, ["band_id", "band_hash"], bucket_pairs, whole_bucket=True)
-    # global pair dedup (pairs can collide in several bands): bucketed hash agg
-    cand = bucketed_aggregate(cand, ["id_a", "id_b"], {"n_bands": ("id_a", "size")}).drop_columns(
-        ["n_bands"]
-    )
-
     # verify: estimated Jaccard from the signatures (fraction of equal
     # components). Two strategies:
-    #  - "broadcast": materialize sigs once + ray.put — one pass, right
-    #    up to ~1M docs (1 KiB/doc);
+    #  - "broadcast" (≤ ~1M docs, 1 KiB/doc): the signature matrix is
+    #    collected once and ray.put — pair generation, global dedup AND
+    #    verification all fuse into the single band shuffle (the
+    #    first-colliding-band emit rule below);
     #  - "join": candidates hash_join sigs twice — the 100 TB path (no
     #    driver materialization; candidate set ≪ corpus).
-    if verify_strategy == "join" or (verify_strategy == "auto" and _estimate_large(ds)):
+    if verify_strategy == "join" or (verify_strategy == "auto" and n_docs > 1_000_000):
         from ..shuffle import hash_join
+
+        cand = bucketed_groupby(
+            banded, ["band_id", "band_hash"], bucket_pairs, whole_bucket=True
+        )
+        # global pair dedup (pairs can collide in several bands):
+        # bucketed hash agg — the candidate set is orders smaller than
+        # the band rows, so fewer buckets cut fixed overhead
+        cand = bucketed_aggregate(
+            cand,
+            ["id_a", "id_b"],
+            {"n_bands": ("id_a", "size")},
+            num_buckets=max(16, cpus),
+        ).drop_columns(["n_bands"])
 
         def as_bytes(id_out: str, sig_out: str):
             # signatures travel as raw bytes through the join: the
@@ -363,29 +399,65 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32, ngram: int = 
 
         return joined.map_batches(verify_joined, batch_format="pandas")
 
-    sig_map = {r["doc_id"]: np.asarray(r["minhash"], dtype=np.uint64) for r in sigs.take_all()}
-    import ray
+    # broadcast path — ONE shuffle total. The signature matrix + id
+    # index ship once via ray.put; inside each band bucket we generate
+    # pairs, verify with a single stacked equality, AND deduplicate
+    # globally with the FIRST-COLLIDING-BAND rule: a pair is emitted
+    # only by the lowest band whose signature segment matches (every
+    # bucket can recompute all band collisions from the broadcast
+    # matrix, so cross-band duplicates die locally — no second
+    # pair-dedup exchange).
+    id_chunks, mat_chunks = [], []
+    for t in sigs.iter_batches(batch_format="pyarrow", batch_size=8192):
+        col = t["doc_id"]
+        id_chunks.append(col.to_numpy() if isinstance(col, pa.ChunkedArray) else col.to_numpy(zero_copy_only=False))
+        mat_chunks.append(_sig_matrix(t["minhash"]))
+    all_ids = np.concatenate(id_chunks) if id_chunks else np.zeros(0, object)
+    mat = np.vstack(mat_chunks) if mat_chunks else np.zeros((0, num_perm), np.uint64)
+    sig_ref = ray.put((pd.Index(all_ids), mat))
 
-    sig_ref = ray.put(sig_map)
+    def bucket_verify(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=bucket["doc_id"].dtype),
+                "id_b": pd.Series([], dtype=bucket["doc_id"].dtype),
+                "est_jaccard": pd.Series([], dtype=np.float64),
+            }
+        )
+        b = bucket.drop_duplicates(["band_id", "band_hash", "doc_id"])
+        mm = b.merge(b, on=["band_id", "band_hash"], suffixes=("_a", "_b"))
+        mm = mm[mm["doc_id_a"] < mm["doc_id_b"]]
+        if mm.empty:
+            return empty
+        index, m = ray.get(sig_ref)
+        ia = index.get_indexer(mm["doc_id_a"].to_numpy())
+        ib = index.get_indexer(mm["doc_id_b"].to_numpy())
+        eq = m[ia] == m[ib]  # (pairs, k)
+        band_coll = eq.reshape(len(mm), bands, rows).all(axis=2)
+        # emit iff THIS band is the first truly-colliding band. (A pure
+        # band_hash collision with unequal segments has band_coll False
+        # here — such a pair is dropped by every bucket, which is fine:
+        # its est_jaccard is far below threshold by construction.)
+        keep = (
+            band_coll.argmax(axis=1) == mm["band_id"].to_numpy()
+        ) & band_coll.any(axis=1)
+        est = eq.mean(axis=1)
+        keep &= est >= threshold
+        if not keep.any():
+            return empty
+        out = mm.loc[keep, ["doc_id_a", "doc_id_b"]].rename(
+            columns={"doc_id_a": "id_a", "doc_id_b": "id_b"}
+        )
+        out["est_jaccard"] = est[keep]
+        return out
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        smap = ray.get(sig_ref)
-        est = [
-            float((smap[a] == smap[b]).mean()) if a in smap and b in smap else 0.0
-            for a, b in zip(batch["id_a"], batch["id_b"])
-        ]
-        batch = batch.assign(est_jaccard=est)
-        return batch[batch["est_jaccard"] >= threshold]
-
-    return cand.map_batches(verify, batch_format="pandas")
-
-
-def _estimate_large(ds, limit: int = 1_000_000) -> bool:
-    try:
-        n = ds.count()
-    except Exception:
-        return True
-    return n > limit
+    return bucketed_groupby(
+        banded,
+        ["band_id", "band_hash"],
+        bucket_verify,
+        whole_bucket=True,
+        num_buckets=max(32, 2 * cpus),
+    )
 
 
 # ---------------------------------------------------------------------------
