@@ -61,12 +61,32 @@ def parse_page_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def ingest_pages(input_dir: str):
-    """Lazy ingest Dataset over a directory of raw page-text files."""
+def ingest_pages(input_dir: str, *, format: str = "auto"):
+    """Lazy ingest Dataset over a directory of page files.
+
+    ``format``: "text" (one UTF-8 text file per page), "page-xml"
+    (PcGts trees, the reference's native input — sources/page_xml.py),
+    or "auto" (default): dispatch on the directory's file extensions
+    (.xml → page-xml, else text). Both parsers emit the same
+    interleaved span schema, so everything downstream is format-blind.
+    """
     import ray.data as rd
 
+    if format == "auto":
+        has_xml = any(
+            f.lower().endswith(".xml")
+            for f in os.listdir(input_dir)
+            if not f.startswith(".")
+        )
+        format = "page-xml" if has_xml else "text"
+    if format == "page-xml":
+        from .page_xml import parse_page_xml_batch as parser
+    elif format == "text":
+        parser = parse_page_batch
+    else:
+        raise ValueError(f"unknown ingest format: {format!r}")
     ds = rd.read_binary_files(input_dir, include_paths=True)
-    return ds.map_batches(parse_page_batch, batch_format="pyarrow")
+    return ds.map_batches(parser, batch_format="pyarrow")
 
 
 def ingest_resumable(input_dir: str, out_dir: str, *, n_partitions: int = 8) -> dict:

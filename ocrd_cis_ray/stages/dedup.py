@@ -658,6 +658,18 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 # embedding-cosine near-dup
 
 
+def _estimate_large(ds, limit: int = 1_000_000) -> bool:
+    """True if ds has more than ``limit`` rows, probing at most limit+1.
+
+    ``limit(n+1).count()`` stops the upstream read early instead of
+    executing the full lineage like a bare ``ds.count()`` would.
+    """
+    try:
+        return ds.limit(limit + 1).count() > limit
+    except Exception:
+        return True
+
+
 def embedding_dup_pairs(
     ds,
     *,

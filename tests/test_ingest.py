@@ -89,3 +89,107 @@ def test_corpus_io_dispatch(ray_session, sf_dir, tmp_path):
     if not lance_available():
         with pytest.raises(RuntimeError, match="lance"):
             read_corpus(str(tmp_path / "corpus.lance"))
+
+
+# ---------------------------------------------------------------------------
+# PAGE-XML ingestion (reference align/cli.py:63-79,302-304 traversal)
+
+_PAGE_NS = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+
+
+def _pcgts(body: str, ns: str = _PAGE_NS) -> str:
+    return f'<?xml version="1.0" encoding="UTF-8"?>\n<PcGts xmlns="{ns}">{body}</PcGts>'
+
+
+@pytest.fixture
+def page_xml_dir(tmp_path):
+    """3-page golden corpus + 1 malformed file (skipped)."""
+    d = tmp_path / "pagexml"
+    d.mkdir()
+    # p0: two regions listed out of order, ReadingOrder flips them;
+    # explicit Word elements; region r2 has its own TextEquiv.
+    (d / "p0000.xml").write_text(_pcgts(
+        '<Page imageFilename="p0000.png">'
+        '<ReadingOrder><OrderedGroup id="g">'
+        '<RegionRefIndexed regionRef="r2" index="0"/>'
+        '<RegionRefIndexed regionRef="r1" index="1"/>'
+        '</OrderedGroup></ReadingOrder>'
+        '<TextRegion id="r1"><TextLine id="l1">'
+        '<Word id="w1"><TextEquiv><Unicode>zweite</Unicode></TextEquiv></Word>'
+        '<Word id="w2"><TextEquiv><Unicode>region</Unicode></TextEquiv></Word>'
+        '<TextEquiv><Unicode>zweite region</Unicode></TextEquiv>'
+        '</TextLine></TextRegion>'
+        '<TextRegion id="r2">'
+        '<TextLine id="l2"><TextEquiv><Unicode>erste region</Unicode></TextEquiv></TextLine>'
+        '<TextEquiv><Unicode>erste region</Unicode></TextEquiv>'
+        '</TextRegion>'
+        '</Page>'
+    ))
+    # p1: older namespace year, no Words (split fallback), no region
+    # TextEquiv (line-join fallback), an empty line dropped.
+    (d / "p0001.xml").write_text(_pcgts(
+        '<Page imageFilename="p0001.png">'
+        '<TextRegion id="ra">'
+        '<TextLine id="la"><TextEquiv><Unicode>eine zeile</Unicode></TextEquiv></TextLine>'
+        '<TextLine id="lb"><TextEquiv><Unicode>   </Unicode></TextEquiv></TextLine>'
+        '<TextLine id="lc"><TextEquiv><Unicode>noch eine</Unicode></TextEquiv></TextLine>'
+        '</TextRegion></Page>',
+        ns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2010-03-19",
+    ))
+    # p2: line with no TextEquiv -> word-join fallback; NFKC (ﬁ -> fi).
+    (d / "p0002.xml").write_text(_pcgts(
+        '<Page imageFilename="p0002.png">'
+        '<TextRegion id="rx"><TextLine id="lx">'
+        '<Word id="wx"><TextEquiv><Unicode>ﬁnal</Unicode></TextEquiv></Word>'
+        '<Word id="wy"><TextEquiv><Unicode>wort</Unicode></TextEquiv></Word>'
+        '</TextLine></TextRegion></Page>'
+    ))
+    (d / "broken.xml").write_text("<PcGts><Page>")  # malformed: skipped
+    return str(d)
+
+
+def test_page_xml_golden_span_sequence(ray_session, page_xml_dir):
+    docs = (
+        ingest_pages(page_xml_dir, format="page-xml")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(docs["doc_id"]) == ["p0000", "p0001", "p0002"]
+
+    def seq(i):
+        return [(s["kind"], s["text"]) for s in docs["spans"][i]]
+
+    # p0: ReadingOrder puts r2 first; words come from Word elements
+    assert seq(0) == [
+        ("region", "erste region"), ("line", "erste region"),
+        ("word", "erste"), ("word", "region"),
+        ("region", "zweite region"), ("line", "zweite region"),
+        ("word", "zweite"), ("word", "region"),
+    ]
+    # p0 media refs carry imageFilename#id
+    m = [s["media_ref"] for s in docs["spans"][0]]
+    assert m[0] == "p0000.png#r2" and m[1] == "p0000.png#l2" and m[2] == ""
+    # p1: old namespace parses; empty line dropped; region text = line join
+    assert seq(1) == [
+        ("region", "eine zeile\nnoch eine"),
+        ("line", "eine zeile"), ("word", "eine"), ("word", "zeile"),
+        ("line", "noch eine"), ("word", "noch"), ("word", "eine"),
+    ]
+    # p2: line text joined from words, NFKC-normalized
+    assert seq(2) == [
+        ("region", "final wort"), ("line", "final wort"),
+        ("word", "final"), ("word", "wort"),
+    ]
+    # offsets are the interleave invariant everywhere
+    for i in range(3):
+        offs = [s["offset"] for s in docs["spans"][i]]
+        assert offs == list(range(len(offs)))
+
+
+def test_page_xml_auto_dispatch_and_downstream(ray_session, page_xml_dir):
+    """format='auto' sniffs .xml; output feeds extract unchanged."""
+    import pyarrow as pa
+
+    docs = ingest_pages(page_xml_dir).to_pandas()  # auto -> page-xml
+    assert len(docs) == 3
+    tbl = pa.Table.from_pandas(docs[["doc_id", "spans"]])
+    assert extract_spans_batch(tbl).num_rows == 3
