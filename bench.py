@@ -64,19 +64,22 @@ def run_bench() -> dict:
     )
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     n_docs = 0
 
     def timed(name, fn, repeat: int = 2):
         """Best-of-N: this box shows ±20-40% co-tenant CPU-steal noise
         between identical runs; min over N is the honest achievable
-        figure (same protocol BASELINE.md documents for scaling)."""
-        best, out = None, None
+        figure (same protocol BASELINE.md documents for scaling).
+        Both min AND max are recorded (``spreads``) so a reader can
+        separate box noise from regression without re-running."""
+        runs, out = [], None
         for _ in range(repeat):
             t0 = time.perf_counter()
             out = fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
         return out
 
     # headline: flagship extraction (read corpus -> extract -> count)
@@ -93,6 +96,7 @@ def run_bench() -> dict:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "spreads": spreads,
             "sf": _sf_label(SF_DIR),
             "num_cpus": NUM_CPUS,
             "docs": n_docs,
@@ -141,6 +145,7 @@ def run_bench() -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spreads": spreads,
         "sf": _sf_label(SF_DIR),
         "num_cpus": NUM_CPUS,
         "docs": n_docs,
