@@ -102,8 +102,247 @@ def reading_order(boxes: list[tuple[int, int, int, int]]) -> list[int]:
     return out
 
 
+def _box_blur_1d(a: np.ndarray, size: int, axis: int) -> np.ndarray:
+    """Centered box (uniform) filter along one axis via cumsum — O(n)
+    vectorized, no scipy. Edge windows are clipped to the array (sum
+    over fewer samples, normalized by true window length)."""
+    if size <= 1:
+        return a.astype(np.float64, copy=False)
+    a = np.asarray(a, dtype=np.float64)
+    if axis == 1:
+        return _box_blur_1d(a.T, size, 0).T
+    n = a.shape[0]
+    cs = np.zeros((n + 1,) + a.shape[1:], dtype=np.float64)
+    np.cumsum(a, axis=0, out=cs[1:])
+    lo = size // 2
+    hi = size - 1 - lo
+    idx_hi = np.minimum(np.arange(n) + hi + 1, n)
+    idx_lo = np.maximum(np.arange(n) - lo, 0)
+    return (cs[idx_hi] - cs[idx_lo]) / (idx_hi - idx_lo).reshape((-1,) + (1,) * (a.ndim - 1))
+
+
+def _gauss_blur(a: np.ndarray, sigma_y: float, sigma_x: float) -> np.ndarray:
+    """Separable Gaussian approximation: three box passes per axis
+    (box width ≈ 2σ gives a 3-pass variance ≈ σ²) — the classic
+    box-chain approximation, scipy-free."""
+    out = np.asarray(a, dtype=np.float64)
+    wy = max(1, int(round(2 * sigma_y / np.sqrt(3))) | 1)
+    wx = max(1, int(round(2 * sigma_x / np.sqrt(3))) | 1)
+    for _ in range(3):
+        if wy > 1:
+            out = _box_blur_1d(out, wy, 0)
+        if wx > 1:
+            out = _box_blur_1d(out, wx, 1)
+    return out
+
+
+def _odd(x: float) -> int:
+    return max(1, int(x) | 1)
+
+
+def _hmerge_seed_labels(seed_lab: np.ndarray, ns: int) -> np.ndarray:
+    """Merge seed labels that belong to the same text line but were
+    split at long whitespace (word gaps / columns of a table row):
+    the reference's hmerge_line_seeds (common.py:869-...) relabels
+    seeds with mutually-centric vertical intervals. Simplified here:
+    two labels merge when each one's y-center lies inside the other's
+    y-extent and their x-extents do not overlap (horizontally disjoint
+    pieces of one vertical band). Union-find over the O(L²) pairs —
+    L is the per-page seed count, tens at most."""
+    if ns < 2:
+        return seed_lab
+    sel = seed_lab > 0
+    ls = seed_lab[sel]
+    ys, xs = np.nonzero(sel)
+    y0 = np.full(ns + 1, np.iinfo(np.int64).max, np.int64)
+    y1 = np.full(ns + 1, -1, np.int64)
+    x0 = np.full(ns + 1, np.iinfo(np.int64).max, np.int64)
+    x1 = np.full(ns + 1, -1, np.int64)
+    np.minimum.at(y0, ls, ys)
+    np.maximum.at(y1, ls, ys)
+    np.minimum.at(x0, ls, xs)
+    np.maximum.at(x1, ls, xs)
+    yc = (y0 + y1) / 2
+    parent = list(range(ns + 1))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(1, ns + 1):
+        if y1[i] < 0:
+            continue
+        for j in range(i + 1, ns + 1):
+            if y1[j] < 0:
+                continue
+            if not (y0[j] <= yc[i] <= y1[j] and y0[i] <= yc[j] <= y1[i]):
+                continue  # not mutually centric vertically
+            if x0[i] <= x1[j] and x0[j] <= x1[i]:
+                continue  # x-overlap: genuinely stacked, keep split
+            pi, pj = find(i), find(j)
+            if pi != pj:
+                parent[max(pi, pj)] = min(pi, pj)
+    relabel = np.array([find(i) for i in range(ns + 1)], dtype=seed_lab.dtype)
+    return relabel[seed_lab]
+
+
+def segment_page_seeds(
+    img: np.ndarray,
+    *,
+    min_line_h: int = 4,
+    threshold: float = 0.2,
+    vscale: float = 2.0,
+    order: str = "xy",
+    remove_separators: bool = False,
+) -> list[tuple[int, int, int, int]]:
+    """Seed-based line boxes: the reference's gradient-map pipeline
+    (compute_gradmaps + compute_line_seeds + label spreading,
+    /root/reference/ocrd_cis/ocropy/common.py:734-857,1104-1134),
+    scipy-free and column-scan-free.
+
+    Where the projection XY cut needs a full-width zero-ink row between
+    lines, this finds BASELINE (bottom) and TOPLINE (top) gradient
+    ridges per column and seeds the band between a topline above and
+    the baseline below — so touching ascenders/descenders, which erase
+    the projection gap but not the gradient ridges, still split.
+
+    Steps (reference file:line in parens):
+    1. scale = median glyph scale (psegutils.py:21-35);
+    2. boxmap-cleaned ink: drop components outside (0.5, 4)·scale —
+       rules/images/noise don't contribute gradients (common.py:755-757);
+    3. y-derivative of Gaussian-smoothed ink → bottom/top maps
+       (common.py:761-781);
+    4. ridge marks = per-column local maxima over a 2σ window, kept
+       above threshold, dilated 1×scale (compute_line_seeds
+       common.py:803-816) — vectorized with sliding-extreme filters;
+    5. seeds: between-marks test via per-column prefix/suffix scans
+      (nearest mark above is a topline AND nearest below is a baseline
+      within 5·scale — the robust transition rule, common.py:826-843 —
+      plus a δ-band above every baseline), replacing the reference's
+      per-x Python transition loop with 4 accumulates;
+    6. open seeds (scale/2 × scale) to re-separate touching lines
+       (common.py:850-851), label them (run-length union-find);
+    7. assign ink components to seed labels by majority overlap,
+       conflicted components keep the seed partition (the
+       propagate/conflict/spread cascade, common.py:1117-1134);
+    8. per-label ink bboxes → boxes, reading order like the XY path.
+    """
+    from .image_ops import (
+        binarize_global,
+        label_components,
+        propagate_labels,
+        propagate_labels_majority,
+        r_dilation,
+        r_opening,
+        remove_separator_lines,
+        spread_labels,
+    )
+
+    binary = binarize_global(img)
+    fg0 = (binary < 128)
+    scale = estimate_scale(fg0)
+    if remove_separators:
+        binary, _ = remove_separator_lines(binary, scale)
+        fg0 = binary < 128
+    h, w = fg0.shape
+    if not fg0.any():
+        return []
+
+    # 2. boxmap cleaning: keep mid-sized components only
+    labels, n = label_components(fg0)
+    if n:
+        sizes = np.bincount(labels.ravel())
+        root = np.sqrt(sizes.astype(np.float64))
+        keep = (root > 0.5 * scale) & (root < 4 * scale)
+        keep[0] = False
+        cleaned = keep[labels] & fg0
+        if not cleaned.any():
+            cleaned = fg0
+    else:
+        cleaned = fg0
+
+    # 3. gradient maps: d/dy of smoothed ink
+    smoothed = _gauss_blur(cleaned.astype(np.float64), max(4.0, 0.3 * scale), float(scale))
+    grad = np.gradient(smoothed, axis=0)
+    bottom = np.where(grad < 0, -grad, 0.0)
+    top = np.where(grad > 0, grad, 0.0)
+    if bottom.max() > 0:
+        bottom = bottom / bottom.max()
+    if top.max() > 0:
+        top = top / top.max()
+
+    # 4. ridge marks: per-column local maxima of each map
+    from .image_ops import _sliding_extreme_1d
+
+    vrange = _odd(vscale * scale)
+    t2 = threshold * threshold  # reference squares the threshold
+    bmark = (bottom >= _sliding_extreme_1d(bottom, vrange, 0, True)) & (bottom > t2)
+    tmark = (top >= _sliding_extreme_1d(top, vrange, 0, True)) & (top > t2 / 2)
+    bmark = r_dilation(bmark, (1, _odd(scale)))
+    tmark = r_dilation(tmark, (1, _odd(scale)))
+
+    # 5. between-marks seeds via prefix/suffix scans per column
+    yy = np.broadcast_to(np.arange(h)[:, None], (h, w))
+    NEG, POS = -h, 2 * h
+    b_above = np.maximum.accumulate(np.where(bmark, yy, NEG), axis=0)
+    t_above = np.maximum.accumulate(np.where(tmark, yy, NEG), axis=0)
+    b_below = np.minimum.accumulate(np.where(bmark, yy, POS)[::-1], axis=0)[::-1]
+    t_below = np.minimum.accumulate(np.where(tmark, yy, POS)[::-1], axis=0)[::-1]
+    delta = max(3, int(scale))
+    between = (t_above > b_above) & (b_below < t_below) & (b_below - t_above <= 5 * scale)
+    near_base = (b_below < t_below) & (b_below - yy <= delta)
+    seeds = between | near_base
+
+    # 6. open to re-separate touching lines, then label
+    seeds = r_opening(seeds.astype(np.uint8), (_odd(scale / 2), _odd(scale))).astype(bool)
+    seed_lab, ns = label_components(seeds)
+    seed_lab = _hmerge_seed_labels(seed_lab, ns)
+    ns = int(seed_lab.max())
+    if ns == 0:
+        # degenerate page (e.g. one huge blob): fall back to one box
+        nz_r = np.flatnonzero(fg0.any(axis=1))
+        nz_c = np.flatnonzero(fg0.any(axis=0))
+        return [(int(nz_r[0]), int(nz_r[-1]) + 1, int(nz_c[0]), int(nz_c[-1]) + 1)]
+
+    # 7. assign ink to seed labels (majority; conflicts keep seed split)
+    lab_maj = propagate_labels_majority(fg0, seed_lab)
+    lab_uni = propagate_labels(fg0, seed_lab, conflict=0)
+    conflicts = lab_maj > lab_uni  # conflicted components: uni==0 < maj
+    lab = np.where(conflicts, seed_lab, lab_maj)
+    # capture stragglers (diacritics etc.) near existing labels
+    spread = spread_labels(np.where(lab > 0, lab, seed_lab), maxdist=max(1, scale // 2))
+    lab = np.where(fg0, np.where(lab > 0, lab, spread), 0)
+
+    # 8. per-label ink bboxes (vectorized scatter-min/max)
+    sel = lab > 0
+    if not sel.any():
+        return []
+    ls = lab[sel]
+    ys, xs = np.nonzero(sel)
+    nl = int(ls.max())
+    y0 = np.full(nl + 1, h, np.int64)
+    y1 = np.full(nl + 1, -1, np.int64)
+    x0 = np.full(nl + 1, w, np.int64)
+    x1 = np.full(nl + 1, -1, np.int64)
+    np.minimum.at(y0, ls, ys)
+    np.maximum.at(y1, ls, ys)
+    np.minimum.at(x0, ls, xs)
+    np.maximum.at(x1, ls, xs)
+    boxes = [
+        (int(y0[i]), int(y1[i]) + 1, int(x0[i]), int(x1[i]) + 1)
+        for i in range(1, nl + 1)
+        if y1[i] >= 0 and (y1[i] + 1 - y0[i]) >= min_line_h
+    ]
+    boxes.sort(key=lambda b: (b[0], b[2]))
+    if order == "topological" and len(boxes) > 1:
+        boxes = [boxes[i] for i in reading_order(boxes)]
+    return boxes
+
+
 def segment_page(
-    img: np.ndarray, *, min_line_gap: int | str = 3, min_col_gap: int = 20, min_line_h: int = 4, order: str = "xy", remove_separators: bool = False
+    img: np.ndarray, *, min_line_gap: int | str = 3, min_col_gap: int = 20, min_line_h: int = 4, order: str = "xy", remove_separators: bool = False, method: str = "xy"
 ) -> list[tuple[int, int, int, int]]:
     """Line boxes (y0, y1, x0, x1) in reading order via recursive XY cut.
 
@@ -113,7 +352,16 @@ def segment_page(
     config. ``order="topological"`` re-sorts the leaf boxes with the
     x-overlap/above/left-of partial order (psegutils reading_order)
     instead of the depth-first XY order — needed for marginalia and
-    skewed multi-column layouts."""
+    skewed multi-column layouts. ``method="seeds"`` switches to the
+    gradient-seed line finder (segment_page_seeds) which splits
+    touching lines the projection cut cannot."""
+    if method == "seeds":
+        return segment_page_seeds(
+            img,
+            min_line_h=min_line_h,
+            order=order,
+            remove_separators=remove_separators,
+        )
     binary = binarize_global(img)
     if remove_separators:
         # paint out long black rules (column dividers / hrules) so the

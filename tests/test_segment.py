@@ -83,3 +83,66 @@ def test_recognizer_accepts_trimmed_crop():
     crop = img[ys[0] : ys[-1] + 1, xs[0] : xs[-1] + 1]
     text, conf, _ = Recognizer().recognize_line(crop)
     assert text == "crop test"
+
+
+def touching_lines_page():
+    """Two stacked lines joined by a descender-like stroke through the
+    inter-line whitespace: every row between the line bodies has ink, so
+    a projection cut sees no gap."""
+    a = render_line("quick sphinx of quartz jumps")
+    b = render_line("gravity keeps pygmy dogs up")
+    w = max(a.shape[1], b.shape[1]) + 24
+    rows = [np.full((12, w), 255, np.uint8)]
+    for im in (a, b):
+        row = np.full((im.shape[0], w), 255, np.uint8)
+        row[:, 12 : 12 + im.shape[1]] = im
+        rows.append(row)
+        rows.append(np.full((2, w), 255, np.uint8))
+    rows.append(np.full((10, w), 255, np.uint8))
+    page = np.vstack(rows)
+    fg = page < 128
+    ink_rows = np.flatnonzero(fg.sum(axis=1))
+    gaps = np.flatnonzero(np.diff(ink_rows) > 1)
+    g = gaps[len(gaps) // 2]
+    ys, ye = ink_rows[g], ink_rows[g + 1]
+    col = np.flatnonzero(fg[ys])[3]
+    page[ys : ye + 1, col : col + 2] = 0  # the touching stroke
+    return page, (int(ink_rows[g]), int(ink_rows[g + 1]))
+
+
+def test_seeds_split_touching_lines():
+    """The gradient-seed finder separates lines whose ascender/descender
+    touch — where the projection XY cut provably cannot (it returns ONE
+    box because no zero-ink row exists between the lines)."""
+    page, (base1, top2) = touching_lines_page()
+    fg = page < 128
+    assert not (np.diff(np.flatnonzero(fg.sum(axis=1))) > 1).any()  # no projection gap
+    assert len(segment_page(page, method="xy")) == 1  # XY mis-segments
+    boxes = segment_page(page, method="seeds")
+    assert len(boxes) == 2
+    (ay0, ay1, _, _), (by0, by1, _, _) = boxes
+    assert ay0 < by0  # reading order
+    assert ay0 <= base1 < ay1 + 8  # box 1 covers line 1's body
+    assert by0 <= top2 + 8 and by1 > top2  # box 2 covers line 2's body
+
+
+def test_seeds_standard_fixtures():
+    """Seed finder agrees with XY on well-separated pages, and a blank
+    page yields no lines."""
+    page = stack_page(["first line here", "second line", "third one"])
+    assert len(segment_page(page, method="seeds")) == 3
+    assert segment_page(np.full((50, 80), 255, np.uint8), method="seeds") == []
+
+
+def test_seeds_hmerge_rejoins_word_gaps():
+    """Long intra-line whitespace must not split a line into several
+    seed labels (hmerge_line_seeds semantics): one wide line with big
+    word gaps comes back as ONE box spanning the full ink width."""
+    img = render_line("a     b     c")
+    pad = np.full((img.shape[0] + 24, img.shape[1] + 24), 255, np.uint8)
+    pad[12 : 12 + img.shape[0], 12 : 12 + img.shape[1]] = img
+    boxes = segment_page(pad, method="seeds")
+    assert len(boxes) == 1
+    fg = pad < 128
+    xs = np.flatnonzero(fg.sum(axis=0))
+    assert boxes[0][2] <= xs[0] + 2 and boxes[0][3] >= xs[-1] - 1
