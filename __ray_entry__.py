@@ -1045,6 +1045,41 @@ def q71_recognize(sf_dir: str):
     return rec.map_batches(project, batch_format="pyarrow")
 
 
+def q75_glyph_spans(sf_dir: str):
+    """Glyph-level recognition spans: one row per recognized character
+    with its grid x position and confidence — the reference's Glyph
+    elements with per-char coords + conf (ocrd_cis/ocropy/
+    recognize.py:267-302). The template model's positions are
+    deterministic (glyph i at PAD_X + i*GLYPH_W on a clean render), so
+    a full value oracle exists."""
+    from ocrd_cis_ray.stages.recognize import recognize_lines
+
+    rec = recognize_lines(
+        _media_lines(sf_dir, max_chars=40), concurrency=2, batch_size=64, emit_glyphs=True
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "glyph_no": [], "ch": [], "x0": [], "conf": []}
+        for did, gs in zip(t["doc_id"].to_pylist(), t["glyphs"].to_pylist()):
+            for i, g in enumerate(gs):
+                out["doc_id"].append(did)
+                out["glyph_no"].append(i)
+                out["ch"].append(g["text"])
+                out["x0"].append(g["x0"])
+                out["conf"].append(g["conf"])
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "glyph_no": pa.array(out["glyph_no"], pa.int32()),
+                "ch": pa.array(out["ch"], pa.string()),
+                "x0": pa.array(out["x0"], pa.int32()),
+                "conf": pa.array(out["conf"], pa.float32()),
+            }
+        )
+
+    return rec.map_batches(explode, batch_format="pyarrow")
+
+
 def q72_postcorrect(sf_dir: str):
     """OCR post-correction: corrupted tokens (e→c) against a lexicon
     built from the corpus vocabulary + a channel model — restored
@@ -1167,6 +1202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q70_preprocess_media": q70_preprocess_media,
         "q71_recognize": q71_recognize,
         "q72_postcorrect": q72_postcorrect,
+        "q75_glyph_spans": q75_glyph_spans,
         "q73_ocr_chain": q73_ocr_chain,
     }
 
@@ -1490,6 +1526,12 @@ FROM tok
 """,
         "q71_recognize": """
 SELECT doc_id, rtrim(substring(text, 1, 40), ' ') AS text FROM documents
+""",
+        "q75_glyph_spans": """
+WITH t AS (SELECT doc_id, rtrim(substring(text, 1, 40), ' ') AS s FROM documents)
+SELECT doc_id, CAST(u.i - 1 AS INT) AS glyph_no, substring(s, u.i, 1) AS ch,
+       CAST(10 + 8 * (u.i - 1) AS INT) AS x0, CAST(1.0 AS REAL) AS conf
+FROM t, UNNEST(generate_series(1, length(s))) AS u(i)
 """,
         "q52_source_agreement": variant_cte
         + """

@@ -20,6 +20,12 @@ Confidence semantics copied from the reference:
 - word conf = (min+max)/2 of its glyph confs (recognize.py:263-265)
 - line conf = mean of glyph confs
 - line -> words split on spaces (recognize.py:237)
+
+``emit_glyphs=True`` additionally surfaces one glyph row per character
+with its x position and confidence — the reference's Glyph elements
+with per-char coords + conf (recognize.py:267-302); the LSTM path's
+per-char positions come straight from CTC alignment (lstm.py
+translate_back), the template path's from the glyph grid.
 """
 
 from __future__ import annotations
@@ -39,7 +45,7 @@ class Recognizer:
     words: list<struct<text, conf:float32, x0:int32>>.
     """
 
-    def __init__(self, *, min_conf: float = 0.0, model_path: str | None = None):
+    def __init__(self, *, min_conf: float = 0.0, model_path: str | None = None, emit_glyphs: bool = False):
         # "model load" once per actor: either a pickled numpy BIDILSTM
         # (the reference's load_object + walk/postLoad path,
         # recognize.py:94-102) or the deterministic template bank
@@ -57,12 +63,17 @@ class Recognizer:
         self.templates = np.stack(tmpls)  # (C, gh*gw)
         self.tnorm = np.maximum(np.linalg.norm(self.templates, axis=1), 1e-9)
         self.min_conf = min_conf
+        self.emit_glyphs = emit_glyphs
 
     def recognize_line_lstm(self, img: np.ndarray) -> tuple[str, float, list[dict]]:
         """BIDILSTM + CTC path: predict, then split into words with
         positions and (min+max)/2 word confidences — the reference's
         word assembly over clist/rlist/confidlist (recognize.py:237-265)."""
         text, confs, positions = self.seq.predict_line(img)
+        glyphs = [
+            {"text": ch, "conf": np.float32(cf), "x0": np.int32(px)}
+            for ch, cf, px in zip(text, confs, positions)
+        ]
         words = []
         i, n = 0, len(text)
         while i < n:
@@ -79,7 +90,7 @@ class Recognizer:
             )
             i = j
         line_conf = float(np.mean(confs)) if confs else 0.0
-        return text.strip(), line_conf, words
+        return text.strip(), line_conf, words, glyphs
 
     def recognize_line(self, img: np.ndarray) -> tuple[str, float, list[dict]]:
         """Auto-locates the glyph grid from the ink bounding box, so it
@@ -91,7 +102,7 @@ class Recognizer:
         ink_rows = np.flatnonzero(fg.any(axis=1))
         ink_cols = np.flatnonzero(fg.any(axis=0))
         if len(ink_rows) == 0:
-            return "", 0.0, []
+            return "", 0.0, [], []
         # noise-robust grid anchoring: a stray speck before the first
         # glyph shifts a first-ink-pixel anchor and garbles the whole
         # line. Instead: x phase = the grid offset whose cell MARGIN
@@ -113,7 +124,7 @@ class Recognizer:
         y0 = int(np.argmax(win))
         n_cells = max(0, (int(ink_cols[-1]) - x_base) // GLYPH_W + 1)
         if n_cells == 0:
-            return "", 0.0, []
+            return "", 0.0, [], []
         # all cells in ONE strided reshape: pad the grid band to full
         # cell extent, reshape to (gh, n_cells, GLYPH_W), take the glyph
         # columns — no per-cell Python slicing
@@ -132,7 +143,7 @@ class Recognizer:
         # left of the first glyph; GT lines never start with spaces)
         nz = np.flatnonzero(cnorm)
         if len(nz) == 0:
-            return "", 0.0, []
+            return "", 0.0, [], []
         if nz[0] > 0:
             s = int(nz[0])
             cells = cells[s:]
@@ -150,6 +161,10 @@ class Recognizer:
             else:
                 chars.append(CHARSET[int(best[i])])
         text = "".join(chars).rstrip()
+        glyphs = [
+            {"text": text[i], "conf": np.float32(confs[i]), "x0": np.int32(x_base + i * GLYPH_W)}
+            for i in range(len(text))
+        ]
         # word split with positions + (min+max)/2 confidences
         words = []
         i = 0
@@ -168,33 +183,35 @@ class Recognizer:
             )
             i = j
         line_conf = float(confs[: max(1, n)].mean()) if n else 0.0
-        return text, line_conf, words
+        return text, line_conf, words, glyphs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pixels = batch["pixels"].to_pylist()
-        texts, confs, words_col = [], [], []
+        texts, confs, words_col, glyphs_col = [], [], [], []
         rec = self.recognize_line_lstm if self.seq is not None else self.recognize_line
         for buf in pixels:
             try:
-                t, c, ws = rec(decode_gray(buf))
+                t, c, ws, gs = rec(decode_gray(buf))
             except Exception:
-                t, c, ws = "", 0.0, []  # log-and-skip (recognize.py:227-232)
+                t, c, ws, gs = "", 0.0, [], []  # log-and-skip (recognize.py:227-232)
             texts.append(t)
             confs.append(c)
             words_col.append(ws)
+            glyphs_col.append(gs)
         word_type = pa.struct([("text", pa.string()), ("conf", pa.float32()), ("x0", pa.int32())])
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],  # preserve caller's id type
-                "span_id": batch["span_id"],
-                "text": pa.array(texts, pa.string()),
-                "conf": pa.array(np.array(confs, dtype=np.float32)),
-                "words": pa.array(words_col, pa.list_(word_type)),
-            }
-        )
+        cols = {
+            "doc_id": batch["doc_id"],  # preserve caller's id type
+            "span_id": batch["span_id"],
+            "text": pa.array(texts, pa.string()),
+            "conf": pa.array(np.array(confs, dtype=np.float32)),
+            "words": pa.array(words_col, pa.list_(word_type)),
+        }
+        if self.emit_glyphs:
+            cols["glyphs"] = pa.array(glyphs_col, pa.list_(word_type))
+        return pa.table(cols)
 
 
-def recognize_lines(ds, *, concurrency: int = 4, batch_size: int = 64, num_cpus: float = 1, model_path: str | None = None):
+def recognize_lines(ds, *, concurrency: int = 4, batch_size: int = 64, num_cpus: float = 1, model_path: str | None = None, emit_glyphs: bool = False):
     """Dataset wrapper: the actor-pool map (model loaded once per actor).
 
     ``model_path`` selects the numpy BIDILSTM+CTC model (stages/lstm.py)
@@ -209,5 +226,8 @@ def recognize_lines(ds, *, concurrency: int = 4, batch_size: int = 64, num_cpus:
         concurrency=concurrency,
         batch_size=batch_size,
         num_cpus=num_cpus,
-        fn_constructor_kwargs={"model_path": model_path} if model_path else {},
+        fn_constructor_kwargs={
+            **({"model_path": model_path} if model_path else {}),
+            **({"emit_glyphs": True} if emit_glyphs else {}),
+        },
     )

@@ -15,7 +15,7 @@ from ocrd_cis_ray.stages.recognize import Recognizer, recognize_lines
 def test_recognizer_exact_on_clean_render():
     r = Recognizer()
     for text in ("hello world", "the quick brown fox", "a b c"):
-        got, conf, words = r.recognize_line(render_line(text))
+        got, conf, words, _ = r.recognize_line(render_line(text))
         assert got == text
         assert conf > 0.9
         assert [w["text"] for w in words] == text.split()
@@ -23,7 +23,7 @@ def test_recognizer_exact_on_clean_render():
 
 def test_recognizer_word_confidence_semantics():
     r = Recognizer()
-    _, _, words = r.recognize_line(render_line("word"))
+    _, _, words, _ = r.recognize_line(render_line("word"))
     # word conf = (min+max)/2 of glyph confs — for a perfect match all
     # glyph confs are 1.0
     assert words[0]["conf"] == pytest.approx(1.0, abs=1e-5)
@@ -141,3 +141,43 @@ def test_full_ocr_chain(ray_session):
     got = corrected.sort_values(["doc_id", "word_no"]).groupby("doc_id")["corrected"].apply(" ".join)
     assert got["d0"] == "hello world"
     assert got["d1"] == "the quick brown fox"
+
+
+def test_recognizer_glyph_spans():
+    """emit_glyphs surfaces one glyph per character with grid positions
+    and per-char confidences (reference recognize.py:267-302 Glyph
+    elements); word conf must equal (min+max)/2 over its glyph confs
+    (recognize.py:263-265)."""
+    r = Recognizer(emit_glyphs=True)
+    text, _, words, glyphs = r.recognize_line(render_line("ab cd"))
+    assert text == "ab cd"
+    assert [g["text"] for g in glyphs] == ["a", "b", " ", "c", "d"]
+    # positions: glyph grid stride, starting at the first word's x0
+    xs = [int(g["x0"]) for g in glyphs]
+    assert xs == [xs[0] + 8 * i for i in range(5)]
+    assert xs[0] == int(words[0]["x0"])
+    assert int(words[1]["x0"]) == xs[3]
+    # word conf parity: (min+max)/2 of its glyph confs
+    for w, lo, hi in ((words[0], 0, 2), (words[1], 3, 5)):
+        gconfs = [float(g["conf"]) for g in glyphs[lo:hi]]
+        assert float(w["conf"]) == pytest.approx((min(gconfs) + max(gconfs)) / 2)
+
+
+def test_recognizer_glyph_stage(ray_session):
+    """The actor-pool stage exposes the glyphs column when asked and
+    keeps the q71 schema unchanged otherwise."""
+    import ray.data as rd
+
+    rows = [
+        {
+            "doc_id": 1,
+            "span_id": "line-0",
+            "pixels": encode_gray(render_line("hey you")),
+        }
+    ]
+    ds = rd.from_items(rows)
+    plain = recognize_lines(ds, concurrency=1, batch_size=8).take_all()
+    assert "glyphs" not in plain[0]
+    out = recognize_lines(ds, concurrency=1, batch_size=8, emit_glyphs=True).take_all()
+    gs = out[0]["glyphs"]
+    assert "".join(g["text"] for g in gs) == "hey you"

@@ -81,7 +81,7 @@ def test_recognizer_accepts_trimmed_crop():
     ys = np.flatnonzero(fg.any(axis=1))
     xs = np.flatnonzero(fg.any(axis=0))
     crop = img[ys[0] : ys[-1] + 1, xs[0] : xs[-1] + 1]
-    text, conf, _ = Recognizer().recognize_line(crop)
+    text, conf, _, _ = Recognizer().recognize_line(crop)
     assert text == "crop test"
 
 
