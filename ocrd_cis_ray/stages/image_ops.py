@@ -286,6 +286,56 @@ def clip_intruders(img: np.ndarray, core_box: tuple[int, int, int, int]) -> np.n
     return out
 
 
+def check_dewarp_line(img: np.ndarray, *, max_neighbour: float = 0.02) -> str:
+    """Validate a crop as a SINGLE text line before centerline
+    normalization (CenterNormalizer.check, ocrolib/lineest.py:25-59:
+    "make sure we only have 1 textline in the image, i.e. no intruders
+    from bad cropping — otherwise dewarping would heavily distort our
+    actual line"). Returns "" if safe, else a reason string.
+
+    Scipy-free profile test: smooth the row ink profile, split it into
+    ink bands at its gaps, and reject when the ink mass OUTSIDE the
+    dominant band exceeds ``max_neighbour`` of the total (the
+    reference's max_ignore semantics, dewarp.py:36-57)."""
+    a = 255.0 - img.astype(np.float64)
+    total = a.sum()
+    if total <= 0:
+        return "image is blank"
+    prof = a.sum(axis=1)
+    h = len(prof)
+    k = max(1, h // 10)
+    kern = np.ones(k) / k
+    sm = np.convolve(np.pad(prof, k // 2, mode="edge"), kern, mode="valid")[:h]
+    on = sm > 0.05 * sm.max()
+    # contiguous band runs
+    d = np.diff(on.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if on[0]:
+        starts = np.r_[0, starts]
+    if on[-1]:
+        ends = np.r_[ends, h]
+    if len(starts) <= 1:
+        return ""
+    band_ink = np.array([prof[s:e].sum() for s, e in zip(starts, ends)])
+    outside = total - band_ink.max()
+    if outside > max_neighbour * total:
+        return (
+            f"found {len(starts)} text bands; {outside / total:.1%} of ink "
+            f"outside the dominant line (max_neighbour={max_neighbour:.1%})"
+        )
+    return ""
+
+
+def padvert(img: np.ndarray, *, range_: int = 4) -> np.ndarray:
+    """Pad a line crop with white above and below — the dewarp fallback
+    for crops that fail the single-line check ("just as dewarping would
+    do on average, so at least this line has similar margins as the
+    others", dewarp.py:64-69,158-166)."""
+    margin = int(range_ * img.shape[0] / 16)
+    return np.pad(img, ((margin, margin), (0, 0)), constant_values=255).astype(np.uint8)
+
+
 def dewarp_centerline(img: np.ndarray, *, target_h: int = 24, r: float = 1.2, smooth: int = 9) -> np.ndarray:
     """Center-line normalization (CenterNormalizer.measure/dewarp,
     ocrolib/lineest.py:60-87): per-column ink centroid, box-smoothed,
@@ -604,8 +654,21 @@ def _media_stage(batch: pa.Table, op: str, params: dict) -> pa.Table:
                 img, _ = remove_small_components(img, minsize=params.get("minsize", 4))
                 tag = "despeckled"
             elif op == "dewarp":
-                img = dewarp_centerline(img, target_h=params.get("target_h", 24))
-                tag = "dewarped"
+                # single-line check first (lineest.py:25-59): a
+                # missegmented multi-line crop would be mangled by the
+                # centerline warp — pad it instead and annotate
+                report = ""
+                if params.get("check", True):
+                    report = check_dewarp_line(
+                        img, max_neighbour=params.get("max_neighbour", 0.02)
+                    )
+                if report:
+                    img = padvert(img, range_=params.get("range", 4))
+                    tag = "padded"
+                    err = report
+                else:
+                    img = dewarp_centerline(img, target_h=params.get("target_h", 24))
+                    tag = "dewarped"
             elif op == "borderclean":
                 img = borderclean(img, margin=params.get("margin", 4))
                 tag = "cleaned"

@@ -392,9 +392,15 @@ def train_recognizer(
     texts = [r["gt_text"] or "" for r in rows]
     codec = Codec(["", "~"] + sorted({c for t in texts for c in t}))
     rec = SeqRecognizer(line_height, nstates, codec, seed=seed)
+    # randomized draws: ocropus_rtrain presents lines in random order
+    # each iteration (reference README.md:184 "randomly chosen lines"),
+    # not a fixed epoch sweep — seeded here so training is deterministic
+    order_rng = np.random.default_rng(seed)
+    idx = np.arange(len(imgs))
     for _ in range(epochs):
-        for img, t in zip(imgs, texts):
-            rec.train_line(img, t, lr=lr)
+        order_rng.shuffle(idx)
+        for i in idx:
+            rec.train_line(imgs[i], texts[i], lr=lr)
     errs = sum(levenshtein(rec.predict_line(img)[0], t) for img, t in zip(imgs, texts))
     total = max(1, sum(len(t) for t in texts))
     rec.save(model_path)

@@ -165,3 +165,38 @@ def test_media_op_error_fallback(ray_session):
     assert len(out) == 1
     assert out["error"][0] != ""
     assert out["pixels"][0] == b"not-an-image"
+
+
+def test_dewarp_rejects_multiline_crop(ray_session):
+    """A missegmented two-line crop must NOT be centerline-normalized
+    (which would interleave both lines into one mangled band): the
+    single-line check (lineest.py:25-59) fails it, the stage falls back
+    to vertical padding (dewarp.py:158-166) and annotates the error;
+    a clean one-line crop still dewarps."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.sources.media import decode_gray, encode_gray, render_line
+    from ocrd_cis_ray.stages.image_ops import media_op
+
+    a, b = render_line("upper text line"), render_line("lower text line")
+    w = max(a.shape[1], b.shape[1])
+    two = np.full((a.shape[0] + b.shape[0] + 6, w), 255, np.uint8)
+    two[: a.shape[0], : a.shape[1]] = a
+    two[a.shape[0] + 6 :, : b.shape[1]] = b
+    one = render_line("clean single line")
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "span_id": "two", "features": "", "pixels": encode_gray(two)},
+            {"doc_id": 2, "span_id": "one", "features": "", "pixels": encode_gray(one)},
+        ]
+    )
+    rows = {r["span_id"]: r for r in media_op(ds, "dewarp").take_all()}
+    bad = rows["two"]
+    assert bad["error"]  # annotated, not silently mangled
+    assert "padded" in bad["features"] and "dewarped" not in bad["features"]
+    img = decode_gray(bad["pixels"])
+    m = (img.shape[0] - two.shape[0]) // 2
+    assert (img[m : m + two.shape[0]] == two).all()  # unmangled passthrough
+    good = rows["one"]
+    assert good["error"] == ""
+    assert "dewarped" in good["features"]
