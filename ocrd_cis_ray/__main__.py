@@ -44,6 +44,13 @@ def main(argv=None):
     chain.add_argument("--concurrency", type=int, default=4)
     chain.add_argument("--num-cpus", type=int, default=8)
 
+    cut = sub.add_parser("cut", help="export (line image, GT text) training pairs as resumable parquet (ocrd-cis-cutter analog)")
+    cut.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    cut.add_argument("-o", "--output", required=True, help="output directory (partitioned parquet + manifest)")
+    cut.add_argument("--line-height", type=int, default=48)
+    cut.add_argument("--partitions", type=int, default=16)
+    cut.add_argument("--num-cpus", type=int, default=8)
+
     trn = sub.add_parser("train", help="train the BIDILSTM+CTC recognizer on GT line rows (ocrd-cis-ocropy-train analog)")
     trn.add_argument("-i", "--input", required=True, help="parquet of line rows (pixels, gt_text)")
     trn.add_argument("--model", required=True, help="output model pickle path")
@@ -102,6 +109,16 @@ def main(argv=None):
 
             out = run_ocr_chain(args.sf_dir, concurrency=args.concurrency)
             print(out.to_json(orient="records"))
+        elif args.cmd == "cut":
+            from .pipelines.cutter import cut_training_lines
+
+            res = cut_training_lines(
+                args.sf_dir,
+                args.output,
+                line_height=args.line_height,
+                n_partitions=args.partitions,
+            )
+            print(json.dumps(res))
         elif args.cmd == "train":
             from .stages.lstm import train_recognizer
 
