@@ -140,14 +140,167 @@ def _odd(x: float) -> int:
     return max(1, int(x) | 1)
 
 
-def _hmerge_seed_labels(seed_lab: np.ndarray, ns: int) -> np.ndarray:
+def compute_colseps(
+    fg: np.ndarray, scale: int, *, maxcolseps: int = 3, csminheight: int = 10
+) -> np.ndarray:
+    """Whitespace column separators — compute_colseps_conv semantics
+    (/root/reference/ocrd_cis/ocropy/common.py:658-697), scipy-free:
+    smooth the ink map, threshold the near-zero background, keep only
+    vertical blank runs at least ``csminheight``·scale tall that lie
+    strictly between ink (not page margins), and select the
+    ``maxcolseps`` tallest. Returns a bool separator mask."""
+    h, w = fg.shape
+    out = np.zeros((h, w), dtype=bool)
+    if maxcolseps <= 0 or not fg.any():
+        return out
+    sm = _gauss_blur(fg.astype(np.float64), float(scale), 0.5 * scale)
+    blank = sm < 0.1 * max(sm.max(), 1e-9)
+    ink_cols = np.flatnonzero(fg.any(axis=0))
+    lo_x, hi_x = int(ink_cols[0]), int(ink_cols[-1])
+    interior = np.zeros(w, dtype=bool)
+    interior[lo_x + 1 : hi_x] = True
+    blank &= interior[None, :]
+    # a separator must run through TEXT, not margins: clip runs to the
+    # page's ink row range so the blank space below a short column does
+    # not qualify that column's own ink columns as separators
+    ink_rows = np.flatnonzero(fg.any(axis=1))
+    blank[: ink_rows[0]] = False
+    blank[ink_rows[-1] + 1 :] = False
+    # per-column tallest blank run via one diff over the transposed map
+    bt = blank.T  # (w, h): each row is one image column
+    padded = np.zeros((w, h + 2), dtype=np.int8)
+    padded[:, 1:-1] = bt
+    d = np.diff(padded, axis=1)
+    cs, ys = np.nonzero(d == 1)  # run starts (column, y)
+    _, ye = np.nonzero(d == -1)  # run ends, pairwise aligned
+    lens = ye - ys
+    tallest = np.zeros(w, dtype=np.int64)
+    np.maximum.at(tallest, cs, lens)
+    col_ok = tallest >= csminheight * scale
+    if not col_ok.any():
+        return out
+    # a true gutter is WIDE as well as tall: word gaps that happen to
+    # align across lines are ~1 glyph wide, a column gutter is several
+    # (the reference discriminates via column-edge gradients +
+    # select_regions; width does the same job box-free)
+    min_w = 3 * scale
+    dd = np.diff(np.r_[0, col_ok.astype(np.int8), 0])
+    band_s = np.flatnonzero(dd == 1)
+    band_e = np.flatnonzero(dd == -1)
+    widths = band_e - band_s
+    bands = [
+        (int(s), int(e)) for s, e, bw in zip(band_s, band_e, widths) if bw >= min_w
+    ]
+    # keep the maxcolseps tallest bands
+    bands.sort(key=lambda b: int(tallest[b[0] : b[1]].max()), reverse=True)
+    for s, e in bands[:maxcolseps]:
+        band_blank = blank[:, s:e].all(axis=1)
+        out[band_blank, s:e] = True
+    return out
+
+
+def lines_to_regions(
+    boxes: list[tuple[int, int, int, int]],
+    *,
+    scale: int | None = None,
+    min_vgap: float = 1.5,
+    min_hgap: float = 2.0,
+    prefer_vertical: bool | None = None,
+) -> list[int]:
+    """Group line boxes into text regions by recursive X-Y cuts —
+    lines2regions semantics (/root/reference/ocrd_cis/ocropy/
+    common.py:1172-1794) at box granularity: split the box set
+    recursively at shared gaps (vertical gutters wider than
+    ``min_vgap``·scale make columns; horizontal bands taller than
+    ``min_hgap``·scale make stacked blocks), leaves = regions in cut
+    order. The reference runs the same hybrid RXYC over per-pixel line
+    labels with separator partitions; box granularity keeps the result
+    identical whenever line polygons are their bboxes (always true for
+    this engine's segmenters).
+
+    Vertical (column) cuts use an absolute gutter threshold
+    (``min_vgap``·scale); horizontal (block) cuts are RELATIVE to the
+    group's median inter-line gap — a block boundary must be clearly
+    larger (1.8×) than normal line spacing AND at least
+    ``min_hgap``·scale, so ordinary leading never fragments a
+    paragraph (the reference's "gaps must have a certain distance
+    between each other ... corresponding to the number of lines").
+
+    Returns one region id per input box (ids are dense, in reading /
+    cut order)."""
+    n = len(boxes)
+    if n == 0:
+        return []
+    if scale is None:
+        scale = max(1, int(np.median([b[1] - b[0] for b in boxes]) / 2))
+    vgap = min_vgap * scale
+    hgap = min_hgap * scale
+    region_of = [0] * n
+    next_region = [0]
+
+    def gaps_along(idxs, lo_k, hi_k, min_gap, relative=False):
+        ivs = sorted((boxes[i][lo_k], boxes[i][hi_k]) for i in idxs)
+        gaps, cuts_at = [], []
+        cur_end = ivs[0][1]
+        for s, e in ivs[1:]:
+            if s > cur_end:
+                gaps.append(s - cur_end)
+                cuts_at.append((cur_end + s) / 2)
+            cur_end = max(cur_end, e)
+        if not gaps:
+            return []
+        thresh = min_gap
+        if relative:
+            thresh = max(min_gap, 1.8 * float(np.median(gaps)))
+        return [c for g, c in zip(gaps, cuts_at) if g >= thresh]
+
+    def leaf(idxs):
+        rid = next_region[0]
+        next_region[0] += 1
+        for i in idxs:
+            region_of[i] = rid
+
+    def recurse(idxs):
+        if len(idxs) <= 1:
+            leaf(idxs)
+            return
+        vcuts = gaps_along(idxs, 2, 3, vgap)  # x-gaps → columns
+        hcuts = gaps_along(idxs, 0, 1, hgap, relative=True)  # y-gaps → blocks
+        if vcuts and (prefer_vertical is not False or not hcuts):
+            lo_k, cuts = 2, vcuts
+        elif hcuts:
+            lo_k, cuts = 0, hcuts
+        else:
+            leaf(idxs)
+            return
+        groups: list[list[int]] = [[] for _ in range(len(cuts) + 1)]
+        for i in idxs:
+            g = sum(1 for c in cuts if boxes[i][lo_k] > c)
+            groups[g].append(i)
+        live = [g for g in groups if g]
+        if len(live) <= 1:
+            leaf(idxs)
+            return
+        for g in live:
+            recurse(g)
+
+    recurse(list(range(n)))
+    return region_of
+
+
+def _hmerge_seed_labels(
+    seed_lab: np.ndarray, ns: int, sep_cols: np.ndarray | None = None
+) -> np.ndarray:
     """Merge seed labels that belong to the same text line but were
     split at long whitespace (word gaps / columns of a table row):
     the reference's hmerge_line_seeds (common.py:869-...) relabels
     seeds with mutually-centric vertical intervals. Simplified here:
     two labels merge when each one's y-center lies inside the other's
     y-extent and their x-extents do not overlap (horizontally disjoint
-    pieces of one vertical band). Union-find over the O(L²) pairs —
+    pieces of one vertical band). A merge is BLOCKED when a column
+    separator lies in the x-gap between the two pieces (the
+    reference's "blocked by seps" rule, common.py:940-948;
+    ``sep_cols`` = bool per x). Union-find over the O(L²) pairs —
     L is the per-page seed count, tens at most."""
     if ns < 2:
         return seed_lab
@@ -181,6 +334,11 @@ def _hmerge_seed_labels(seed_lab: np.ndarray, ns: int) -> np.ndarray:
                 continue  # not mutually centric vertically
             if x0[i] <= x1[j] and x0[j] <= x1[i]:
                 continue  # x-overlap: genuinely stacked, keep split
+            if sep_cols is not None:
+                glo = int(min(x1[i], x1[j]))
+                ghi = int(max(x0[i], x0[j]))
+                if glo < ghi and sep_cols[glo : ghi + 1].any():
+                    continue  # column separator between the pieces
             pi, pj = find(i), find(j)
             if pi != pj:
                 parent[max(pi, pj)] = min(pi, pj)
@@ -196,6 +354,9 @@ def segment_page_seeds(
     vscale: float = 2.0,
     order: str = "xy",
     remove_separators: bool = False,
+    fullpage: bool = False,
+    maxcolseps: int = 3,
+    csminheight: int = 10,
 ) -> list[tuple[int, int, int, int]]:
     """Seed-based line boxes: the reference's gradient-map pipeline
     (compute_gradmaps + compute_line_seeds + label spreading,
@@ -295,10 +456,20 @@ def segment_page_seeds(
     near_base = (b_below < t_below) & (b_below - yy <= delta)
     seeds = between | near_base
 
+    # fullpage: interrupt seeds at whitespace column separators before
+    # labeling (compute_line_seeds' colseps gating, common.py:805-816,
+    # 831-833) so lines never span a gutter
+    sep_cols = None
+    if fullpage:
+        colseps = compute_colseps(fg0, scale, maxcolseps=maxcolseps, csminheight=csminheight)
+        if colseps.any():
+            seeds &= ~colseps
+            sep_cols = colseps.any(axis=0)
+
     # 6. open to re-separate touching lines, then label
     seeds = r_opening(seeds.astype(np.uint8), (_odd(scale / 2), _odd(scale))).astype(bool)
     seed_lab, ns = label_components(seeds)
-    seed_lab = _hmerge_seed_labels(seed_lab, ns)
+    seed_lab = _hmerge_seed_labels(seed_lab, ns, sep_cols)
     ns = int(seed_lab.max())
     if ns == 0:
         # degenerate page (e.g. one huge blob): fall back to one box
@@ -342,7 +513,7 @@ def segment_page_seeds(
 
 
 def segment_page(
-    img: np.ndarray, *, min_line_gap: int | str = 3, min_col_gap: int = 20, min_line_h: int = 4, order: str = "xy", remove_separators: bool = False, method: str = "xy"
+    img: np.ndarray, *, min_line_gap: int | str = 3, min_col_gap: int = 20, min_line_h: int = 4, order: str = "xy", remove_separators: bool = False, method: str = "xy", fullpage: bool = False
 ) -> list[tuple[int, int, int, int]]:
     """Line boxes (y0, y1, x0, x1) in reading order via recursive XY cut.
 
@@ -361,6 +532,7 @@ def segment_page(
             min_line_h=min_line_h,
             order=order,
             remove_separators=remove_separators,
+            fullpage=fullpage,
         )
     binary = binarize_global(img)
     if remove_separators:
@@ -435,12 +607,15 @@ def segment_page(
     return out
 
 
-def segment_pages_batch(batch: pa.Table, **params) -> pa.Table:
+def segment_pages_batch(batch: pa.Table, *, emit_regions: bool = False, **params) -> pa.Table:
     """Page-media rows -> line-media rows in reading order.
 
     Input: (doc_id, span_id, media_ref, features, pixels) page images.
     Output: one row per detected line with the cropped payload, box
     coords, and a reading-order line index (the `offset` analog).
+    ``emit_regions=True`` additionally groups the lines into text
+    regions (lines_to_regions RXYC) and adds a ``region_no`` column —
+    the reference's region level of the PAGE hierarchy.
     """
     out = {
         "doc_id": [],
@@ -448,6 +623,7 @@ def segment_pages_batch(batch: pa.Table, **params) -> pa.Table:
         "media_ref": [],
         "features": [],
         "line_no": [],
+        "region_no": [],
         "y0": [],
         "y1": [],
         "x0": [],
@@ -465,31 +641,34 @@ def segment_pages_batch(batch: pa.Table, **params) -> pa.Table:
             boxes = segment_page(img, **params)
         except Exception:
             boxes = []  # log-and-skip (segment.py:486-493 fallback spirit)
+        regions = lines_to_regions(boxes) if emit_regions and boxes else [0] * len(boxes)
         for ln, (y0, y1, x0, x1) in enumerate(boxes):
             out["doc_id"].append(did)
             out["span_id"].append(f"{sid}/line-{ln}")
             out["media_ref"].append(f"{ref}#l{ln}")
             out["features"].append(feat)
             out["line_no"].append(ln)
+            out["region_no"].append(regions[ln])
             out["y0"].append(y0)
             out["y1"].append(y1)
             out["x0"].append(x0)
             out["x1"].append(x1)
             out["pixels"].append(encode_gray(img[y0:y1, x0:x1]))
-    return pa.table(
-        {
-            "doc_id": pa.array(out["doc_id"]),
-            "span_id": pa.array(out["span_id"], pa.string()),
-            "media_ref": pa.array(out["media_ref"], pa.string()),
-            "features": pa.array(out["features"], pa.string()),
-            "line_no": pa.array(np.array(out["line_no"], np.int32)),
-            "y0": pa.array(np.array(out["y0"], np.int32)),
-            "y1": pa.array(np.array(out["y1"], np.int32)),
-            "x0": pa.array(np.array(out["x0"], np.int32)),
-            "x1": pa.array(np.array(out["x1"], np.int32)),
-            "pixels": pa.array(out["pixels"], pa.large_binary()),
-        }
-    )
+    cols = {
+        "doc_id": pa.array(out["doc_id"]),
+        "span_id": pa.array(out["span_id"], pa.string()),
+        "media_ref": pa.array(out["media_ref"], pa.string()),
+        "features": pa.array(out["features"], pa.string()),
+        "line_no": pa.array(np.array(out["line_no"], np.int32)),
+        "y0": pa.array(np.array(out["y0"], np.int32)),
+        "y1": pa.array(np.array(out["y1"], np.int32)),
+        "x0": pa.array(np.array(out["x0"], np.int32)),
+        "x1": pa.array(np.array(out["x1"], np.int32)),
+        "pixels": pa.array(out["pixels"], pa.large_binary()),
+    }
+    if emit_regions:
+        cols["region_no"] = pa.array(np.array(out["region_no"], np.int32))
+    return pa.table(cols)
 
 
 def segment_pages(ds, **params):

@@ -146,3 +146,79 @@ def test_seeds_hmerge_rejoins_word_gaps():
     fg = pad < 128
     xs = np.flatnonzero(fg.sum(axis=0))
     assert boxes[0][2] <= xs[0] + 2 and boxes[0][3] >= xs[-1] - 1
+
+
+def test_colseps_and_fullpage_seeds_two_columns():
+    """Whitespace column-separator detection: the gutter between two
+    equal columns is found (not aligned word gaps — those are too
+    narrow), fullpage seeds are interrupted at it, and hmerge never
+    joins lines across it."""
+    from ocrd_cis_ray.stages.segment import compute_colseps, estimate_scale
+
+    col1 = stack_page(["aaa bbb", "ccc ddd", "eee fff"])
+    col2 = stack_page(["ggg hhh", "iii jjj", "kkk lll"])
+    h = max(col1.shape[0], col2.shape[0])
+    gutter0 = col1.shape[1]
+    page = np.full((h, col1.shape[1] + 40 + col2.shape[1]), 255, np.uint8)
+    page[: col1.shape[0], : col1.shape[1]] = col1
+    page[: col2.shape[0], col1.shape[1] + 40 :] = col2
+    fg = page < 128
+    seps = compute_colseps(fg, estimate_scale(fg))
+    sep_x = np.flatnonzero(seps.any(axis=0))
+    assert len(sep_x) > 0
+    # the band must lie strictly inside the true ink gap: after the
+    # last ink column of col1, before the first ink column of col2
+    # (the band legitimately covers the WHOLE blank gap, which is
+    # wider than the 40px array gap when lines end in whitespace)
+    left_ink_end = np.flatnonzero(fg[:, :gutter0].any(axis=0)).max()
+    right_ink_start = gutter0 + 40 + np.flatnonzero(fg[:, gutter0 + 40 :].any(axis=0)).min()
+    assert sep_x.min() > left_ink_end and sep_x.max() < right_ink_start
+    boxes = segment_page(page, method="seeds", fullpage=True, order="topological")
+    assert len(boxes) == 6  # 3 + 3 lines, no cross-gutter merge
+    left = [b for b in boxes if b[3] <= gutter0]
+    right = [b for b in boxes if b[2] >= gutter0]
+    assert len(left) == 3 and len(right) == 3
+
+
+def test_lines_to_regions_grouping():
+    """lines2regions semantics at box granularity: columns become
+    separate regions (vertical cut first), stacked blocks separated by
+    clearly-larger-than-leading gaps split, ordinary line spacing does
+    NOT fragment a paragraph."""
+    from ocrd_cis_ray.stages.segment import lines_to_regions
+
+    # single paragraph: uniform leading -> one region
+    para = segment_page(stack_page(["one line", "two line", "three line"]))
+    assert lines_to_regions(para) == [0, 0, 0]
+
+    # two stacked paragraphs with a 40px block gap -> two regions
+    p1 = stack_page(["para one line a", "para one line b"])
+    p2 = stack_page(["para two line a", "para two line b"])
+    w = max(p1.shape[1], p2.shape[1])
+    pg = np.full((p1.shape[0] + 40 + p2.shape[0], w), 255, np.uint8)
+    pg[: p1.shape[0], : p1.shape[1]] = p1
+    pg[p1.shape[0] + 40 :, : p2.shape[1]] = p2
+    assert lines_to_regions(segment_page(pg)) == [0, 0, 1, 1]
+
+    # two columns -> two regions (boxes given in column order)
+    boxes = [(10, 20, 0, 50), (30, 40, 0, 50), (10, 20, 90, 140), (30, 40, 90, 140)]
+    assert lines_to_regions(boxes) == [0, 0, 1, 1]
+
+
+def test_segment_pages_emit_regions(ray_session):
+    """The segmentation stage surfaces region_no when asked."""
+    import ray.data as rd
+
+    p1 = stack_page(["block one a", "block one b"])
+    p2 = stack_page(["block two a", "block two b"])
+    w = max(p1.shape[1], p2.shape[1])
+    pg = np.full((p1.shape[0] + 40 + p2.shape[0], w), 255, np.uint8)
+    pg[: p1.shape[0], : p1.shape[1]] = p1
+    pg[p1.shape[0] + 40 :, : p2.shape[1]] = p2
+    ds = rd.from_items(
+        [{"doc_id": "d1", "span_id": "page-0", "media_ref": "m", "features": "", "pixels": encode_gray(pg)}]
+    )
+    rows = segment_pages(ds, emit_regions=True).take_all()
+    assert [r["region_no"] for r in rows] == [0, 0, 1, 1]
+    plain = segment_pages(ds).take_all()
+    assert "region_no" not in plain[0]
