@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 44 queries, 33 oracle-checked.
+driver's rows-only check. 51 queries, 40 oracle-checked.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
@@ -481,6 +481,97 @@ def q24_fingerprint(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus sampling / chunking / packing (stages/sampling.py)
+
+# language-rebalancing rates for q28 (en downsampled, low-resource kept)
+_Q28_RATES = {"en": 0.25, "de": 1.0, "fr": 0.75}
+_Q28_DEFAULT = 0.5
+
+
+def q43_sample_fraction(sf_dir: str):
+    """Deterministic 30% corpus sample by Knuth-hash(doc_id) — the
+    shared engine/oracle selection rule (sampling.py docstring)."""
+    from ocrd_cis_ray.stages.sampling import sample_fraction
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return sample_fraction(ds, 0.3)
+
+
+def q28_stratified_sample(sf_dir: str):
+    """Per-language deterministic sampling (training-mix rebalance)."""
+    from ocrd_cis_ray.stages.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return stratified_sample(ds, _Q28_RATES, key="lang", default_rate=_Q28_DEFAULT)
+
+
+def q29_sample_per_group(sf_dir: str):
+    """Exact 20 docs per language: smallest Knuth hashes per group via
+    block-local top-k + one tiny reduce (no global sort)."""
+    from ocrd_cis_ray.stages.sampling import sample_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return sample_per_group(ds, 20, group="lang")
+
+
+def q39_chunk_documents(sf_dir: str):
+    """Fixed 32-token window chunking (doc -> chunk rows)."""
+    from ocrd_cis_ray.stages.sampling import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=32)
+
+
+def q42_pack_sequences(sf_dir: str):
+    """Greedy block-local packing into 256-token training sequences
+    (rows-only: the layout is block-dependent by design; conservation
+    invariants are pinned in tests/test_sampling.py)."""
+    from ocrd_cis_ray.stages.sampling import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(ds, seq_len=256)
+
+
+# ---------------------------------------------------------------------------
+# decontamination / duplicate n-gram hygiene (stages/contamination.py)
+
+
+def q38_contamination(sf_dir: str):
+    """Benchmark n-gram decontamination scan: benchmark = every 97th
+    doc (stand-in eval suite), distilled to a sorted hash array and
+    broadcast once; the corpus scan is shuffle-free."""
+    from ocrd_cis_ray.stages.contamination import (
+        benchmark_ngram_hashes,
+        contamination_counts,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: t.filter(
+            pa.array((t["doc_id"].to_numpy(zero_copy_only=False) % 97) == 0)
+        ),
+        batch_format="pyarrow",
+    )
+    h = benchmark_ngram_hashes(bench, n=3)
+    return contamination_counts(docs, h, n=3)
+
+
+def q37_dup_ngram_stats(sf_dir: str):
+    """Per-doc duplicate-3-gram counts (RefinedWeb-style dup-n-gram
+    fraction numerators, exact integers)."""
+    from ocrd_cis_ray.stages.contamination import dup_ngram_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dup_ngram_stats(ds, n=3)
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        df["doc_id"] = df["doc_id"].astype("int64")
+        return df
+
+    return out.map_batches(cast, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -1182,6 +1273,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q25_bpe_token_count": q25_bpe_token_count,
         "q26_token_freq_quality": q26_token_freq_quality,
         "q27_redact": q27_redact,
+        "q28_stratified_sample": q28_stratified_sample,
+        "q29_sample_per_group": q29_sample_per_group,
+        "q37_dup_ngram_stats": q37_dup_ngram_stats,
+        "q38_contamination": q38_contamination,
+        "q39_chunk_documents": q39_chunk_documents,
+        "q42_pack_sequences": q42_pack_sequences,
+        "q43_sample_fraction": q43_sample_fraction,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,
         "q32_minhash_pairs": q32_minhash_pairs,
@@ -1386,6 +1484,82 @@ FROM documents
 """,
         "q22_langid": _langid_sql(),
         "q23_lang_counts": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+        "q43_sample_fraction": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < CAST(0.3 * 4294967296 AS BIGINT)
+""",
+        "q28_stratified_sample": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 <
+      CAST(4294967296 * (CASE lang
+        WHEN 'en' THEN 0.25 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.75
+        ELSE 0.5 END) AS BIGINT)
+""",
+        "q29_sample_per_group": """
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang
+  ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+) <= 20
+""",
+        "q39_chunk_documents": """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         unnest(range(CAST(ceil(n / 32.0) AS BIGINT))) AS chunk_no
+  FROM t
+)
+SELECT doc_id, chunk_no,
+       least(n - chunk_no * 32, 32) AS n_tokens
+FROM c
+""",
+        "q38_contamination": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS wi
+  FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY wi)
+),
+sh AS (SELECT DISTINCT doc_id, s FROM tri WHERE s IS NOT NULL),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+cnt AS (
+  SELECT sh.doc_id,
+         COUNT(*) AS n_ngrams,
+         CAST(COUNT(b.s) AS BIGINT) AS n_contaminated
+  FROM sh LEFT JOIN bench b ON sh.s = b.s
+  GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(c.n_ngrams, 0) AS n_ngrams,
+       COALESCE(c.n_contaminated, 0) AS n_contaminated
+FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+""",
+        "q37_dup_ngram_stats": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS wi
+  FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY wi)
+),
+sh AS (SELECT DISTINCT doc_id, s FROM tri WHERE s IS NOT NULL),
+df AS (SELECT s, COUNT(*) AS ndocs FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       COUNT(*) AS n_ngrams,
+       CAST(SUM(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_ngrams
+FROM sh JOIN df ON df.s = sh.s
+GROUP BY sh.doc_id
+""",
         "q30_dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text
 """,

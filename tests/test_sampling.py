@@ -1,0 +1,175 @@
+"""Corpus sampling / chunking / packing operators.
+
+Covers the selection operators' determinism (hash filters must equal a
+brute-force local computation exactly — that is the oracle contract),
+the exactness of per-group top-k under arbitrary block layouts, and
+pack_sequences' conservation invariants (layout is block-dependent by
+design, so invariants — not layouts — are what's pinned)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _docs(n=200, seed=7):
+    rng = np.random.default_rng(seed)
+    langs = np.array(["en", "de", "fr", "zh", "xx"])
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": langs[rng.integers(0, len(langs), n)],
+            "text": [
+                " ".join(f"w{rng.integers(0, 50)}" for _ in range(rng.integers(1, 40)))
+                for _ in range(n)
+            ],
+        }
+    )
+
+
+def test_sample_fraction_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.sampling import knuth_hash32, sample_fraction
+
+    df = _docs()
+    ds = rd.from_pandas(df).repartition(5)
+    got = sample_fraction(ds, 0.3).to_pandas()["doc_id"].sort_values().to_numpy()
+    h = knuth_hash32(df["doc_id"].to_numpy())
+    want = df["doc_id"][h < int(0.3 * (1 << 32))].sort_values().to_numpy()
+    assert np.array_equal(got, want)
+    assert 0 < len(got) < len(df)
+    # boundary rates
+    assert sample_fraction(rd.from_pandas(df), 0.0).count() == 0
+    assert sample_fraction(rd.from_pandas(df), 1.0).count() == len(df)
+
+
+def test_stratified_sample_rates_and_default(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.sampling import knuth_hash32, stratified_sample
+
+    df = _docs()
+    rates = {"en": 1.0, "de": 0.5, "zh": 0.0}
+    ds = rd.from_pandas(df).repartition(4)
+    got = (
+        stratified_sample(ds, rates, default_rate=0.25)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    h = knuth_hash32(df["doc_id"].to_numpy())
+    thr = np.array(
+        [int(rates.get(l, 0.25) * (1 << 32)) for l in df["lang"]], dtype=np.int64
+    )
+    want = df[h < thr].sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    # every 'en' kept, no 'zh' kept
+    assert set(df[df["lang"] == "en"]["doc_id"]) <= set(got["doc_id"])
+    assert not set(df[df["lang"] == "zh"]["doc_id"]) & set(got["doc_id"])
+
+
+def test_sample_per_group_exact_and_layout_invariant(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.sampling import knuth_hash32, sample_per_group
+
+    df = _docs()
+    k = 7
+
+    def brute(df):
+        d = df.assign(__h=knuth_hash32(df["doc_id"].to_numpy()))
+        d = d.sort_values(["__h", "doc_id"], kind="mergesort")
+        return d.groupby("lang", sort=False).head(k)
+
+    want = set(brute(df)["doc_id"])
+    for nparts in (1, 6):
+        ds = rd.from_pandas(df).repartition(nparts)
+        got = sample_per_group(ds, k, group="lang").to_pandas()
+        assert set(got["doc_id"]) == want, nparts
+        assert (got.groupby("lang").size() <= k).all()
+    # k above the smallest group size keeps that whole group
+    small = df[df["lang"] == "xx"]
+    got = sample_per_group(rd.from_pandas(df), 10_000, group="lang").to_pandas()
+    assert len(got) == len(df)
+    assert set(got.columns) == set(df.columns)
+    assert set(small["doc_id"]) <= set(got["doc_id"])
+
+
+def test_chunk_documents_windows(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.sampling import chunk_documents
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": ["a b c d e", "x", ""],  # 5, 1, 1 tokens ("" = one empty token)
+        }
+    )
+    out = (
+        chunk_documents(rd.from_pandas(df), chunk_tokens=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_no"])
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == [
+        [1, 0, 2],
+        [1, 1, 2],
+        [1, 2, 1],
+        [2, 0, 1],
+        [3, 0, 1],
+    ]
+
+
+def test_chunk_documents_conserves_tokens(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.sampling import chunk_documents
+
+    df = _docs()
+    total = int(sum(len(t.split(" ")) for t in df["text"]))
+    out = chunk_documents(rd.from_pandas(df).repartition(3), chunk_tokens=8).to_pandas()
+    assert int(out["n_tokens"].sum()) == total
+    assert out["n_tokens"].between(1, 8).all()
+
+
+def test_pack_sequences_invariants(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.sampling import pack_sequences
+
+    df = _docs()
+    total = int(sum(len(t.split(" ")) for t in df["text"]))
+    out = pack_sequences(rd.from_pandas(df).repartition(4), seq_len=64).to_pandas()
+    assert int(out["n_tokens"].sum()) == total  # conservation across blocks
+    assert (out["n_tokens"] <= 64).all()
+    assert (out["fill"] <= 1.0).all() and (out["fill"] > 0).all()
+    assert (out["n_pieces"] >= 1).all()
+    assert out["seq_id"].is_unique
+
+
+def test_pack_sequences_greedy_layout_single_block(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.sampling import pack_sequences
+
+    # one block: doc 1 has 20 tokens (L=8 -> chunks 8,8,4), doc 2 has 3,
+    # doc 3 has 2. Greedy: [8] [8] [4,3] [2] -> wait: 4+3=7<=8, then 2
+    # overflows (7+2>8) -> seqs (8),(8),(7),(2)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": [
+                " ".join(["t"] * 20),
+                " ".join(["u"] * 3),
+                " ".join(["v"] * 2),
+            ],
+        }
+    )
+    out = pack_sequences(rd.from_pandas(df), seq_len=8).to_pandas()
+    assert sorted(out["n_tokens"]) == [2, 7, 8, 8]
+    row = out[out["n_tokens"] == 7].iloc[0]
+    assert row["n_pieces"] == 2 and row["n_docs"] == 2
+    assert row["fill"] == pytest.approx(7 / 8)
