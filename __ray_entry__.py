@@ -536,6 +536,42 @@ def q42_pack_sequences(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# main-content extraction (stages/webextract.py, stages/layout.py)
+
+
+def q44_html_extract(sf_dir: str):
+    """HTML boilerplate strip (north_rule's main-content extraction):
+    deterministic page synthesis (nav/aside/related-links/footer
+    boilerplate around the document text) -> DOM-heuristic extraction
+    (jusText-style link density + structural ancestors + near-good
+    smoothing). The oracle is exact inversion: content_text must equal
+    the whitespace-normalized source text per document. Both stages
+    are row-local map_batches — zero shuffle."""
+    from ocrd_cis_ray.stages.webextract import (
+        extract_main_content,
+        synthesize_html,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return extract_main_content(synthesize_html(ds))
+
+
+def q45_layout_reconstruct(sf_dir: str):
+    """PDF/layout parse (north_rule): deterministic 2-column multi-page
+    fragment layout with running headers + page numbers, hash-shuffled,
+    then geometric reading-order reconstruction (margin crop, repeated
+    running-header drop, interval-gap column detection, quantized-y
+    line clustering, np.lexsort order). Oracle = exact inversion."""
+    from ocrd_cis_ray.stages.layout import (
+        reconstruct_reading_order,
+        synthesize_layout,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return reconstruct_reading_order(synthesize_layout(ds))
+
+
+# ---------------------------------------------------------------------------
 # decontamination / duplicate n-gram hygiene (stages/contamination.py)
 
 
@@ -1279,6 +1315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q38_contamination": q38_contamination,
         "q39_chunk_documents": q39_chunk_documents,
         "q42_pack_sequences": q42_pack_sequences,
+        "q44_html_extract": q44_html_extract,
+        "q45_layout_reconstruct": q45_layout_reconstruct,
         "q43_sample_fraction": q43_sample_fraction,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,
@@ -1514,6 +1552,14 @@ c AS (
 SELECT doc_id, chunk_no,
        least(n - chunk_no * 32, 32) AS n_tokens
 FROM c
+""",
+        "q44_html_extract": """
+SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text
+FROM documents
+""",
+        "q45_layout_reconstruct": """
+SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text
+FROM documents
 """,
         "q38_contamination": """
 WITH tok AS (

@@ -122,6 +122,10 @@ def run_bench() -> dict:
         "q30_dedup_exact",
         "q31_jaccard_pairs",
         "q32_minhash_pairs",
+        "q37_dup_ngram_stats",
+        "q38_contamination",
+        "q44_html_extract",
+        "q45_layout_reconstruct",
         "q40_ann_topk",
         "q50_wer_global",
         "q51_cer_by_source",

@@ -1,0 +1,371 @@
+"""Main-content extraction: HTML boilerplate strip via DOM heuristics.
+
+The north-star rule for this engine names "HTML boilerplate strip,
+PDF/layout parse, DOM heuristics" as the main-content extraction tier
+on top of the reference's OCR extraction (the reference's own
+extraction is PAGE-XML region/line traversal, ocrd_cis/align/cli.py;
+this module is the web-document analog over the same interleaved span
+schema).
+
+Heuristics follow the published jusText / Boilerpipe family
+(Pomikalek 2011, "Removing boilerplate and duplicate content from web
+corpora"; Kohlschutter et al. 2010, WSDM "Boilerplate detection using
+shallow text features"):
+
+- the DOM is flattened into text BLOCKS at block-level tag
+  boundaries (p, div, h1-h6, li, ...);
+- each block carries char count, anchor-text char count
+  (link density = a_chars / chars), and its semantic-ancestor set;
+- blocks inside <nav>/<aside>/<header>/<footer>/<form> and all
+  <script>/<style>/<noscript>/<template> content are boilerplate by
+  structure; remaining blocks are boilerplate when link-dense
+  (link_density > MAX_LINK_DENSITY) or short-and-linked;
+- short low-link blocks adjacent to good blocks are promoted
+  (jusText's context-sensitive "near-good" smoothing).
+
+Everything is expressed Ray-Data-first: both the synthesizer and the
+extractor are row-local ``map_batches`` stages over zero-copy Arrow
+batches — ZERO shuffle, so the pipeline streams at any scale. HTML
+parsing is stdlib ``html.parser`` (per-doc Python is unavoidable for
+DOM work — same shape as the reference's per-page XML parse — but it
+is batch-amortized and the parser object is reused across the batch).
+
+Determinism contract (the correctness gate): ``synthesize_html``
+renders each document's whitespace-normalized text into a page
+template with nav / sidebar / related-links / footer boilerplate
+derived from doc_id, and ``extract_main_content`` must recover the
+content EXACTLY — the q44 oracle is
+``regexp_replace(trim(text), '\\s+', ' ', 'g')`` per document, so any
+leaked boilerplate or dropped content fails the value-hash.
+"""
+
+from __future__ import annotations
+
+import html as _html
+from html.parser import HTMLParser
+
+import pyarrow as pa
+
+# jusText-style thresholds (Pomikalek 2011 defaults, adapted).
+MAX_LINK_DENSITY = 0.2
+LENGTH_LOW = 40  # chars; short blocks are only good via smoothing
+
+# Tags whose entire subtree is boilerplate by structure.
+BAD_ANCESTORS = frozenset({"nav", "aside", "header", "footer", "form"})
+# Tags whose content is never text.
+SKIP_TAGS = frozenset({"script", "style", "noscript", "template", "svg"})
+# Tags that terminate the current text block.
+BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+        "table", "tr", "td", "th", "blockquote", "pre", "article",
+        "section", "main", "body", "br", "hr",
+    }
+    | BAD_ANCESTORS
+)
+
+_WORDS = (
+    "home about contact privacy terms sitemap login search archive tags "
+    "news sports shop help faq careers press blog forum media"
+).split()
+
+
+def _bp_word(seed: int) -> str:
+    return _WORDS[seed % len(_WORDS)]
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthesizer (documents -> html)
+
+
+def _paragraphs(text: str, target: int = 180) -> list[str]:
+    """Split whitespace-normalized text into ~target-char paragraphs at
+    word boundaries. Joining the result with single spaces restores the
+    normalized text exactly (the inversion invariant)."""
+    words = text.split()
+    paras: list[str] = []
+    cur: list[str] = []
+    n = 0
+    for w in words:
+        cur.append(w)
+        n += len(w) + 1
+        if n >= target:
+            paras.append(" ".join(cur))
+            cur, n = [], 0
+    if cur:
+        paras.append(" ".join(cur))
+    return paras
+
+
+def _render_page(doc_id: int, text: str) -> str:
+    """Render one deterministic page. Boilerplate word choices derive
+    from doc_id only, so the page is reproducible across runs/engines."""
+    s = int(doc_id)
+    nav = " ".join(
+        f'<a href="/{_bp_word(s + i)}">{_bp_word(s + i).title()}</a>'
+        for i in range(6)
+    )
+    side = "".join(
+        f'<li><a href="/t/{_bp_word(s * 3 + i)}">{_bp_word(s * 3 + i)}</a></li>'
+        for i in range(5)
+    )
+    paras = _paragraphs(text)
+    body = []
+    for i, p in enumerate(paras):
+        body.append(f"<p>{_html.escape(p)}</p>")
+        if i == 0 and s % 3 == 0:
+            # inline figure inside main content -> image span
+            body.append(f'<img src="media://doc/{s}/fig0" alt="figure">')
+    # related-links div: link-dense but NOT inside a bad ancestor —
+    # only the link-density heuristic can kill it.
+    related = " | ".join(
+        f'<a href="/r/{_bp_word(s * 7 + i)}">read {_bp_word(s * 7 + i)}</a>'
+        for i in range(4)
+    )
+    return (
+        "<html><head><title>Doc %d</title>"
+        "<script>var t=%d;</script><style>p{margin:0}</style></head>"
+        "<body><header><h1>Site %s</h1><nav>%s</nav></header>"
+        '<aside><ul>%s</ul></aside>'
+        "<!-- rendered by synthesize_html -->"
+        "<article>%s</article>"
+        '<div class="related">%s</div>'
+        "<footer>&copy; %d %s corp. All rights reserved.</footer>"
+        "</body></html>"
+    ) % (s, s, _bp_word(s), nav, side, "".join(body), related,
+         2000 + s % 26, _bp_word(s + 13))
+
+
+def synthesize_html_batch(batch: pa.Table) -> pa.Table:
+    """map_batches UDF: (doc_id, text) -> (doc_id, html)."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    pages = [
+        _render_page(i, " ".join((t or "").split())) for i, t in zip(ids, texts)
+    ]
+    return pa.table(
+        {"doc_id": pa.array(ids, batch["doc_id"].type),
+         "html": pa.array(pages, pa.string())}
+    )
+
+
+def synthesize_html(ds):
+    """documents(doc_id, text) -> (doc_id, html); row-local, no shuffle."""
+    return ds.map_batches(synthesize_html_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DOM flattening parser
+
+
+class _Block:
+    __slots__ = ("parts", "a_chars", "bad", "images")
+
+    def __init__(self, bad: bool):
+        self.parts: list[str] = []
+        self.a_chars = 0
+        self.bad = bad
+        self.images: list[str] = []
+
+    @property
+    def text(self) -> str:
+        return " ".join("".join(self.parts).split())
+
+
+class _BlockParser(HTMLParser):
+    """Flatten a DOM into text blocks with link density + ancestry.
+
+    One instance is reused across a whole batch (reset() per doc) so
+    per-doc setup cost is one method call, not an object build.
+    """
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self._init_doc()
+
+    def _init_doc(self):
+        self.blocks: list[_Block] = []
+        self._cur: _Block | None = None
+        self._bad_depth = 0
+        self._skip_depth = 0
+        self._a_depth = 0
+
+    def feed_doc(self, html_text: str) -> list[_Block]:
+        self.reset()
+        self._init_doc()
+        self.feed(html_text)
+        self.close()
+        self._flush()
+        return [b for b in self.blocks if b.parts or b.images]
+
+    def _flush(self):
+        if self._cur is not None and (self._cur.parts or self._cur.images):
+            self.blocks.append(self._cur)
+        self._cur = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        if tag in BAD_ANCESTORS:
+            self._bad_depth += 1
+        if tag == "a":
+            self._a_depth += 1
+        if tag == "img":
+            src = dict(attrs).get("src") or ""
+            if src:
+                blk = self._ensure()
+                blk.images.append(src)
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag in SKIP_TAGS:
+            self._skip_depth -= 1
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        if tag in BAD_ANCESTORS:
+            self._bad_depth = max(0, self._bad_depth - 1)
+        if tag == "a":
+            self._a_depth = max(0, self._a_depth - 1)
+
+    def _ensure(self) -> _Block:
+        if self._cur is None:
+            self._cur = _Block(bad=self._bad_depth > 0)
+        return self._cur
+
+    def handle_data(self, data):
+        if self._skip_depth or not data.strip():
+            return
+        blk = self._ensure()
+        blk.parts.append(data)
+        if self._a_depth:
+            blk.a_chars += len(data.strip())
+
+
+# ---------------------------------------------------------------------------
+# classification (jusText-style) + extraction stage
+
+
+def _classify(blocks: list[_Block]) -> list[bool]:
+    """True = content. Structure first, then link density, then the
+    near-good smoothing pass for short low-link blocks."""
+    verdict: list[bool | None] = []
+    for b in blocks:
+        text = b.text
+        n = len(text)
+        if b.bad or n == 0 and not b.images:
+            verdict.append(False)
+            continue
+        density = (b.a_chars / n) if n else 0.0
+        if density > MAX_LINK_DENSITY:
+            verdict.append(False)
+        elif n >= LENGTH_LOW or b.images:
+            verdict.append(True)
+        elif density > 0.0:
+            verdict.append(False)
+        else:
+            verdict.append(None)  # short, link-free: decide by context
+    # near-good smoothing: a short candidate is content iff an adjacent
+    # decided block is content (jusText's neighbour rule).
+    out = list(verdict)
+    for i, v in enumerate(verdict):
+        if v is None:
+            prev_v = next((out[j] for j in range(i - 1, -1, -1)
+                           if out[j] is not None), False)
+            next_v = next((verdict[j] for j in range(i + 1, len(verdict))
+                           if verdict[j] is not None), False)
+            out[i] = bool(prev_v or next_v)
+    return [bool(v) for v in out]
+
+
+def extract_main_batch(batch: pa.Table) -> pa.Table:
+    """map_batches UDF: (doc_id, html) -> interleaved content spans
+    (kind, text, media_ref, offset) — the engine's span schema, so
+    extracted web documents flow into the same downstream stages
+    (dedup, langid, alignment) as OCR output."""
+    parser = _BlockParser()
+    ids = batch["doc_id"].to_pylist()
+    pages = batch["html"].to_pylist()
+    out_ids, kinds, texts, media, offs = [], [], [], [], []
+    for doc_id, page in zip(ids, pages):
+        blocks = parser.feed_doc(page or "")
+        good = _classify(blocks)
+        off = 0
+        for blk, ok in zip(blocks, good):
+            if not ok:
+                continue
+            t = blk.text
+            if t:
+                out_ids.append(doc_id)
+                kinds.append("region")
+                texts.append(t)
+                media.append("")
+                offs.append(off)
+                off += 1
+            for src in blk.images:
+                out_ids.append(doc_id)
+                kinds.append("image")
+                texts.append("")
+                media.append(src)
+                offs.append(off)
+                off += 1
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids, batch["doc_id"].type),
+            "kind": pa.array(kinds, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "media_ref": pa.array(media, pa.string()),
+            "offset": pa.array(offs, pa.int32()),
+        }
+    )
+
+
+class _ContentUDF:
+    """Actor-pool variant returning (doc_id, content_text): the parser
+    is built once per actor (__init__), reused per batch (__call__)."""
+
+    def __init__(self):
+        self.parser = _BlockParser()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        pages = batch["html"].to_pylist()
+        out_texts = []
+        for page in pages:
+            blocks = self.parser.feed_doc(page or "")
+            good = _classify(blocks)
+            out_texts.append(
+                " ".join(b.text for b, ok in zip(blocks, good) if ok and b.text)
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, batch["doc_id"].type),
+                "content_text": pa.array(out_texts, pa.string()),
+            }
+        )
+
+
+def extract_main_content(ds, *, mode: str = "content", concurrency=(1, 8)):
+    """(doc_id, html) -> main content.
+
+    mode="content": (doc_id, content_text) — oracle-comparable form.
+    mode="spans":   interleaved (doc_id, kind, text, media_ref, offset).
+    Row-local both ways; the content path runs as an actor pool so the
+    parser is constructed once per actor, not per batch.
+    """
+    if mode == "content":
+        return ds.map_batches(
+            _ContentUDF, batch_format="pyarrow", concurrency=concurrency
+        )
+    return ds.map_batches(extract_main_batch, batch_format="pyarrow")
