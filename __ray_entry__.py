@@ -535,6 +535,31 @@ def q42_pack_sequences(sf_dir: str):
     return pack_sequences(ds, seq_len=256)
 
 
+def q46_gopher_quality(sf_dir: str):
+    """Gopher-rule document quality filter (Rae et al. 2021 A1.1):
+    word-count bounds, mean word length, symbol-to-word ratio,
+    alphabetic-word fraction, distinct-stopword floor. Row-local
+    vectorized batch kernel; every feature recomputed exactly by the
+    DuckDB oracle."""
+    from ocrd_cis_ray.stages.textops import gopher_quality
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return gopher_quality(ds)
+
+
+def q47_line_dedup(sf_dir: str):
+    """C4-style corpus-level line dedup (Raffel et al. 2020): keep the
+    globally-first occurrence of every line, with lines defined as
+    fixed 10-word windows (this corpus has no sentence separators;
+    duplicated documents still yield duplicated windows). One bucketed
+    shuffle of line tuples; winner = min (doc_id, line_no), compared
+    on text (hash only routes)."""
+    from ocrd_cis_ray.stages.dedup import dedup_lines
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_lines(ds, window_words=10)
+
+
 # ---------------------------------------------------------------------------
 # main-content extraction (stages/webextract.py, stages/layout.py)
 
@@ -1317,6 +1342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q42_pack_sequences": q42_pack_sequences,
         "q44_html_extract": q44_html_extract,
         "q45_layout_reconstruct": q45_layout_reconstruct,
+        "q46_gopher_quality": q46_gopher_quality,
+        "q47_line_dedup": q47_line_dedup,
         "q43_sample_fraction": q43_sample_fraction,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,
@@ -1552,6 +1579,55 @@ c AS (
 SELECT doc_id, chunk_no,
        least(n - chunk_no * 32, 32) AS n_tokens
 FROM c
+""",
+        "q46_gopher_quality": """
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+         len(list_filter(string_split(text, ' '),
+                         w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         CAST(list_contains(string_split(text, ' '), 'the') AS INT)
+         + CAST(list_contains(string_split(text, ' '), 'be') AS INT)
+         + CAST(list_contains(string_split(text, ' '), 'to') AS INT)
+         + CAST(list_contains(string_split(text, ' '), 'of') AS INT)
+         + CAST(list_contains(string_split(text, ' '), 'and') AS INT)
+         + CAST(list_contains(string_split(text, ' '), 'that') AS INT)
+         + CAST(list_contains(string_split(text, ' '), 'have') AS INT)
+         + CAST(list_contains(string_split(text, ' '), 'with') AS INT)
+           AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       (n_chars - (n_words - 1)) / n_words AS mean_word_len,
+       CAST(n_hash + n_ell AS DOUBLE) / n_words AS symbol_ratio,
+       CAST(n_alpha AS DOUBLE) / n_words AS frac_alpha_words,
+       CAST(n_stop AS BIGINT) AS n_stop_distinct,
+       CAST(CASE WHEN n_words >= 15 AND n_words <= 100000
+                  AND (n_chars - (n_words - 1)) / n_words >= 3.0
+                  AND (n_chars - (n_words - 1)) / n_words <= 10.0
+                  AND CAST(n_hash + n_ell AS DOUBLE) / n_words <= 0.1
+                  AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+                  AND n_stop >= 2
+             THEN 1 ELSE 0 END AS INT) AS pass_filter
+FROM f
+""",
+        "q47_line_dedup": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS wi
+  FROM documents
+),
+l AS (
+  SELECT doc_id, (wi - 1) // 10 AS line_no,
+         string_agg(w, ' ' ORDER BY wi) AS line
+  FROM tok GROUP BY doc_id, (wi - 1) // 10
+)
+SELECT doc_id, CAST(line_no AS BIGINT) AS line_no, line FROM l
+QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) = 1
 """,
         "q44_html_extract": """
 SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text

@@ -126,6 +126,8 @@ def run_bench() -> dict:
         "q38_contamination",
         "q44_html_extract",
         "q45_layout_reconstruct",
+        "q46_gopher_quality",
+        "q47_line_dedup",
         "q40_ann_topk",
         "q50_wer_global",
         "q51_cer_by_source",

@@ -774,3 +774,97 @@ def embedding_dup_pairs(
     pairs = bucketed_groupby(assigned, "bucket", bucket_pairs, whole_bucket=True)
     # a pair can surface in up to assign_top shared buckets: dedupe
     return bucketed_aggregate(pairs, ["id_a", "id_b"], {"cosine": ("cosine", "max")})
+
+
+# ---------------------------------------------------------------------------
+# corpus-level line/sentence dedup (C4-style)
+
+
+def explode_lines_batch(
+    batch: pa.Table,
+    *,
+    col: str = "text",
+    sep: str = ". ",
+    window_words: int | None = None,
+) -> pa.Table:
+    """(doc_id, text) -> one row per line: (doc_id, line_no, line).
+
+    Two line definitions:
+    - separator mode (default): one pc.split_pattern + list_flatten;
+      line numbers from the list offsets (np.repeat/arange), no
+      Python loop;
+    - ``window_words=k``: fixed k-word windows (for corpora without
+      sentence separators). The window regroup is a ragged rewrite
+      (join k words per window), done on plain lists decoded once per
+      batch — same accepted shape as the span normalizer's ragged
+      loop.
+    """
+    if window_words:
+        k = int(window_words)
+        ids_in = batch["doc_id"]
+        out_rep: list[int] = []
+        out_no: list[int] = []
+        out_line: list[str] = []
+        for row, text in enumerate(batch[col].to_pylist()):
+            ws = (text or "").split(" ")
+            for wi in range(0, len(ws), k):
+                out_rep.append(row)
+                out_no.append(wi // k)
+                out_line.append(" ".join(ws[wi : wi + k]))
+        return pa.table(
+            {
+                "doc_id": ids_in.take(pa.array(out_rep, pa.int64())),
+                "line_no": pa.array(out_no, pa.int64()),
+                "line": pa.array(out_line, pa.string()),
+            }
+        )
+    parts = pc.split_pattern(batch[col], sep)
+    flat = pc.list_flatten(parts)
+    counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_ids = batch["doc_id"]
+    rep = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    line_no = np.concatenate([np.arange(c, dtype=np.int64) for c in counts]) if len(counts) else np.zeros(0, np.int64)
+    return pa.table(
+        {
+            "doc_id": doc_ids.take(pa.array(rep)),
+            "line_no": pa.array(line_no, pa.int64()),
+            "line": flat,
+        }
+    )
+
+
+def dedup_lines(ds, *, col: str = "text", sep: str = ". ", window_words: int | None = None):
+    """C4-style corpus-level line dedup (Raffel et al. 2020, C4: drop
+    every occurrence of a duplicated line but the first).
+
+    Docs explode to line rows (vectorized), then ONE bucketed shuffle
+    keyed on the line's content hash; within a bucket the globally
+    first occurrence per line text — min (doc_id, line_no) — is kept
+    with a single vectorized sort + drop_duplicates. Same-text lines
+    always share a bucket, so the winner is global; comparison is on
+    the actual text (hash only routes), so collisions cannot corrupt.
+
+    Scale shape: the exchange moves (hash, doc_id, line_no, line)
+    tuples — line text, not documents; skew is bounded because a hot
+    line only concentrates its own copies.
+    """
+    from functools import partial
+
+    from ..shuffle import bucketed_groupby
+
+    lines = ds.map_batches(
+        partial(explode_lines_batch, col=col, sep=sep, window_words=window_words),
+        batch_format="pyarrow",
+    )
+    hashed = lines.map_batches(
+        add_content_hash, batch_format="pyarrow", fn_kwargs={"column": "line"}
+    )
+
+    def keep_first(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            bucket.sort_values(["line", "doc_id", "line_no"])
+            .drop_duplicates("line", keep="first")
+        )
+        return out.drop(columns=["content_hash"]).reset_index(drop=True)
+
+    return bucketed_groupby(hashed, "content_hash", keep_first, whole_bucket=True)

@@ -310,3 +310,106 @@ def token_frequencies(ds, *, col: str = "text", top_v: int | None = None,
             else cand
         )
     return pd.Series(freq["c"].to_numpy(), index=freq["w"])
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality filter
+
+# The eight "must contain >= 2 distinct" English function words from the
+# Gopher data-quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_batch(
+    batch: pa.Table,
+    *,
+    min_words: int = 15,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_distinct: int = 2,
+) -> pa.Table:
+    """Gopher repetition-free quality rules, vectorized, one batch pass.
+
+    Every feature is chosen to be EXACTLY expressible in ANSI SQL (the
+    q46 oracle recomputes all of them in DuckDB), with the repo's
+    standing single-space tokenization convention (split on ' ',
+    matching the q20/q21 oracles):
+
+    - n_words, mean word length ((chars - spaces) / n_words);
+    - symbol-to-word ratio ('#' and '...' occurrences per word);
+    - fraction of words containing an ASCII letter;
+    - distinct-stopword count over GOPHER_STOPWORDS;
+    - pass_filter = conjunction of the published thresholds.
+
+    Row-local; zero shuffle; per-word work is done on the FLATTENED
+    word array with np.add.reduceat segment sums (no Python loop).
+    """
+    text = batch["text"]
+    n = len(batch)
+    n_words = pc.cast(pc.add(pc.count_substring(text, " "), 1), pa.int64())
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    nw = n_words.to_numpy(zero_copy_only=False).astype(np.float64)
+    mean_wl = (
+        n_chars.to_numpy(zero_copy_only=False) - (nw - 1)
+    ) / nw
+    n_hash = pc.count_substring(text, "#").to_numpy(zero_copy_only=False)
+    n_ell = pc.count_substring(text, "...").to_numpy(zero_copy_only=False)
+    symbol_ratio = (n_hash + n_ell) / nw
+
+    words = pc.split_pattern(text, " ")
+    flat = pc.list_flatten(words)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nw.astype(np.int64), out=offsets[1:])
+    alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    # segment sums over the flattened mask (empty docs impossible:
+    # split always yields >=1 element)
+    alpha_per_doc = np.add.reduceat(alpha, offsets[:-1]) if n else alpha
+    frac_alpha = alpha_per_doc / nw
+
+    stop_codes = pc.index_in(flat, pa.array(GOPHER_STOPWORDS)).to_numpy(
+        zero_copy_only=False
+    )
+    # index_in yields null for misses -> to_numpy gives float with nan
+    hit = np.nan_to_num(stop_codes, nan=-1) >= 0
+    codes = np.nan_to_num(stop_codes, nan=-1).astype(np.int64)
+    # distinct stopwords per doc: scatter into an (n, 8) presence grid
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), nw.astype(np.int64))
+    grid = np.zeros((n, len(GOPHER_STOPWORDS)), dtype=bool)
+    grid[doc_idx[hit], codes[hit]] = True
+    n_stop = grid.sum(axis=1).astype(np.int64)
+
+    nwi = n_words.to_numpy(zero_copy_only=False)
+    ok = (
+        (nwi >= min_words)
+        & (nwi <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (frac_alpha >= min_alpha_frac)
+        & (n_stop >= min_stop_distinct)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": n_words,
+            "mean_word_len": pa.array(mean_wl, pa.float64()),
+            "symbol_ratio": pa.array(symbol_ratio, pa.float64()),
+            "frac_alpha_words": pa.array(frac_alpha, pa.float64()),
+            "n_stop_distinct": pa.array(n_stop, pa.int64()),
+            "pass_filter": pa.array(ok.astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def gopher_quality(ds, **thresholds):
+    """documents(doc_id, text) -> per-doc Gopher quality features +
+    pass_filter; row-local map_batches, zero shuffle."""
+    return ds.map_batches(
+        gopher_quality_batch, batch_format="pyarrow", fn_kwargs=thresholds
+    )
