@@ -267,8 +267,14 @@ def ocr_source_lines(pages, source: str, conf: float, *, concurrency: int = 4):
     import ray
 
     pool_max = max(concurrency, int(ray.cluster_resources().get("CPU", concurrency)))
+    # pool MIN must stay well under cluster width: two engine pools run
+    # concurrently, and min actors RESERVE cpus even while idle. With
+    # min=4 on a 4-cpu test session the two pools pinned 4x0.5x2 = all
+    # 4 cpus and starved the 1-cpu feeder tasks (observed: suite crawl
+    # at ~6% cpu). pool_max//8 keeps min=4 at 32 cpus, min=1 at <=8.
+    pool_min = max(1, pool_max // 8)
     rec = recognize_lines(
-        ds, concurrency=(min(4, pool_max), pool_max), batch_size=64, num_cpus=0.5
+        ds, concurrency=(pool_min, pool_max), batch_size=64, num_cpus=0.5
     )
 
     def to_lines(t: pa.Table) -> pa.Table:
@@ -440,8 +446,11 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
     def to_pairs(t: pa.Table) -> pa.Table:
         return pa.table({"text": t["OCR-2"], "gt_text": t["GT"]})
 
+    # deterministic 25% content-hash sample: layout-invariant (rerun ==
+    # rerun, any block layout), bounded alignment cost; the channel
+    # model is a rate estimate, so subsampling is consistent.
     confusions = learn_confusions(
-        wide.map_batches(to_pairs, batch_format="pyarrow"), max_pairs_per_batch=64
+        wide.map_batches(to_pairs, batch_format="pyarrow"), sample_rate=0.25
     )
 
     # line-level correction inside the actor pool (cursor matcher + nOCR
@@ -457,7 +466,7 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
         LineCorrector,
         fn_constructor_args=(lexicon, confusions),
         batch_format="pyarrow",
-        concurrency=(min(4, pool_max), pool_max),
+        concurrency=(max(1, pool_max // 8), pool_max),
         batch_size=256,
         num_cpus=0.5,
     )

@@ -272,18 +272,31 @@ def confusion_partials_batch(
     test_col: str = "text",
     gt_col: str = "gt_text",
     max_pairs: int | None = None,
+    sample_rate: float | None = None,
 ) -> pa.Table:
     """Per-batch (src, dst, n) confusion counts from edit alignments of
     (ocr, gt) line pairs — the xlevenshtein confusion extraction
     (ocrolib/edist.py:21-83) as a distributed partial aggregate.
 
-    ``max_pairs`` bounds the number of differing lines aligned per
-    batch: the channel model saturates after a few thousand pairs, so
-    a corpus-scale caller samples instead of paying an O(len²) edit
-    alignment for every line (the estimate stays consistent — counts
-    are normalized to rates downstream)."""
+    Bounding the O(len²) alignments (the channel model saturates after
+    a few thousand pairs): ``sample_rate`` keeps a pair iff its content
+    hash clears a threshold — DETERMINISTIC and independent of batch
+    layout, so the learned model (and everything downstream) is
+    byte-stable across runs; corpus-scale callers shrink the rate with
+    corpus size. ``max_pairs`` (first-N differing per batch) is kept
+    for explicit hard bounding but depends on block layout — prefer
+    sample_rate anywhere reruns must agree."""
     test = batch[test_col].to_pylist()
     gt = batch[gt_col].to_pylist()
+    if sample_rate is not None and len(test):
+        thr = int(sample_rate * (1 << 32))
+        h = pd.util.hash_array(
+            np.asarray([(t or "") + "\x00" + (g or "") for t, g in zip(test, gt)],
+                       dtype=object)
+        ) % (1 << 32)
+        keep = h < thr
+        test = [t for t, k in zip(test, keep) if k]
+        gt = [g for g, k in zip(gt, keep) if k]
     counts: Counter = Counter()
     aligned = 0
     for t, g in zip(test, gt):
@@ -315,6 +328,7 @@ def learn_confusions(
     test_col: str = "text",
     gt_col: str = "gt_text",
     max_pairs_per_batch: int | None = None,
+    sample_rate: float | None = None,
 ) -> dict[tuple[str, str], float]:
     """Distributed confusion-weight estimation: partial counts per batch
     → small groupby sum → normalized weights (count / total edits).
@@ -327,6 +341,7 @@ def learn_confusions(
             test_col=test_col,
             gt_col=gt_col,
             max_pairs=max_pairs_per_batch,
+            sample_rate=sample_rate,
         ),
         batch_format="pyarrow",
     )
