@@ -17,10 +17,10 @@ per doc) to corpus hygiene:
   n-grams, one `np.searchsorted` membership probe, per-doc bincount.
   ZERO shuffle at any corpus size.
 - `dup_ngram_stats`: per-doc duplicate-n-gram counts. Exploded
-  (shingle, doc) pairs -> bucketed doc-frequency count -> bucketed hash
-  join back -> per-doc sum. Two bucketed exchanges moving only
-  (uint64, id) pairs — the same shape (and cost envelope) as
-  `jaccard_pairs`' shingle exchange.
+  (shingle, doc) pairs -> ONE bucketed exchange on the gram (df is
+  exact inside the bucket, reduced directly to per-(doc, bucket)
+  partials) -> one tiny per-doc exchange of the partials. No join, no
+  materialize; the big exchange moves only (uint64, id) pairs.
 
 64-bit hashing means oracle parity is probabilistic in principle;
 with ~2^64 space a corpus needs ~10^9 distinct n-grams per expected
@@ -35,7 +35,7 @@ import pyarrow as pa
 
 import ray
 
-from ocrd_cis_ray.shuffle import bucketed_aggregate, hash_join
+from ocrd_cis_ray.shuffle import bucketed_aggregate
 from ocrd_cis_ray.stages.dedup import _batch_shingle_hashes, shingle_batch
 
 DEFAULT_MAX_BENCH_NGRAMS = 50_000_000  # ~400 MB broadcast ceiling
@@ -114,32 +114,35 @@ def dup_ngram_stats(ds, *, n: int = 8, id_col: str = "doc_id", text_col: str = "
     >= 2 DISTINCT documents corpus-wide (RefinedWeb's dup-n-gram
     fraction, reported as exact integers so the oracle compares
     losslessly)."""
-    pairs = ds.map_batches(
-        lambda t: shingle_batch(t, n=n), batch_format="pyarrow"
-    ).materialize()  # consumed twice below; shingles are (uint64, id) pairs only
-    # distinct-doc frequency per gram (shingle_batch already emits
-    # per-doc-distinct shingles, so size == document frequency)
-    freq = bucketed_aggregate(
-        pairs, "shingle", {"df": ("doc_id", "size")}, combine=True
-    )
+    pairs = ds.map_batches(lambda t: shingle_batch(t, n=n), batch_format="pyarrow")
 
-    def dups_only(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[df["df"] >= 2][["shingle"]].copy()
-        out["dup"] = np.int64(1)
-        return out
+    # ONE bucketed exchange on the shingle: every row of a given gram
+    # lands in the same bucket, so document frequency is exact inside
+    # the bucket (shingle_batch emits per-doc-DISTINCT shingles, so
+    # group size == df). The bucket reduces straight to per-(doc,
+    # bucket) partials — no second pass over the pairs, no join.
+    from ..shuffle import bucketed_groupby
 
-    dup_grams = freq.map_batches(dups_only, batch_format="pandas")
-    joined = hash_join(pairs, dup_grams, on="shingle", how="left")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        dup = (df.groupby("shingle")["shingle"].transform("size") >= 2)
+        return (
+            df.assign(dup=dup.to_numpy(dtype=np.int64))
+            .groupby(id_col, as_index=False)
+            .agg(n_dup_ngrams=("dup", "sum"), n_ngrams=("n_shingles", "first"))
+        )
+
+    partials = bucketed_groupby(pairs, "shingle", per_bucket, whole_bucket=True)
+    # tiny second exchange: O(docs × buckets-touched) partial rows
     agg = bucketed_aggregate(
-        joined,
+        partials,
         id_col,
-        {"n_ngrams": ("n_shingles", "first"), "n_dup_ngrams": ("dup", "sum")},
+        {"n_ngrams": ("n_ngrams", "first"), "n_dup_ngrams": ("n_dup_ngrams", "sum")},
         combine=True,
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df["n_dup_ngrams"] = df["n_dup_ngrams"].fillna(0).astype(np.int64)
+        df["n_dup_ngrams"] = df["n_dup_ngrams"].astype(np.int64)
         df["n_ngrams"] = df["n_ngrams"].astype(np.int64)
-        return df
+        return df[[id_col, "n_ngrams", "n_dup_ngrams"]]
 
     return agg.map_batches(finalize, batch_format="pandas")
