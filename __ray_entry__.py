@@ -560,6 +560,22 @@ def q47_line_dedup(sf_dir: str):
     return dedup_lines(ds, window_words=10)
 
 
+def q48_repetition_stats(sf_dir: str):
+    """Gopher A1.2 repetition filters (Rae et al. 2021): duplicate-line
+    fraction + duplicate-line char fraction (lines = fixed 10-word
+    windows, the q47 convention), top-{2,3,4}-gram char fraction
+    (max count*gram_chars maximand — deterministic without a count
+    tie-break), duplicated-{5,10}-gram word-coverage fraction, and the
+    published-threshold pass_filter. One vectorized row-local batch
+    kernel (single hash_array pass + lexsort run-length + diff-array
+    coverage), zero shuffle; every fraction is a single int/int
+    division so the DuckDB oracle reproduces it bit-exactly."""
+    from ocrd_cis_ray.stages.textops import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_stats(ds)
+
+
 # ---------------------------------------------------------------------------
 # main-content extraction (stages/webextract.py, stages/layout.py)
 
@@ -1344,6 +1360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q45_layout_reconstruct": q45_layout_reconstruct,
         "q46_gopher_quality": q46_gopher_quality,
         "q47_line_dedup": q47_line_dedup,
+        "q48_repetition_stats": q48_repetition_stats,
         "q43_sample_fraction": q43_sample_fraction,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,
@@ -1628,6 +1645,88 @@ l AS (
 )
 SELECT doc_id, CAST(line_no AS BIGINT) AS line_no, line FROM l
 QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) = 1
+""",
+        "q48_repetition_stats": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS wi
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS nw, length(text) AS n_chars
+  FROM documents
+),
+l AS (
+  SELECT doc_id, (wi - 1) // 10 AS line_no, string_agg(w, ' ' ORDER BY wi) AS line
+  FROM tok GROUP BY doc_id, (wi - 1) // 10
+),
+lg AS (
+  SELECT doc_id, line, length(line) AS lc, count(*) AS c
+  FROM l GROUP BY doc_id, line
+),
+dl AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum((c - 1) * lc) AS BIGINT) AS dup_chars
+  FROM lg GROUP BY doc_id
+),
+g2 AS (
+  SELECT doc_id, wi, w || ' ' || lead(w, 1) OVER win AS g
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY wi)
+),
+t2 AS (SELECT doc_id, max(c * gc) AS top FROM (
+  SELECT doc_id, length(g) AS gc, count(*) AS c FROM g2 WHERE g IS NOT NULL GROUP BY doc_id, g
+) GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id, wi, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS g
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY wi)
+),
+t3 AS (SELECT doc_id, max(c * gc) AS top FROM (
+  SELECT doc_id, length(g) AS gc, count(*) AS c FROM g3 WHERE g IS NOT NULL GROUP BY doc_id, g
+) GROUP BY doc_id),
+g4 AS (
+  SELECT doc_id, wi, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' || lead(w, 3) OVER win AS g
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY wi)
+),
+t4 AS (SELECT doc_id, max(c * gc) AS top FROM (
+  SELECT doc_id, length(g) AS gc, count(*) AS c FROM g4 WHERE g IS NOT NULL GROUP BY doc_id, g
+) GROUP BY doc_id),
+g5 AS (
+  SELECT doc_id, wi, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS g
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY wi)
+),
+d5 AS (SELECT doc_id, g FROM g5 WHERE g IS NOT NULL GROUP BY doc_id, g HAVING count(*) >= 2),
+cov5 AS (SELECT doc_id, unnest(generate_series(wi, wi + 4)) AS u
+         FROM g5 JOIN d5 USING (doc_id, g)),
+c5 AS (SELECT doc_id, CAST(count(DISTINCT u) AS BIGINT) AS cov FROM cov5 GROUP BY doc_id),
+g10 AS (
+  SELECT doc_id, wi, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' ' || lead(w, 7) OVER win || ' ' || lead(w, 8) OVER win || ' ' || lead(w, 9) OVER win AS g
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY wi)
+),
+d10 AS (SELECT doc_id, g FROM g10 WHERE g IS NOT NULL GROUP BY doc_id, g HAVING count(*) >= 2),
+cov10 AS (SELECT doc_id, unnest(generate_series(wi, wi + 9)) AS u
+          FROM g10 JOIN d10 USING (doc_id, g)),
+c10 AS (SELECT doc_id, CAST(count(DISTINCT u) AS BIGINT) AS cov FROM cov10 GROUP BY doc_id)
+SELECT s.doc_id,
+  dl.n_lines,
+  CAST(dl.n_lines - dl.n_distinct AS DOUBLE) / dl.n_lines AS dup_line_frac,
+  CAST(dl.dup_chars AS DOUBLE) / s.n_chars AS dup_line_char_frac,
+  CAST(COALESCE(t2.top, 0) AS DOUBLE) / s.n_chars AS top2_char_frac,
+  CAST(COALESCE(t3.top, 0) AS DOUBLE) / s.n_chars AS top3_char_frac,
+  CAST(COALESCE(t4.top, 0) AS DOUBLE) / s.n_chars AS top4_char_frac,
+  CAST(COALESCE(c5.cov, 0) AS DOUBLE) / s.nw AS dup5_word_frac,
+  CAST(COALESCE(c10.cov, 0) AS DOUBLE) / s.nw AS dup10_word_frac,
+  CAST(CASE WHEN CAST(dl.n_lines - dl.n_distinct AS DOUBLE) / dl.n_lines <= 0.30
+             AND CAST(dl.dup_chars AS DOUBLE) / s.n_chars <= 0.20
+             AND CAST(COALESCE(t2.top, 0) AS DOUBLE) / s.n_chars <= 0.20
+             AND CAST(COALESCE(t3.top, 0) AS DOUBLE) / s.n_chars <= 0.18
+             AND CAST(COALESCE(t4.top, 0) AS DOUBLE) / s.n_chars <= 0.16
+             AND CAST(COALESCE(c5.cov, 0) AS DOUBLE) / s.nw <= 0.15
+             AND CAST(COALESCE(c10.cov, 0) AS DOUBLE) / s.nw <= 0.10
+        THEN 1 ELSE 0 END AS INT) AS pass_filter
+FROM s JOIN dl USING (doc_id)
+LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id) LEFT JOIN t4 USING (doc_id)
+LEFT JOIN c5 USING (doc_id) LEFT JOIN c10 USING (doc_id)
 """,
         "q44_html_extract": """
 SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text

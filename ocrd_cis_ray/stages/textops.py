@@ -413,3 +413,199 @@ def gopher_quality(ds, **thresholds):
     return ds.map_batches(
         gopher_quality_batch, batch_format="pyarrow", fn_kwargs=thresholds
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher A1.2 repetition filters (Rae et al. 2021, appendix A1.2):
+# duplicate-line fractions, top-n-gram char fraction, duplicated-n-gram
+# coverage. The reference has no analog (its corpus is OCR pages); this
+# is the repetition half of the web-corpus quality gate that pairs with
+# ``gopher_quality`` (A1.1) above.
+
+_REP_MULT = np.uint64(0x9E3779B97F4A7C15)  # same odd mixer as dedup's grams
+
+
+def repetition_stats_batch(
+    batch: pa.Table,
+    *,
+    line_words: int = 10,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_gram_frac: tuple = (0.20, 0.18, 0.16),  # n = 2, 3, 4
+    max_dup_gram_frac: tuple = (0.15, 0.10),  # n = 5, 10
+) -> pa.Table:
+    """Per-doc repetition features, one vectorized pass, zero shuffle.
+
+    Definitions (each chosen to be EXACTLY expressible in ANSI SQL so
+    the q48 oracle can recompute them — all fractions are a single
+    integer/integer division, which IEEE-doubles identically in numpy
+    and DuckDB):
+
+    - lines = fixed ``line_words``-word windows (the repo's standing
+      q47 convention for corpora without sentence separators);
+    - ``dup_line_frac`` = (n_lines - n_distinct_lines) / n_lines;
+    - ``dup_line_char_frac`` = chars in repeat occurrences of a line
+      (occurrences beyond the first) / doc chars;
+    - ``top{n}_char_frac`` (n = 2,3,4) = max over n-grams of
+      count * gram_chars, / doc chars (the "fraction of characters in
+      the most repeated n-gram"; the count*len maximand makes the
+      statistic deterministic without a tie-break on equal counts);
+    - ``dup{n}_word_frac`` (n = 5,10) = words covered by any n-gram
+      occurring >= 2 times in the doc / n_words (word-position
+      coverage, counting overlaps once — the Gopher "fraction of
+      characters inside duplicated n-grams" measured at word
+      granularity, which keeps the oracle a pure integer count);
+    - ``pass_filter`` = conjunction of the published A1.2 thresholds.
+
+    Vectorization: ONE ``pd.util.hash_array`` over every word in the
+    batch; n-gram identities are rolling multiply-xor combines of the
+    word hashes (dedup.py's scheme — equality on the hash stands in
+    for equality on the joined gram); per-doc counting is lexsort +
+    run-length over (doc, hash); coverage is a +1/-1 diff array over
+    flat word positions. No Python loop exceeds O(n) in gram ORDER
+    (j in range(n)), never over rows.
+    """
+    texts = batch["text"].to_pylist()
+    n_docs = len(texts)
+    if n_docs == 0:
+        return pa.table({"doc_id": batch["doc_id"]})
+    words_per_doc = [t.split(" ") if t else [] for t in texts]
+    wc = np.array([len(ws) for ws in words_per_doc], dtype=np.int64)
+    total = int(wc.sum())
+    all_words = np.asarray(
+        [w for ws in words_per_doc for w in ws], dtype=object
+    )
+    wh = pd.util.hash_array(all_words).astype(np.uint64)
+    wlen = pc.utf8_length(pa.array(all_words, pa.string())).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    doc_off = np.concatenate([[0], np.cumsum(wc)])  # len n_docs+1
+    doc_of_word = np.repeat(np.arange(n_docs), wc)
+    n_chars = np.maximum(
+        np.add.reduceat(wlen, doc_off[:-1]) + wc - 1, 1
+    ) if total else np.ones(n_docs, np.int64)
+    # guard: reduceat on empty segments misbehaves only if wc==0 rows
+    # exist; synthetic corpus docs are non-empty (split(' ') >= 1 word)
+    safe_chars = n_chars.astype(np.float64)
+
+    L = int(line_words)
+    # ----- lines: fixed L-word windows ------------------------------
+    word_pos = np.arange(total) - np.repeat(doc_off[:-1], wc)
+    line_of_word = word_pos // L
+    n_lines = (wc + L - 1) // L
+    line_off = np.concatenate([[0], np.cumsum(n_lines)])
+    total_lines = int(line_off[-1])
+    # flat line index of each word
+    flat_line = np.repeat(line_off[:-1], wc) + line_of_word
+    line_len = np.bincount(flat_line, minlength=total_lines).astype(np.int64)
+    line_chars = (
+        np.bincount(flat_line, weights=wlen, minlength=total_lines).astype(np.int64)
+        + line_len - 1
+    )
+    # rolling hash per line (lines have <= L words; L passes)
+    line_starts = np.zeros(total_lines, dtype=np.int64)
+    first_word_of_line = np.ones(total, dtype=bool)
+    first_word_of_line[1:] = flat_line[1:] != flat_line[:-1]
+    line_starts = np.flatnonzero(first_word_of_line)
+    acc = np.zeros(total_lines, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(L):
+            m = line_len > j
+            acc[m] = acc[m] * _REP_MULT ^ wh[line_starts[m] + j]
+    doc_of_line = np.repeat(np.arange(n_docs), n_lines)
+    order = np.lexsort((acc, doc_of_line))
+    d_s, h_s, c_s = doc_of_line[order], acc[order], line_chars[order]
+    first = np.ones(total_lines, bool)
+    first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    n_distinct = np.bincount(d_s[first], minlength=n_docs).astype(np.int64)
+    dup_chars = np.bincount(
+        d_s[~first], weights=c_s[~first], minlength=n_docs
+    ).astype(np.int64)
+    dup_line_frac = (n_lines - n_distinct) / n_lines
+    dup_line_char_frac = dup_chars / safe_chars
+
+    # cumulative word-char prefix (chars of words s..s+n-1 = pre[s+n]-pre[s])
+    pre = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(wlen, out=pre[1:])
+
+    def _gram_stats(n: int):
+        """(top_num per doc, covered-word count per doc) for order n."""
+        g_cnt = np.maximum(wc - n + 1, 0)
+        g_total = int(g_cnt.sum())
+        if g_total == 0:
+            z = np.zeros(n_docs, np.int64)
+            return z, z
+        g_off = np.concatenate([[0], np.cumsum(g_cnt)])
+        starts = np.repeat(doc_off[:-1], g_cnt) + (
+            np.arange(g_total) - np.repeat(g_off[:-1], g_cnt)
+        )
+        with np.errstate(over="ignore"):
+            acc = np.zeros(g_total, np.uint64)
+            for j in range(n):
+                acc = acc * _REP_MULT ^ wh[starts + j]
+        g_chars = pre[starts + n] - pre[starts] + (n - 1)
+        doc_of_gram = np.repeat(np.arange(n_docs), g_cnt)
+        order = np.lexsort((acc, doc_of_gram))
+        d_s, h_s = doc_of_gram[order], acc[order]
+        run_start = np.ones(g_total, bool)
+        run_start[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        run_idx = np.cumsum(run_start) - 1
+        run_len = np.bincount(run_idx).astype(np.int64)
+        # count * gram_chars maximand per doc (gram chars equal within a run)
+        run_first = np.flatnonzero(run_start)
+        run_doc = d_s[run_first]
+        run_chars = g_chars[order][run_first]
+        maximand = run_len * run_chars
+        top = np.zeros(n_docs, np.int64)
+        np.maximum.at(top, run_doc, maximand)
+        # coverage: occurrences in runs of length >= 2
+        dup_occ = order[run_len[run_idx] >= 2]
+        diff = np.zeros(total + 1, np.int64)
+        np.add.at(diff, starts[dup_occ], 1)
+        np.add.at(diff, starts[dup_occ] + n, -1)
+        covered = (np.cumsum(diff[:-1]) > 0)
+        cov = np.bincount(
+            doc_of_word[covered], minlength=n_docs
+        ).astype(np.int64) if covered.any() else np.zeros(n_docs, np.int64)
+        return top, cov
+
+    top_fracs = {}
+    for n_, thr in zip((2, 3, 4), max_top_gram_frac):
+        top, _ = _gram_stats(n_)
+        top_fracs[n_] = top / safe_chars
+    dup_fracs = {}
+    for n_, thr in zip((5, 10), max_dup_gram_frac):
+        _, cov = _gram_stats(n_)
+        dup_fracs[n_] = cov / wc.astype(np.float64)
+
+    ok = (
+        (dup_line_frac <= max_dup_line_frac)
+        & (dup_line_char_frac <= max_dup_line_char_frac)
+        & (top_fracs[2] <= max_top_gram_frac[0])
+        & (top_fracs[3] <= max_top_gram_frac[1])
+        & (top_fracs[4] <= max_top_gram_frac[2])
+        & (dup_fracs[5] <= max_dup_gram_frac[0])
+        & (dup_fracs[10] <= max_dup_gram_frac[1])
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "dup_line_frac": pa.array(dup_line_frac, pa.float64()),
+            "dup_line_char_frac": pa.array(dup_line_char_frac, pa.float64()),
+            "top2_char_frac": pa.array(top_fracs[2], pa.float64()),
+            "top3_char_frac": pa.array(top_fracs[3], pa.float64()),
+            "top4_char_frac": pa.array(top_fracs[4], pa.float64()),
+            "dup5_word_frac": pa.array(dup_fracs[5], pa.float64()),
+            "dup10_word_frac": pa.array(dup_fracs[10], pa.float64()),
+            "pass_filter": pa.array(ok.astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def repetition_stats(ds, **kwargs):
+    """documents(doc_id, text) -> per-doc Gopher A1.2 repetition
+    features + pass_filter; row-local map_batches, zero shuffle."""
+    return ds.map_batches(
+        repetition_stats_batch, batch_format="pyarrow", fn_kwargs=kwargs
+    )

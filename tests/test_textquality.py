@@ -129,3 +129,88 @@ def test_dedup_lines_window_mode(ray_session):
         (0, 0),
         (0, 1),
     }
+
+
+def test_repetition_stats_brute_force():
+    """Pin every A1.2 feature against a readable local recomputation."""
+    from ocrd_cis_ray.stages.textops import repetition_stats_batch
+
+    texts = [
+        # doc 0: heavy repetition — "spam ham" 2-gram repeated
+        "spam ham spam ham spam ham spam ham spam ham spam ham",
+        # doc 1: clean prose, no repeated grams
+        "the quick brown fox jumps over one lazy dog near a river bank today",
+        # doc 2: a duplicated 10-word window (two identical lines)
+        "a b c d e f g h i j a b c d e f g h i j tail",
+        # doc 3: shorter than any gram order > its length
+        "tiny doc",
+        # doc 4: long diverse prose — the only doc that clears the
+        # thresholds (Gopher's A1.2 cutoffs presuppose real-length web
+        # documents; short docs fail the top-gram rules by construction
+        # since one gram covers a large char fraction)
+        " ".join(f"tok{i:03d}" for i in range(60)),
+    ]
+    out = repetition_stats_batch(_t(texts)).to_pandas()
+
+    for i, text in enumerate(texts):
+        ws = text.split(" ")
+        nw = len(ws)
+        nc = len(text)
+        lines = [" ".join(ws[k : k + 10]) for k in range(0, nw, 10)]
+        n_lines = len(lines)
+        assert out.loc[i, "n_lines"] == n_lines
+        seen, dup_chars = set(), 0
+        for ln in lines:
+            if ln in seen:
+                dup_chars += len(ln)
+            seen.add(ln)
+        assert out.loc[i, "dup_line_frac"] == (n_lines - len(seen)) / n_lines
+        assert out.loc[i, "dup_line_char_frac"] == dup_chars / nc
+        for n_, col in ((2, "top2_char_frac"), (3, "top3_char_frac"), (4, "top4_char_frac")):
+            grams = [" ".join(ws[k : k + n_]) for k in range(nw - n_ + 1)]
+            top = max(
+                (grams.count(g) * len(g) for g in set(grams)), default=0
+            )
+            assert out.loc[i, col] == top / nc, (i, col)
+        for n_, col in ((5, "dup5_word_frac"), (10, "dup10_word_frac")):
+            grams = [" ".join(ws[k : k + n_]) for k in range(max(nw - n_ + 1, 0))]
+            from collections import Counter
+
+            cnt = Counter(grams)
+            covered = set()
+            for k, g in enumerate(grams):
+                if cnt[g] >= 2:
+                    covered.update(range(k, k + n_))
+            assert out.loc[i, col] == len(covered) / nw, (i, col)
+
+    # docs 0-3 all fail at least one rule (repetition for 0/2, the
+    # short-doc top-gram geometry for 1/3); doc 4 passes
+    assert list(out["pass_filter"]) == [0, 0, 0, 0, 1]
+
+
+def test_repetition_stats_block_layout_invariant(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.textops import repetition_stats
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                f"w{i} x y z w{i} x y z filler words here and more padding tokens"
+                for i in range(8)
+            ],
+        }
+    )
+    ref = None
+    for nparts in (1, 4):
+        got = (
+            repetition_stats(rd.from_pandas(df).repartition(nparts))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        if ref is None:
+            ref = got
+        else:
+            pd.testing.assert_frame_equal(ref, got)
