@@ -576,6 +576,21 @@ def q48_repetition_stats(sf_dir: str):
     return repetition_stats(ds)
 
 
+def q49_bm25_topk(sf_dir: str):
+    """BM25 top-10 retrieval for a fixed broadcast query set. No
+    inverted-index shuffle: pass 1 reduces (df, n_docs, avgdl) to a
+    ~|terms|-row partial per block; pass 2 scores docs vectorized
+    against all queries and keeps block-local top-k, so the final
+    reduce is constant-size at any corpus scale. Scores are
+    rational-idf BM25 ((N-df+0.5)/(df+0.5), no log) floored to integer
+    micro-points per term BEFORE summing — a deterministic integer the
+    DuckDB oracle reproduces bit-exactly."""
+    from ocrd_cis_ray.stages.search import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds)
+
+
 # ---------------------------------------------------------------------------
 # main-content extraction (stages/webextract.py, stages/layout.py)
 
@@ -1361,6 +1376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q46_gopher_quality": q46_gopher_quality,
         "q47_line_dedup": q47_line_dedup,
         "q48_repetition_stats": q48_repetition_stats,
+        "q49_bm25_topk": q49_bm25_topk,
         "q43_sample_fraction": q43_sample_fraction,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,
@@ -1727,6 +1743,26 @@ SELECT s.doc_id,
 FROM s JOIN dl USING (doc_id)
 LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id) LEFT JOIN t4 USING (doc_id)
 LEFT JOIN c5 USING (doc_id) LEFT JOIN c10 USING (doc_id)
+""",
+        "q49_bm25_topk": """
+WITH q(query_id, term) AS (VALUES (0,'hash'),(0,'join'),(0,'merge'),(1,'spark'),(1,'fast'),(1,'query'),(2,'window'),(2,'agg'),(2,'stream'),(3,'sort'),(3,'order'),(3,'key')),
+tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+tf AS (SELECT t.doc_id, q.query_id, q.term, count(*) AS tf
+       FROM tok t JOIN q ON t.w = q.term GROUP BY 1, 2, 3),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.query_id, tf.doc_id,
+  CAST(SUM(CAST(FLOOR(
+    ((st.n_docs - df.df + 0.5) / (df.df + 0.5))
+    * (tf.tf * (1.2 + 1.0))
+    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))
+    * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS score_int
+ FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+ GROUP BY 1, 2)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_int,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_int DESC, doc_id) AS BIGINT) AS rank
+FROM sc QUALIFY rank <= 10
 """,
         "q44_html_extract": """
 SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text
