@@ -591,6 +591,19 @@ def q49_bm25_topk(sf_dir: str):
     return bm25_topk(ds)
 
 
+def q53_substring_dedup(sf_dir: str):
+    """RefinedWeb-style exact-substring removal (Penedo et al. 2023 /
+    Lee et al. 2021): delete every occurrence of a corpus-duplicated
+    10-gram except the globally first (min doc_id, pos), merge
+    overlapping spans, rebuild the text. Two tuple-weight exchanges
+    (gram-hash bucket for the global winner, doc_id bucket to meet
+    each doc with its removal marks once); documents move once."""
+    from ocrd_cis_ray.stages.dedup import remove_dup_substrings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return remove_dup_substrings(ds, n=10)
+
+
 # ---------------------------------------------------------------------------
 # main-content extraction (stages/webextract.py, stages/layout.py)
 
@@ -1377,6 +1390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q47_line_dedup": q47_line_dedup,
         "q48_repetition_stats": q48_repetition_stats,
         "q49_bm25_topk": q49_bm25_topk,
+        "q53_substring_dedup": q53_substring_dedup,
         "q43_sample_fraction": q43_sample_fraction,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,
@@ -1763,6 +1777,41 @@ sc AS (SELECT tf.query_id, tf.doc_id,
 SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_int,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_int DESC, doc_id) AS BIGINT) AS rank
 FROM sc QUALIFY rank <= 10
+""",
+        "q53_substring_dedup": """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS wi
+  FROM documents
+),
+s AS (SELECT doc_id, len(string_split(text, ' ')) AS nw FROM documents),
+g AS (
+  SELECT doc_id, wi, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' ' || lead(w, 7) OVER win || ' ' || lead(w, 8) OVER win || ' ' || lead(w, 9) OVER win AS g
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY wi)
+),
+occ AS (
+  SELECT doc_id, wi,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, wi) AS rn,
+         count(*) OVER (PARTITION BY g) AS c
+  FROM g WHERE g IS NOT NULL
+),
+rm_occ AS (SELECT doc_id, wi FROM occ WHERE c >= 2 AND rn > 1),
+rmw AS (SELECT DISTINCT doc_id, u FROM (
+  SELECT doc_id, unnest(generate_series(wi, wi + 9)) AS u FROM rm_occ
+)),
+kept AS (
+  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.wi) AS clean_text,
+         count(*) AS kept_n
+  FROM tok t LEFT JOIN rmw ON t.doc_id = rmw.doc_id AND t.wi = rmw.u
+  WHERE rmw.u IS NULL
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       CAST(s.nw - COALESCE(k.kept_n, 0) AS BIGINT) AS n_removed
+FROM documents d
+JOIN s USING (doc_id)
+LEFT JOIN kept k ON d.doc_id = k.doc_id
 """,
         "q44_html_extract": """
 SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text

@@ -868,3 +868,133 @@ def dedup_lines(ds, *, col: str = "text", sep: str = ". ", window_words: int | N
         return out.drop(columns=["content_hash"]).reset_index(drop=True)
 
     return bucketed_groupby(hashed, "content_hash", keep_first, whole_bucket=True)
+
+
+# ---------------------------------------------------------------------------
+# RefinedWeb-style exact-substring dedup removal (Penedo et al. 2023,
+# §"exact deduplication": remove duplicated spans, keep the globally
+# first occurrence). The published implementation builds a corpus-wide
+# suffix array (Lee et al. 2021, "Deduplicating Training Data Makes
+# Language Models Better"); the Ray-Data-native equivalence class is
+# fixed-order n-gram occurrences, which bound span detection at n
+# words and need only ONE gram-keyed exchange instead of a global
+# suffix sort.
+
+
+def _gram_occurrence_batch(batch: pa.Table, *, n: int) -> pa.Table:
+    """Explode docs to ALL n-gram occurrences (hash, doc_id, pos) —
+    occurrences, not distinct grams (within-doc repeats count)."""
+    texts = batch["text"].to_pylist()
+    n_docs = len(texts)
+    words_per_doc = [t.split(" ") if t else [] for t in texts]
+    wc = np.array([len(ws) for ws in words_per_doc], dtype=np.int64)
+    g_cnt = np.maximum(wc - n + 1, 0)
+    total = int(g_cnt.sum())
+    if total == 0:
+        return pa.table(
+            {
+                "gram": pa.array([], pa.uint64()),
+                "doc_id": batch["doc_id"].slice(0, 0),
+                "pos": pa.array([], pa.int64()),
+            }
+        )
+    all_words = np.asarray([w for ws in words_per_doc for w in ws], dtype=object)
+    wh = pd.util.hash_array(all_words).astype(np.uint64)
+    doc_off = np.concatenate([[0], np.cumsum(wc)])[:-1]
+    g_off = np.concatenate([[0], np.cumsum(g_cnt)])[:-1]
+    pos = np.arange(total) - np.repeat(g_off, g_cnt)
+    starts = np.repeat(doc_off, g_cnt) + pos
+    with np.errstate(over="ignore"):
+        acc = np.zeros(total, np.uint64)
+        for j in range(n):
+            acc = acc * _GRAM_MULT ^ wh[starts + j]
+    doc_idx = np.repeat(np.arange(n_docs), g_cnt)
+    return pa.table(
+        {
+            "gram": pa.array(acc),
+            "doc_id": batch["doc_id"].take(pa.array(doc_idx)),
+            "pos": pa.array(pos),
+        }
+    )
+
+
+def remove_dup_substrings(ds, *, n: int = 10, col: str = "text"):
+    """Corpus-level exact-substring removal: every occurrence of an
+    n-gram that appears >= 2 times in the corpus is deleted EXCEPT the
+    globally first one (min doc_id, then min pos); overlapping deleted
+    spans merge; survivors re-join with single spaces.
+
+    Two exchanges, both tuple-weight:
+    1. gram occurrences (hash, doc_id, pos) bucket by gram hash — the
+       global winner per duplicated gram falls out of one vectorized
+       sort inside the bucket; non-winners come back as removal marks;
+    2. marks union documents bucket by doc_id — each doc meets its
+       marks exactly once, a diff-array merges overlapping spans and
+       the text is rebuilt row-local.
+
+    Skew: a stop-phrase gram concentrates only its own occurrence
+    rows; documents are moved once regardless of mark count. Hash
+    equality stands in for gram equality (the repo's standing
+    convention — the route AND the identity are the same 64-bit
+    rolling hash used by jaccard/minhash shingles).
+    """
+    from functools import partial
+
+    from ..shuffle import bucketed_groupby
+
+    occ = ds.map_batches(
+        partial(_gram_occurrence_batch, n=n), batch_format="pyarrow"
+    )
+
+    def removal_marks(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["gram", "doc_id", "pos"], kind="mergesort")
+        dup = b.duplicated("gram", keep=False)
+        winner = ~b.duplicated("gram", keep="first")
+        out = b.loc[dup & ~winner, ["doc_id", "pos"]]
+        return out.reset_index(drop=True)
+
+    marks = bucketed_groupby(occ, "gram", removal_marks, whole_bucket=True)
+
+    # one doc_id-keyed exchange: docs tagged with pos=-1, marks with
+    # text=None; the bucket fn sees each doc + all its marks together
+    cols = ["doc_id", col, "pos"]
+    docs_tagged = ds.map_batches(
+        lambda df: df.assign(pos=np.int64(-1))[cols], batch_format="pandas"
+    )
+    marks_tagged = marks.map_batches(
+        lambda df: df.assign(**{col: None})[cols], batch_format="pandas"
+    )
+
+    def rebuild(bucket: pd.DataFrame) -> pd.DataFrame:
+        is_doc = bucket["pos"].to_numpy() < 0
+        docs = bucket[is_doc]
+        mk = bucket[~is_doc]
+        mark_map: dict = {}
+        for d, p in zip(mk["doc_id"].to_numpy(), mk["pos"].to_numpy()):
+            mark_map.setdefault(d, []).append(p)
+        out_ids, out_text, out_rm = [], [], []
+        for d, text in zip(docs["doc_id"].to_numpy(), docs[col].to_numpy()):
+            ws = text.split(" ") if text else []
+            starts = mark_map.get(d)
+            if not starts:
+                out_ids.append(d); out_text.append(text); out_rm.append(0)
+                continue
+            diff = np.zeros(len(ws) + 1, np.int64)
+            s = np.asarray(starts, dtype=np.int64)
+            np.add.at(diff, s, 1)
+            np.add.at(diff, np.minimum(s + n, len(ws)), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            kept = [w for w, c in zip(ws, covered) if not c]
+            out_ids.append(d)
+            out_text.append(" ".join(kept))
+            out_rm.append(int(covered.sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(out_ids),
+                "clean_text": out_text,
+                "n_removed": np.asarray(out_rm, dtype=np.int64),
+            }
+        )
+
+    both = docs_tagged.union(marks_tagged)
+    return bucketed_groupby(both, "doc_id", rebuild, whole_bucket=True)

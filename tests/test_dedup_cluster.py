@@ -121,3 +121,65 @@ def test_embedding_blocked_strategy_recall(ray_session):
     assert pb <= pe  # no false pairs
     assert len(pe) > 10
     assert len(pe & pb) / len(pe) >= 0.9
+
+
+def test_remove_dup_substrings_semantics(ray_session):
+    """Winner keeps its span; every later occurrence is cut; overlaps
+    merge; a fully-duplicated doc empties."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.dedup import remove_dup_substrings
+
+    ten = "a b c d e f g h i j"
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                ten + " unique tail words",     # winner: untouched
+                "prefix " + ten + " suffix",    # one span removed
+                ten,                            # fully removed
+                "clean document with no duplicated grams at all here",
+            ],
+        }
+    )
+    for nparts in (1, 3):
+        got = (
+            remove_dup_substrings(rd.from_pandas(df).repartition(nparts), n=10)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(got["clean_text"]) == [
+            ten + " unique tail words",
+            "prefix suffix",
+            "",
+            "clean document with no duplicated grams at all here",
+        ]
+        assert list(got["n_removed"]) == [0, 10, 10, 0]
+
+
+def test_remove_dup_substrings_overlap_merge(ray_session):
+    """Two overlapping duplicated grams in the same doc merge into one
+    continuous cut (no double counting)."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.dedup import remove_dup_substrings
+
+    # doc 1 contains an 11-word run whose two overlapping 10-grams both
+    # duplicate doc 0's; covered words = 11, not 20
+    run = "a b c d e f g h i j k"
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1], dtype=np.int64),
+            "text": [run + " end", "x " + run + " y"],
+        }
+    )
+    got = (
+        remove_dup_substrings(rd.from_pandas(df), n=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.loc[1, "clean_text"] == "x y"
+    assert got.loc[1, "n_removed"] == 11
+    assert got.loc[0, "n_removed"] == 0
