@@ -604,6 +604,21 @@ def q53_substring_dedup(sf_dir: str):
     return remove_dup_substrings(ds, n=10)
 
 
+def q54_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): distributed spherical k-means
+    (one streamed Lloyd pass per iteration, k-row partials per block)
+    partitions the embedding space; within each cluster, near-identical
+    points collapse to the smallest id (threshold 0.45 here — this
+    corpus' planted near-dups sit at cosine ~0.5, cf. q34's 0.4 cut;
+    web-scale SemDeDup uses ~0.95+). Rows-only by design (float
+    centroid sums are block-order dependent); pytest pins blob
+    recovery + dup-collapse semantics."""
+    from ocrd_cis_ray.stages.similarity import semdedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(ds, k=8, n_iter=5, threshold=0.45)
+
+
 # ---------------------------------------------------------------------------
 # main-content extraction (stages/webextract.py, stages/layout.py)
 
@@ -1391,6 +1406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q48_repetition_stats": q48_repetition_stats,
         "q49_bm25_topk": q49_bm25_topk,
         "q53_substring_dedup": q53_substring_dedup,
+        "q54_semdedup": q54_semdedup,
         "q43_sample_fraction": q43_sample_fraction,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,

@@ -185,3 +185,161 @@ def ivf_topk(ds, query_ids, query_mat: np.ndarray, *, k: int = 5, nlist: int = 1
         return g[["query_id", "neighbor_id", "rank"]]
 
     return cands.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means + SemDeDup (Abbas et al. 2023, "SemDeDup: Data-
+# efficient learning at web-scale through semantic deduplication"):
+# cluster the embedding space, then drop near-identical points within
+# each cluster. The reference has no analog; this is the semantic
+# counterpart of the hash-based dedup suite in stages/dedup.py.
+
+
+def _seed_rows(ds, k: int, id_col: str, vec_col: str):
+    """Deterministic init: the k rows with the smallest ids —
+    block-local min-k prune, then one constant-size reduce (never a
+    global sort)."""
+    def local(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        idx = np.argsort(ids, kind="stable")[:k]
+        return b.take(pa.array(idx))
+
+    cand = ds.map_batches(local, batch_format="pyarrow").repartition(1)
+    return cand.map_batches(local, batch_format="pyarrow", batch_size=None)
+
+
+def _assign_partials(batch: pa.Table, *, cent: np.ndarray, id_col: str, vec_col: str) -> pa.Table:
+    """One batch of the Lloyd step: spherical assignment (cosine) +
+    per-cluster partial sums — k rows out per batch regardless of
+    batch size (map-side combine)."""
+    m = _normalize(_mat_from_arrow(batch[vec_col]))
+    a = np.argmax(m @ cent.T, axis=1)
+    k, d = cent.shape
+    sums = np.zeros((k, d), np.float64)
+    np.add.at(sums, a, m)
+    counts = np.bincount(a, minlength=k).astype(np.int64)
+    return pa.table(
+        {
+            "cluster": pa.array(np.arange(k, dtype=np.int64)),
+            "count": pa.array(counts),
+            "sum": pa.array(list(sums)),
+        }
+    )
+
+
+def _assign_batch(batch: pa.Table, *, cent: np.ndarray, id_col: str, vec_col: str) -> pa.Table:
+    m = _normalize(_mat_from_arrow(batch[vec_col]))
+    sims = m @ cent.T
+    a = np.argmax(sims, axis=1)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "cluster": pa.array(a.astype(np.int64)),
+            "centroid_sim": pa.array(sims[np.arange(len(a)), a]),
+        }
+    )
+
+
+def kmeans(ds, *, k: int = 8, n_iter: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Distributed spherical k-means (cosine). Returns (assignments
+    Dataset(id, cluster, centroid_sim), centroids (k, d)).
+
+    Iterative by nature: one streamed pass per Lloyd iteration, each
+    pass reducing to k (cluster, count, sum) partial rows per block —
+    the driver combine is O(k·d) however large the corpus. The
+    projected 2-column input is materialized ONCE so iterations rescan
+    object-store blocks, not the source files. Determinism: seeds are
+    the k smallest ids; partial-sum float order varies with block
+    layout, so assignments are reproducible for separated data but not
+    bit-pinned (rows-only query contract, like the other float-training
+    outputs)."""
+    from functools import partial as _p
+
+    proj = ds.select_columns([id_col, vec_col]).materialize()
+    seeds = _seed_rows(proj, k, id_col, vec_col).take_all()
+    cent = _normalize(_as_matrix([r[vec_col] for r in seeds]))
+    for _ in range(n_iter):
+        p = proj.map_batches(
+            _p(_assign_partials, cent=cent, id_col=id_col, vec_col=vec_col),
+            batch_format="pyarrow",
+        ).to_pandas()
+        counts = p.groupby("cluster")["count"].sum()
+        sums = {}
+        for c, g in p.groupby("cluster"):
+            sums[c] = np.sum(np.stack(g["sum"].to_numpy()), axis=0)
+        new = cent.copy()
+        for c in range(k):
+            if counts.get(c, 0) > 0:
+                new[c] = sums[c] / counts[c]
+        cent = _normalize(new)
+    out = proj.map_batches(
+        _p(_assign_batch, cent=cent, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
+    )
+    return out, cent
+
+
+def semdedup(ds, *, k: int = 8, n_iter: int = 8, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """SemDeDup: k-means partition, then per-cluster near-duplicate
+    drop. Keeps the smallest id of every semantic duplicate group
+    (deterministic; the paper keeps an arbitrary/farthest point).
+
+    Output: (id, cluster, keep:int32, dup_of:int64 — kept neighbor's
+    id, -1 for keepers). ONE cluster-keyed exchange of (id, vector)
+    rows; per-cluster work is a blocked pairwise matmul, so the
+    worst case is bounded by the largest cluster — at web scale raise
+    k so clusters stay bucket-sized (same skew rule as the centroid-
+    bucketed embedding_dup_pairs path)."""
+    from functools import partial as _p
+
+    from ..shuffle import bucketed_groupby
+
+    _assigned, cent = kmeans(
+        ds, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+
+    # final pass carries the vector with its cluster id so the
+    # cluster-keyed exchange needs NO join (vectors move exactly once)
+    def assign_carry(batch: pa.Table) -> pa.Table:
+        m = _normalize(_mat_from_arrow(batch[vec_col]))
+        a = np.argmax(m @ cent.T, axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(a.astype(np.int64)),
+                vec_col: batch[vec_col],
+            }
+        )
+
+    joined = ds.select_columns([id_col, vec_col]).map_batches(
+        assign_carry, batch_format="pyarrow"
+    )
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        m = _normalize(_as_matrix(g[vec_col].to_numpy()))
+        n = len(g)
+        keep = np.ones(n, bool)
+        dup_of = np.full(n, -1, np.int64)
+        ids = g[id_col].to_numpy()
+        # greedy in id order: drop a row iff it matches an already-kept
+        # earlier row above threshold (blocked to bound memory)
+        block = 2048
+        for i0 in range(0, n, block):
+            sims = m[i0 : i0 + block] @ m[:i0 + block].T
+            for i in range(i0, min(i0 + block, n)):
+                s = sims[i - i0, :i]
+                cand = np.flatnonzero((s > threshold) & keep[:i])
+                if len(cand):
+                    keep[i] = False
+                    dup_of[i] = ids[cand[0]]
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": g["cluster"].to_numpy().astype(np.int64),
+                "keep": keep.astype(np.int32),
+                "dup_of": dup_of,
+            }
+        )
+
+    return bucketed_groupby(joined, "cluster", dedup_cluster, whole_bucket=True)
