@@ -619,6 +619,23 @@ def q54_semdedup(sf_dir: str):
     return semdedup(ds, k=8, n_iter=5, threshold=0.45)
 
 
+def q55_bpe_train_encode(sf_dir: str):
+    """BPE tokenizer train -> encode (Sennrich et al. 2016): word
+    frequencies via the distributed top-V bucketed aggregate (the only
+    corpus-scale pass), greedy merge loop on the compact (word, count)
+    table, then an actor-pool encoder (ranks loaded once per actor,
+    word->len memo across batches). Rows-only: the iterative merge
+    loop has no SQL expression; pytest pins the merge table against a
+    brute-force reference and the counts against per-word greedy
+    encoding. Output is bit-deterministic (integer counts, lexicographic
+    tie-breaks) across layouts/widths."""
+    from ocrd_cis_ray.stages.bpe import bpe_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    _merges, encoded = bpe_pipeline(ds, num_merges=40)
+    return encoded
+
+
 # ---------------------------------------------------------------------------
 # main-content extraction (stages/webextract.py, stages/layout.py)
 
@@ -1407,6 +1424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q49_bm25_topk": q49_bm25_topk,
         "q53_substring_dedup": q53_substring_dedup,
         "q54_semdedup": q54_semdedup,
+        "q55_bpe_train_encode": q55_bpe_train_encode,
         "q43_sample_fraction": q43_sample_fraction,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,
