@@ -128,6 +128,12 @@ def run_bench() -> dict:
         "q45_layout_reconstruct",
         "q46_gopher_quality",
         "q47_line_dedup",
+        "q48_repetition_stats",
+        "q49_bm25_topk",
+        "q53_substring_dedup",
+        "q54_semdedup",
+        "q55_bpe_train_encode",
+        "q56_curation",
         "q40_ann_topk",
         "q50_wer_global",
         "q51_cer_by_source",
