@@ -651,6 +651,19 @@ def q56_curation(sf_dir: str):
     return curate_corpus(ds, gopher_kwargs={"min_stop_distinct": 1})
 
 
+def q57_lm_perplexity(sf_dir: str):
+    """CCNet-style char-trigram LM perplexity (Wenzek et al. 2020):
+    distributed count training (vectorized bytes-view gram hashing,
+    combiner partials, ONE bucketed aggregate, top-V truncation),
+    model broadcast via ray.put, add-alpha scoring with two
+    searchsorted probes per doc. Rows-only (log/exp); pytest pins
+    scores against a brute-force model to 1e-9."""
+    from ocrd_cis_ray.stages.lm import lm_perplexity
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lm_perplexity(ds, n=3)
+
+
 # ---------------------------------------------------------------------------
 # main-content extraction (stages/webextract.py, stages/layout.py)
 
@@ -1441,6 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q54_semdedup": q54_semdedup,
         "q55_bpe_train_encode": q55_bpe_train_encode,
         "q56_curation": q56_curation,
+        "q57_lm_perplexity": q57_lm_perplexity,
         "q43_sample_fraction": q43_sample_fraction,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,

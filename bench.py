@@ -134,6 +134,7 @@ def run_bench() -> dict:
         "q54_semdedup",
         "q55_bpe_train_encode",
         "q56_curation",
+        "q57_lm_perplexity",
         "q40_ann_topk",
         "q50_wer_global",
         "q51_cer_by_source",

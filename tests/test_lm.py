@@ -1,0 +1,102 @@
+"""Char-n-gram LM perplexity: count parity with a brute-force model,
+natural-vs-scrambled ordering, and scoring determinism."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+
+def _brute_ppl(train_texts, text, n=3, alpha=1.0, alphabet=256):
+    hi = Counter()
+    lo = Counter()
+    for t in train_texts:
+        b = t.encode()
+        for i in range(len(b) - n + 1):
+            hi[b[i : i + n]] += 1
+        for i in range(len(b) - n + 2):
+            lo[b[i : i + n - 1]] += 1
+    b = text.encode()
+    lps = []
+    for i in range(len(b) - n + 1):
+        c_hi = hi[b[i : i + n]]
+        c_lo = lo[b[i : i + n - 1]]
+        lps.append(math.log((c_hi + alpha) / (c_lo + alpha * alphabet)))
+    mean = sum(lps) / len(lps)
+    return math.exp(-mean)
+
+
+TRAIN = [
+    "the quick brown fox jumps over the lazy dog again and again",
+    "the lazy dog sleeps while the quick fox runs through the field",
+    "a quick brown fox and a lazy dog are the usual suspects here",
+    "over the field the brown fox jumps and the dog barks loudly",
+]
+
+
+def test_perplexity_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.lm import lm_perplexity
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(TRAIN), dtype=np.int64), "text": TRAIN}
+    )
+    out = (
+        lm_perplexity(rd.from_pandas(df).repartition(2), n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(TRAIN):
+        want = _brute_ppl(TRAIN, t)
+        assert abs(out.loc[i, "perplexity"] - want) < 1e-9, i
+
+
+def test_natural_beats_scrambled(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.lm import lm_perplexity
+
+    rng = np.random.RandomState(0)
+    scrambled = "".join(rng.permutation(list(TRAIN[0])))
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(TRAIN) + 1, dtype=np.int64),
+            "text": TRAIN + [scrambled],
+        }
+    )
+    out = (
+        lm_perplexity(rd.from_pandas(df), n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    nat = out.loc[: len(TRAIN) - 1, "perplexity"]
+    assert (nat < out.loc[len(TRAIN), "perplexity"]).all()
+
+
+def test_training_layout_invariant(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.lm import train_char_lm
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(TRAIN), dtype=np.int64), "text": TRAIN}
+    )
+    ref = None
+    for nparts in (1, 3):
+        m = train_char_lm(rd.from_pandas(df).repartition(nparts), n=3)
+        key = (
+            m["hi_h"].tobytes(),
+            m["hi_c"].tobytes(),
+            m["lo_h"].tobytes(),
+            m["lo_c"].tobytes(),
+        )
+        if ref is None:
+            ref = key
+        else:
+            assert key == ref
