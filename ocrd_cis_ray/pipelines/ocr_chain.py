@@ -188,14 +188,14 @@ def _drop_part_cols(t: pa.Table) -> pa.Table:
     return t.drop_columns(["__part", "media_bytes"])
 
 
-def degrade(pages, source: str, noise: int, erode: float, seed: int = 42):
+def degrade_batch(t: pa.Table, *, source: str, noise: int, erode: float, seed: int = 42) -> pa.Table:
     """Seeded per-(doc, source) degradation — the scanner/engine variance
     each OCR file group carries in the reference: salt specks in the
     background plus stroke erosion (random ink pixels dropped at rate
     ``erode``), which is what actually flips glyph classifications."""
     from ..sources.media import decode_gray
 
-    def fn(t: pa.Table) -> pa.Table:
+    if True:
         out = []
         for did, buf in zip(t["doc_id"].to_pylist(), t["pixels"].to_pylist()):
             img = decode_gray(buf).copy()
@@ -242,7 +242,77 @@ def degrade(pages, source: str, noise: int, erode: float, seed: int = 42):
         cols["pixels"] = pa.array(out, pa.large_binary())
         return pa.table(cols)
 
-    return pages.map_batches(fn, batch_format="pyarrow", batch_size=32)
+
+def degrade(pages, source: str, noise: int, erode: float, seed: int = 42):
+    """Dataset wrapper over ``degrade_batch`` (kept for the per-channel
+    task-stage path; the chain itself uses the fused DualChannelOCR)."""
+    from functools import partial
+
+    return pages.map_batches(
+        partial(degrade_batch, source=source, noise=noise, erode=erode, seed=seed),
+        batch_format="pyarrow",
+        batch_size=32,
+    )
+
+
+_CHANNEL_CONFIGS = (
+    # (source, speck noise, stroke erosion, engine confidence)
+    ("OCR-1", 25, 0.15, 0.9),
+    ("OCR-2", 60, 0.32, 0.7),
+)
+
+
+class DualChannelOCR:
+    """Fused OCR channels: ONE actor pool runs degrade -> binarize ->
+    denoise -> segment -> recognize for BOTH engine configs per pages
+    batch.
+
+    Why fused: the split pipeline ran two recognizer actor pools (up
+    to 2x cluster-width actor spawns) plus four task stages per
+    channel, with every intermediate media table crossing the object
+    store. Per-batch fusion keeps the degraded page, the binarized
+    page and the line crops in actor-local memory — the only rows
+    that leave the stage are the final TEXT lines (tuple-weight, not
+    media-weight), and actor spawn cost is paid once, which is what
+    made the chain ~1.8x slower when it ran after other pipelines in
+    the same session (fresh actor processes fork slower in a session
+    full of workers). Recognition state (template bank / LSTM) loads
+    once per actor, shared by both channels."""
+
+    def __init__(self, *, seed: int = 42, model_path: str | None = None):
+        from ..stages.recognize import Recognizer
+
+        self.rec = Recognizer(**({"model_path": model_path} if model_path else {}))
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.image_ops import _media_stage
+        from ..stages.segment import segment_pages_batch
+
+        outs = []
+        for source, noise, erode, conf in _CHANNEL_CONFIGS:
+            t = degrade_batch(batch, source=source, noise=noise, erode=erode, seed=self.seed)
+            t = _media_stage(t, op="binarize", params={"method": "global"})
+            t = _media_stage(t, op="denoise", params={"minsize": 2})
+            t = segment_pages_batch(t)
+            r = self.rec(t)
+            line_no = pa.array(
+                [int(s.rsplit("-", 1)[-1]) for s in r["span_id"].to_pylist()],
+                pa.int32(),
+            )
+            n = r.num_rows
+            outs.append(
+                pa.table(
+                    {
+                        "doc_id": r["doc_id"],
+                        "source": pa.array([source] * n, pa.string()),
+                        "line_no": line_no,
+                        "text": r["text"],
+                        "conf": pa.array(np.full(n, conf, dtype=np.float32)),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
 
 
 def ocr_source_lines(pages, source: str, conf: float, *, concurrency: int = 4):
@@ -409,14 +479,20 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
         pages, rb_stats = rebalance_pages(synth_pages(sf_dir))
     else:
         pages = synth_pages(sf_dir).materialize()
-    v1 = ocr_source_lines(pages, "OCR-1", 0.9, concurrency=concurrency)
-    v2 = ocr_source_lines(pages, "OCR-2", 0.7, concurrency=concurrency)
+    pool_max_ocr = max(concurrency, int(ray.cluster_resources().get("CPU", concurrency)))
+    ocr = pages.map_batches(
+        DualChannelOCR,
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=(max(1, pool_max_ocr // 2), pool_max_ocr),
+        num_cpus=1,
+    )
     gt = gt_lines(sf_dir)
     # materialize the (small, text-only) variant rows BEFORE the pivot:
     # feeding the sort-based shuffle directly from the heavy media maps
     # lets the all-to-all's backpressure throttle upstream concurrency
     # (measured 26.3s fused vs 13.5s + 5.3s split at 32 cpus)
-    variants = v1.union(v2).union(gt).materialize()
+    variants = ocr.union(gt).materialize()
     wide = wide_lines(variants).materialize()  # the chain's one shuffle
 
     cer_raw = _cer_reduce(
