@@ -664,6 +664,118 @@ def q57_lm_perplexity(sf_dir: str):
     return lm_perplexity(ds, n=3)
 
 
+def q58_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5 analog over the full dimension chain: lineitem ⋈
+    orders is the ONE large-large exchange (bucketed hash join);
+    customer, supplier, nation and region are broadcast lookups
+    (np.searchsorted key maps inside map_batches — dimension rows
+    never shuffle). Local-supplier semantics (s_nationkey =
+    c_nationkey), region filter 'ASIA', exact integer-cent revenue."""
+    import pyarrow.parquet as pq
+
+    from ocrd_cis_ray.shuffle import hash_join
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = hash_join(li, orders, on="o_orderkey")
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    ck = np.argsort(cust["c_custkey"].to_numpy())
+    c_keys, c_nat = cust["c_custkey"].to_numpy()[ck], cust["c_nationkey"].to_numpy()[ck]
+    sk = np.argsort(supp["s_suppkey"].to_numpy())
+    s_keys, s_nat = supp["s_suppkey"].to_numpy()[sk], supp["s_nationkey"].to_numpy()[sk]
+    nk = np.argsort(nat["n_nationkey"].to_numpy())
+    n_keys = nat["n_nationkey"].to_numpy()[nk]
+    n_names = np.asarray(nat["n_name"].to_pylist(), dtype=object)[nk]
+    n_region = nat["n_regionkey"].to_numpy()[nk]
+    asia = int(
+        reg["r_regionkey"].to_numpy()[
+            np.asarray(reg["r_name"].to_pylist(), dtype=object) == "ASIA"
+        ][0]
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cn = c_nat[np.searchsorted(c_keys, df["o_custkey"].to_numpy())]
+        sn = s_nat[np.searchsorted(s_keys, df["l_suppkey"].to_numpy())]
+        ni = np.searchsorted(n_keys, cn)
+        keep = (cn == sn) & (n_region[ni] == asia)
+        price = df["l_extendedprice"].to_numpy()[keep]
+        disc = df["l_discount"].to_numpy()[keep]
+        cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+        out = pd.DataFrame({"n_name": n_names[ni[keep]], "revenue_cents": cents})
+        g = out.groupby("n_name", as_index=False)["revenue_cents"].agg(["sum", "size"])
+        return pd.DataFrame(
+            {
+                "n_name": g["n_name"],
+                "revenue_cents": g["sum"].astype(np.int64),
+                "n_items": g["size"].astype(np.int64),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = joined.map_batches(score, batch_format="pandas")
+    return (
+        partials.groupby("n_name")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+
+
+def q59_top_brands(sf_dir: str):
+    """Revenue rollup by part brand: part (2k rows) broadcast as a
+    searchsorted key map, per-batch partial sums by brand code, one
+    tiny groupby, global top-5 (revenue desc, brand asc)."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    pk = np.argsort(part["p_partkey"].to_numpy())
+    p_keys = part["p_partkey"].to_numpy()[pk]
+    p_brands = np.asarray(part["p_brand"].to_pylist(), dtype=object)[pk]
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = p_brands[np.searchsorted(p_keys, df["l_partkey"].to_numpy())]
+        cents = np.floor(
+            df["l_extendedprice"].to_numpy()
+            * (1 - df["l_discount"].to_numpy())
+            * 100
+            + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({"p_brand": b, "revenue_cents": cents}).groupby(
+            "p_brand", as_index=False
+        )["revenue_cents"].sum()
+        return g
+
+    agg = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("p_brand")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    agg = agg.sort_values(
+        ["revenue_cents", "p_brand"], ascending=[False, True], kind="mergesort"
+    ).head(5)
+    return agg.reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # main-content extraction (stages/webextract.py, stages/layout.py)
 
@@ -1455,6 +1567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q55_bpe_train_encode": q55_bpe_train_encode,
         "q56_curation": q56_curation,
         "q57_lm_perplexity": q57_lm_perplexity,
+        "q58_revenue_by_nation": q58_revenue_by_nation,
+        "q59_top_brands": q59_top_brands,
         "q43_sample_fraction": q43_sample_fraction,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,
@@ -2017,6 +2131,27 @@ FROM documents d
 JOIN g46 ON d.doc_id = g46.doc_id
 JOIN g48 ON d.doc_id = g48.doc_id
 JOIN canon ON d.doc_id = canon.doc_id
+""",
+        "q58_revenue_by_nation": """
+SELECT n_name,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey
+GROUP BY n_name
+""",
+        "q59_top_brands": """
+SELECT p_brand,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY revenue_cents DESC, p_brand
+LIMIT 5
 """,
         "q44_html_extract": """
 SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text
