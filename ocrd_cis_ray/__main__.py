@@ -51,6 +51,12 @@ def main(argv=None):
     cut.add_argument("--partitions", type=int, default=16)
     cut.add_argument("--num-cpus", type=int, default=8)
 
+    cur = sub.add_parser("curate", help="FineWeb-style curation: quality gates + exact dedup -> keep decisions")
+    cur.add_argument("-i", "--input", required=True, help="documents parquet (doc_id, text)")
+    cur.add_argument("-o", "--output", required=True, help="output parquet dir (decisions)")
+    cur.add_argument("--min-stop-distinct", type=int, default=2)
+    cur.add_argument("--num-cpus", type=int, default=8)
+
     trn = sub.add_parser("train", help="train the BIDILSTM+CTC recognizer on GT line rows (ocrd-cis-ocropy-train analog)")
     trn.add_argument("-i", "--input", required=True, help="parquet of line rows (pixels, gt_text)")
     trn.add_argument("--model", required=True, help="output model pickle path")
@@ -119,6 +125,18 @@ def main(argv=None):
                 n_partitions=args.partitions,
             )
             print(json.dumps(res))
+        elif args.cmd == "curate":
+            from .stages.curation import curate_corpus
+
+            out = curate_corpus(
+                rd.read_parquet(args.input, columns=["doc_id", "text"]),
+                gopher_kwargs={"min_stop_distinct": args.min_stop_distinct},
+            )
+            out.write_parquet(args.output)
+            kept = out.map_batches(
+                lambda df: df[df["keep"] == 1], batch_format="pandas"
+            ).count()
+            print(json.dumps({"rows": out.count(), "kept": kept, "output": args.output}))
         elif args.cmd == "train":
             from .stages.lstm import train_recognizer
 
