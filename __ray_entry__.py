@@ -776,6 +776,22 @@ def q59_top_brands(sf_dir: str):
     return agg.reset_index(drop=True)
 
 
+def q63_fix_text(sf_dir: str):
+    """ftfy-style mojibake repair (Speer 2019): deterministic
+    corruption synthesis (UTF-8-read-as-Latin-1 sequences + BOM +
+    control char, keyed on doc_id — the q44 synthesize→invert
+    pattern), then the vectorized fixer (bounded replace_substring
+    chain + control strip + whitespace collapse). The oracle
+    recomputes BOTH stages with SQL replace/regexp_replace chains
+    generated from the same MOJIBAKE_FIXES table."""
+    from ocrd_cis_ray.stages.textops import corrupt_text_batch, fix_text_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(corrupt_text_batch, batch_format="pyarrow").map_batches(
+        fix_text_batch, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # main-content extraction (stages/webextract.py, stages/layout.py)
 
@@ -1569,6 +1585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q57_lm_perplexity": q57_lm_perplexity,
         "q58_revenue_by_nation": q58_revenue_by_nation,
         "q59_top_brands": q59_top_brands,
+        "q63_fix_text": q63_fix_text,
         "q43_sample_fraction": q43_sample_fraction,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,
@@ -2152,6 +2169,15 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 ORDER BY revenue_cents DESC, p_brand
 LIMIT 5
+""",
+        "q63_fix_text": """
+WITH c AS (
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN regexp_replace(CASE WHEN doc_id % 5 = 0 THEN 'ï»¿' || replace(text, 'e', 'Ã©') ELSE replace(text, 'e', 'Ã©') END, ' ', chr(7) || ' ') ELSE CASE WHEN doc_id % 5 = 0 THEN 'ï»¿' || replace(text, 'e', 'Ã©') ELSE replace(text, 'e', 'Ã©') END END AS corrupted FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(corrupted, 'â€™', '’'), 'â€œ', '“'), 'â€“', '–'), 'â€”', '—'), 'â€', '”'), 'Ã©', 'é'), 'Ã¨', 'è'), 'Ã¡', 'á'), 'Ã³', 'ó'), 'Ãº', 'ú'), 'Ã±', 'ñ'), 'Ã¤', 'ä'), 'Ã¶', 'ö'), 'Ã¼', 'ü'), 'ï»¿', ''), 'Â ', ' '), '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'), '\\s+', ' ', 'g')) AS clean_text,
+       CAST(trim(regexp_replace(regexp_replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(corrupted, 'â€™', '’'), 'â€œ', '“'), 'â€“', '–'), 'â€”', '—'), 'â€', '”'), 'Ã©', 'é'), 'Ã¨', 'è'), 'Ã¡', 'á'), 'Ã³', 'ó'), 'Ãº', 'ú'), 'Ã±', 'ñ'), 'Ã¤', 'ä'), 'Ã¶', 'ö'), 'Ã¼', 'ü'), 'ï»¿', ''), 'Â ', ' '), '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'), '\\s+', ' ', 'g')) != corrupted AS INT) AS changed
+FROM c
 """,
         "q44_html_extract": """
 SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text

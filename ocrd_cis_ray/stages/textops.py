@@ -609,3 +609,76 @@ def repetition_stats(ds, **kwargs):
     return ds.map_batches(
         repetition_stats_batch, batch_format="pyarrow", fn_kwargs=kwargs
     )
+
+
+# ---------------------------------------------------------------------------
+# ftfy-style text fixing (Speer 2019, "ftfy: fixes text for you"):
+# undo the most common UTF-8-read-as-Latin-1 mojibake sequences, strip
+# BOM/control garbage, collapse whitespace. Every web-crawl pipeline
+# runs a pass like this before tokenization; the table below covers
+# the high-frequency double-encodings (the long tail needs heuristics
+# out of scope for a deterministic kernel).
+
+# ordered: longer sequences first so e.g. the quote forms win over
+# their shared prefix
+MOJIBAKE_FIXES: tuple = (
+    ("\u00e2\u20ac\u2122", "\u2019"),  # a-circ euro tm  -> right single quote
+    ("\u00e2\u20ac\u0153", "\u201c"),  # a-circ euro oe  -> left double quote
+    ("\u00e2\u20ac\u201c", "\u2013"),  # a-circ euro ldq -> en dash
+    ("\u00e2\u20ac\u201d", "\u2014"),  # a-circ euro mdash -> em dash
+    ("\u00e2\u20ac", "\u201d"),        # bare a-circ euro -> right double quote
+    ("\u00c3\u00a9", "\u00e9"),  # A-tilde copyright -> e-acute
+    ("\u00c3\u00a8", "\u00e8"),  # -> e-grave
+    ("\u00c3\u00a1", "\u00e1"),  # -> a-acute
+    ("\u00c3\u00b3", "\u00f3"),  # -> o-acute
+    ("\u00c3\u00ba", "\u00fa"),  # -> u-acute
+    ("\u00c3\u00b1", "\u00f1"),  # -> n-tilde
+    ("\u00c3\u00a4", "\u00e4"),  # -> a-umlaut
+    ("\u00c3\u00b6", "\u00f6"),  # -> o-umlaut
+    ("\u00c3\u00bc", "\u00fc"),  # -> u-umlaut
+    ("\u00ef\u00bb\u00bf", ""),  # UTF-8 BOM read as latin-1 -> drop
+    ("\u00c2\u00a0", " "),        # nbsp mojibake -> space
+)
+
+
+def fix_text_batch(batch: pa.Table, *, col: str = "text") -> pa.Table:
+    """(doc_id, text) -> (doc_id, clean_text, changed:int32).
+
+    Vectorized: one ``pc.replace_substring`` pass per table entry
+    (bounded, ~16 passes) + one control-char regex strip + whitespace
+    collapse — no per-row Python. Exactly mirrored by a chain of SQL
+    ``replace``/``regexp_replace`` calls, so oracle-checkable."""
+    t = batch[col]
+    for bad, good in MOJIBAKE_FIXES:
+        t = pc.replace_substring(t, bad, good)
+    t = pc.replace_substring_regex(t, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
+    t = pc.replace_substring_regex(t, "\\s+", " ")
+    t = pc.utf8_trim_whitespace(t)
+    changed = pc.cast(pc.not_equal(t, batch[col]), pa.int32())
+    return pa.table(
+        {"doc_id": batch["doc_id"], "clean_text": t, "changed": changed}
+    )
+
+
+def corrupt_text_batch(batch: pa.Table, *, col: str = "text") -> pa.Table:
+    """Deterministic mojibake synthesizer (the q63 inversion fixture,
+    same pattern as q44's HTML synthesizer): make the text look the
+    way a UTF-8 file read as Latin-1 would — 'e' becomes the two-byte
+    A-tilde sequence — plus a stray BOM and a control char keyed on
+    doc_id."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    t = pc.replace_substring(batch[col], "e", "\u00c3\u00a9")
+    texts = t.to_pylist()
+    out = []
+    for i, s in zip(ids, texts):
+        if int(i) % 5 == 0:
+            s = "\u00ef\u00bb\u00bf" + s
+        if int(i) % 7 == 0:
+            s = s.replace(" ", "\x07 ", 1)
+        out.append(s)
+    return pa.table({"doc_id": batch["doc_id"], col: pa.array(out, pa.string())})
+
+
+def fix_text(ds, **kwargs):
+    """Row-local map_batches; zero shuffle."""
+    return ds.map_batches(fix_text_batch, batch_format="pyarrow", fn_kwargs=kwargs)

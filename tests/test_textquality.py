@@ -214,3 +214,34 @@ def test_repetition_stats_block_layout_invariant(ray_session):
             ref = got
         else:
             pd.testing.assert_frame_equal(ref, got)
+
+
+def test_fix_text_mojibake_and_controls():
+    import pyarrow as pa
+
+    from ocrd_cis_ray.stages.textops import fix_text_batch
+
+    cases = {
+        "caf\u00c3\u00a9 tim\u00c3\u00a9": "caf\u00e9 tim\u00e9",
+        "it\u00e2\u20ac\u2122s \u00e2\u20ac\u0153fine\u00e2\u20ac": "it\u2019s \u201cfine\u201d",
+        "\u00ef\u00bb\u00bfstart": "start",
+        "tab\x07bell and  double  spaces ": "tabbell and double spaces",
+        "plain ascii stays": "plain ascii stays",
+    }
+    t = _t(list(cases.keys()))
+    out = fix_text_batch(t).to_pandas()
+    assert list(out["clean_text"]) == list(cases.values())
+    assert list(out["changed"]) == [1, 1, 1, 1, 0]
+
+
+def test_corrupt_fix_roundtrip():
+    from ocrd_cis_ray.stages.textops import corrupt_text_batch, fix_text_batch
+
+    texts = ["the merge step here", "value agg fast", "scan scan scan"]
+    ids = [0, 5, 7]
+    t = _t(texts, ids=ids)
+    fixed = fix_text_batch(corrupt_text_batch(t)).to_pandas()
+    # 'e' came back as e-acute (the mojibake decodes to the REAL char,
+    # not ascii); everything else round-trips
+    want = [s.replace("e", "\u00e9") for s in texts]
+    assert list(fixed["clean_text"]) == want
