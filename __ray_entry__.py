@@ -792,6 +792,19 @@ def q63_fix_text(sf_dir: str):
     )
 
 
+def q64_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): hashed {1,2}-gram
+    features (4096 buckets), target = lang='en' docs; one streamed
+    pass reduces both distributions to fixed (B,)-vector partials, the
+    smoothed log-ratio vector broadcasts via ray.put, and scoring is
+    one bincount+reduceat per batch. Rows-only (log); pytest pins
+    weights to 1e-9 against a brute-force recomputation."""
+    from ocrd_cis_ray.stages.dsir import dsir_weights
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return dsir_weights(ds, buckets=4096, target_col="lang", target_value="en")
+
+
 # ---------------------------------------------------------------------------
 # main-content extraction (stages/webextract.py, stages/layout.py)
 
@@ -1586,6 +1599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q58_revenue_by_nation": q58_revenue_by_nation,
         "q59_top_brands": q59_top_brands,
         "q63_fix_text": q63_fix_text,
+        "q64_dsir_weights": q64_dsir_weights,
         "q43_sample_fraction": q43_sample_fraction,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,
