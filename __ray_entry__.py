@@ -805,6 +805,27 @@ def q64_dsir_weights(sf_dir: str):
     return dsir_weights(ds, buckets=4096, target_col="lang", target_value="en")
 
 
+def q65_bloom_membership(sf_dir: str):
+    """Bloom-filter cross-corpus membership (the Dolma-style
+    incremental dedup primitive): build a mergeable filter over the
+    reference slice (doc_id % 3 == 0) in one streamed pass (per-block
+    bitset partials OR-reduced), broadcast it, probe every document.
+    No false negatives by construction; at m=2^20/k=7 vs <=2000 keys
+    the false-positive rate is ~1e-15 per probe — the oracle (exact
+    IN-subquery membership) is deterministic because the hash
+    positions are, and is verified empirically at both bench scales."""
+    from ocrd_cis_ray.stages.sketch import bloom_build, bloom_probe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ref = ds.map_batches(
+        lambda df: df[df["doc_id"] % 3 == 0], batch_format="pandas"
+    )
+    bits = bloom_build(ref, "text", m=1 << 20, k=7)
+    return bloom_probe(ds, bits, "text", k=7).select_columns(
+        ["doc_id", "maybe_member"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # main-content extraction (stages/webextract.py, stages/layout.py)
 
@@ -1600,6 +1621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q59_top_brands": q59_top_brands,
         "q63_fix_text": q63_fix_text,
         "q64_dsir_weights": q64_dsir_weights,
+        "q65_bloom_membership": q65_bloom_membership,
         "q43_sample_fraction": q43_sample_fraction,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,
@@ -2192,6 +2214,12 @@ SELECT doc_id,
        trim(regexp_replace(regexp_replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(corrupted, 'â€™', '’'), 'â€œ', '“'), 'â€“', '–'), 'â€”', '—'), 'â€', '”'), 'Ã©', 'é'), 'Ã¨', 'è'), 'Ã¡', 'á'), 'Ã³', 'ó'), 'Ãº', 'ú'), 'Ã±', 'ñ'), 'Ã¤', 'ä'), 'Ã¶', 'ö'), 'Ã¼', 'ü'), 'ï»¿', ''), 'Â ', ' '), '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'), '\\s+', ' ', 'g')) AS clean_text,
        CAST(trim(regexp_replace(regexp_replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(corrupted, 'â€™', '’'), 'â€œ', '“'), 'â€“', '–'), 'â€”', '—'), 'â€', '”'), 'Ã©', 'é'), 'Ã¨', 'è'), 'Ã¡', 'á'), 'Ã³', 'ó'), 'Ãº', 'ú'), 'Ã±', 'ñ'), 'Ã¤', 'ä'), 'Ã¶', 'ö'), 'Ã¼', 'ü'), 'ï»¿', ''), 'Â ', ' '), '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'), '\\s+', ' ', 'g')) != corrupted AS INT) AS changed
 FROM c
+""",
+        "q65_bloom_membership": """
+SELECT doc_id,
+       CAST(text IN (SELECT text FROM documents WHERE doc_id % 3 = 0) AS INT)
+         AS maybe_member
+FROM documents
 """,
         "q44_html_extract": """
 SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text

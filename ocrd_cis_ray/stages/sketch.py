@@ -80,3 +80,68 @@ def approx_distinct(ds, column: str) -> float:
     ).take_all()
     regs = hll_merge([r["hll"] for r in partials])
     return hll_estimate(regs)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership sketch (Bloom 1970; the standard incremental
+# cross-corpus dedup primitive: build once over the reference corpus,
+# probe each new shard — e.g. Dolma's bloom-based dedupe). Mergeable:
+# per-block partial filters OR together, so the build is one streamed
+# pass with a fixed-size reduce (m/8 bytes per block).
+
+
+def _bloom_positions(h: np.ndarray, m: int, k: int) -> np.ndarray:
+    """k probe positions per key via double hashing (Kirsch-Mitzenmacher):
+    pos_i = (h1 + i*h2) mod m. Returns (len(h), k) int64."""
+    h1 = h % np.uint64(m)
+    h2 = (h >> np.uint64(17) | np.uint64(1)) % np.uint64(m)  # odd-ish stride
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)).astype(np.int64)
+
+
+def bloom_partial_batch(batch: pa.Table, *, column: str, m: int, k: int) -> pa.Table:
+    """One block -> one packed-bitset row (m/8 bytes)."""
+    h = _hash_column(batch[column])
+    bits = np.zeros(m, dtype=bool)
+    if len(h):
+        bits[_bloom_positions(h, m, k).ravel()] = True
+    return pa.table({"bits": pa.array([np.packbits(bits).tobytes()], pa.large_binary())})
+
+
+def bloom_build(ds, column: str, *, m: int = 1 << 20, k: int = 7) -> np.ndarray:
+    """Streamed build: per-block partial filters OR-reduced driver-side
+    (block count x m/8 bytes through the tiny reduce, never the keys)."""
+    parts = ds.map_batches(
+        bloom_partial_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"column": column, "m": m, "k": k},
+        batch_size=None,
+    ).to_pandas()
+    acc = np.zeros(m // 8, dtype=np.uint8)
+    for b in parts["bits"]:
+        acc |= np.frombuffer(b, dtype=np.uint8)
+    return np.unpackbits(acc).astype(bool)
+
+
+def bloom_probe(ds, bits, column: str, *, k: int = 7):
+    """Probe a dataset against a built (or ray.put) filter ->
+    (original columns..., maybe_member:int32). No false negatives;
+    false-positive rate ~ (1 - e^{-kn/m})^k."""
+    import ray
+
+    bits_ref = bits if isinstance(bits, ray.ObjectRef) else ray.put(bits)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bb = ray.get(bits_ref)
+        m = len(bb)
+        h = _hash_column(batch[column])
+        if len(h):
+            pos = _bloom_positions(h, m, 7 if k is None else k)
+            member = bb[pos].all(axis=1)
+        else:
+            member = np.zeros(0, bool)
+        return batch.append_column(
+            "maybe_member", pa.array(member.astype(np.int32), pa.int32())
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
