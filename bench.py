@@ -135,6 +135,10 @@ def run_bench() -> dict:
         "q55_bpe_train_encode",
         "q56_curation",
         "q57_lm_perplexity",
+        "q58_revenue_by_nation",
+        "q63_fix_text",
+        "q64_dsir_weights",
+        "q65_bloom_membership",
         "q40_ann_topk",
         "q50_wer_global",
         "q51_cer_by_source",

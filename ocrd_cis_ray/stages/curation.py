@@ -4,12 +4,14 @@ Gopher A1.1 quality rules + A1.2 repetition rules + exact-dedup
 canonicalization, with a per-doc keep decision and the stage that
 dropped it.
 
-Shape: one row-local fused feature pass (both Gopher kernels share a
-batch — no extra corpus scan), ONE content-hash exchange for the
-canonical flag (tuple rows: hash + doc_id, not documents), and one
-doc_id-keyed join to combine them. Every decision is integer/boolean,
-so the q56 oracle reproduces the whole pipeline — including the
-precedence of the drop stages — exactly.
+Shape: ONE row-local fused pass computes both Gopher gates AND the
+content hash (three kernels share the batch — no extra corpus scan),
+then ONE content-hash exchange both picks the canonical copy per
+duplicate group and emits the final decision rows. The exchange moves
+(doc_id, two flags, hash) tuples — never document text — and there is
+no join: the decision is completed inside the bucket. Every decision
+is integer/boolean, so the q56 oracle reproduces the whole pipeline —
+including the precedence of the drop stages — exactly.
 """
 
 from __future__ import annotations
@@ -20,15 +22,19 @@ import pyarrow as pa
 
 
 def _feature_batch(batch: pa.Table, *, gopher_kwargs: dict, repetition_kwargs: dict) -> pa.Table:
+    """doc_id + pass_gopher + pass_repetition + content_hash, one pass."""
+    from .dedup import add_content_hash
     from .textops import gopher_quality_batch, repetition_stats_batch
 
     g = gopher_quality_batch(batch, **gopher_kwargs)
     r = repetition_stats_batch(batch, **repetition_kwargs)
+    h = add_content_hash(batch.select(["doc_id", "text"]))
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "pass_gopher": g["pass_filter"],
             "pass_repetition": r["pass_filter"],
+            "content_hash": h["content_hash"],
         }
     )
 
@@ -44,8 +50,7 @@ def curate_corpus(ds, *, gopher_kwargs: dict | None = None, repetition_kwargs: d
     floor)."""
     from functools import partial
 
-    from ..shuffle import bucketed_groupby, hash_join
-    from .dedup import add_content_hash
+    from ..shuffle import bucketed_groupby
 
     feats = ds.map_batches(
         partial(
@@ -56,28 +61,11 @@ def curate_corpus(ds, *, gopher_kwargs: dict | None = None, repetition_kwargs: d
         batch_format="pyarrow",
     )
 
-    hashed = ds.select_columns(["doc_id", "text"]).map_batches(
-        add_content_hash, batch_format="pyarrow"
-    ).select_columns(["doc_id", "content_hash"])
-
-    def canon_flags(bucket: pd.DataFrame) -> pd.DataFrame:
+    def decide(bucket: pd.DataFrame) -> pd.DataFrame:
         b = bucket.sort_values("doc_id", kind="mergesort")
-        winner = ~b.duplicated("content_hash", keep="first")
-        return pd.DataFrame(
-            {
-                "doc_id": b["doc_id"].to_numpy(),
-                "is_canonical": winner.to_numpy().astype(np.int32),
-            }
-        )
-
-    canon = bucketed_groupby(hashed, "content_hash", canon_flags, whole_bucket=True)
-
-    joined = hash_join(feats, canon, on="doc_id")
-
-    def decide(df: pd.DataFrame) -> pd.DataFrame:
-        pg = df["pass_gopher"].to_numpy().astype(np.int32)
-        pr = df["pass_repetition"].to_numpy().astype(np.int32)
-        ic = df["is_canonical"].to_numpy().astype(np.int32)
+        ic = (~b.duplicated("content_hash", keep="first")).to_numpy().astype(np.int32)
+        pg = b["pass_gopher"].to_numpy().astype(np.int32)
+        pr = b["pass_repetition"].to_numpy().astype(np.int32)
         keep = ((pg == 1) & (pr == 1) & (ic == 1)).astype(np.int32)
         stage = np.where(
             pg == 0,
@@ -86,7 +74,7 @@ def curate_corpus(ds, *, gopher_kwargs: dict | None = None, repetition_kwargs: d
         )
         return pd.DataFrame(
             {
-                "doc_id": df["doc_id"].to_numpy(),
+                "doc_id": b["doc_id"].to_numpy(),
                 "pass_gopher": pg,
                 "pass_repetition": pr,
                 "is_canonical": ic,
@@ -95,4 +83,4 @@ def curate_corpus(ds, *, gopher_kwargs: dict | None = None, repetition_kwargs: d
             }
         )
 
-    return joined.map_batches(decide, batch_format="pandas")
+    return bucketed_groupby(feats, "content_hash", decide, whole_bucket=True)
