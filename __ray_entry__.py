@@ -826,6 +826,26 @@ def q65_bloom_membership(sf_dir: str):
     )
 
 
+def q66_webcorpus(sf_dir: str):
+    """The north_rule tier end-to-end: crawled HTML -> DOM main-content
+    extraction (actor pool) -> mojibake repair -> Gopher A1.1+A1.2 +
+    exact-dedup curation (one content-hash exchange) -> kept corpus
+    joined back to its text -> RESUMABLE partitioned write with
+    per-partition manifest rows (reruns skip committed partitions).
+    Returns the written corpus read back; the oracle recomputes the
+    composed keep decision (q56's expression) + the extraction
+    inversion per kept doc."""
+    import os
+
+    import ray.data as rd
+
+    from ocrd_cis_ray.pipelines.webcorpus import run_webcorpus
+
+    out = f"/tmp/graft_webcorpus_{os.path.basename(sf_dir.rstrip('/'))}"
+    run_webcorpus(sf_dir, out, n_partitions=8, gopher_kwargs={"min_stop_distinct": 1})
+    return rd.read_parquet(out).select_columns(["doc_id", "text"])
+
+
 # ---------------------------------------------------------------------------
 # main-content extraction (stages/webextract.py, stages/layout.py)
 
@@ -1622,6 +1642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q63_fix_text": q63_fix_text,
         "q64_dsir_weights": q64_dsir_weights,
         "q65_bloom_membership": q65_bloom_membership,
+        "q66_webcorpus": q66_webcorpus,
         "q43_sample_fraction": q43_sample_fraction,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,
@@ -2220,6 +2241,155 @@ SELECT doc_id,
        CAST(text IN (SELECT text FROM documents WHERE doc_id % 3 = 0) AS INT)
          AS maybe_member
 FROM documents
+""",
+        "q66_webcorpus": """
+WITH d56 AS (
+
+WITH g46 AS (
+
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+         len(list_filter(string_split(text, ' '),
+                         w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         CAST(list_contains(string_split(text, ' '), 'the') AS INT)
+         + CAST(list_contains(string_split(text, ' '), 'be') AS INT)
+         + CAST(list_contains(string_split(text, ' '), 'to') AS INT)
+         + CAST(list_contains(string_split(text, ' '), 'of') AS INT)
+         + CAST(list_contains(string_split(text, ' '), 'and') AS INT)
+         + CAST(list_contains(string_split(text, ' '), 'that') AS INT)
+         + CAST(list_contains(string_split(text, ' '), 'have') AS INT)
+         + CAST(list_contains(string_split(text, ' '), 'with') AS INT)
+           AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       (n_chars - (n_words - 1)) / n_words AS mean_word_len,
+       CAST(n_hash + n_ell AS DOUBLE) / n_words AS symbol_ratio,
+       CAST(n_alpha AS DOUBLE) / n_words AS frac_alpha_words,
+       CAST(n_stop AS BIGINT) AS n_stop_distinct,
+       CAST(CASE WHEN n_words >= 15 AND n_words <= 100000
+                  AND (n_chars - (n_words - 1)) / n_words >= 3.0
+                  AND (n_chars - (n_words - 1)) / n_words <= 10.0
+                  AND CAST(n_hash + n_ell AS DOUBLE) / n_words <= 0.1
+                  AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+                  AND n_stop >= 1
+             THEN 1 ELSE 0 END AS INT) AS pass_filter
+FROM f
+
+), g48 AS (
+
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS wi
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS nw, length(text) AS n_chars
+  FROM documents
+),
+l AS (
+  SELECT doc_id, (wi - 1) // 10 AS line_no, string_agg(w, ' ' ORDER BY wi) AS line
+  FROM tok GROUP BY doc_id, (wi - 1) // 10
+),
+lg AS (
+  SELECT doc_id, line, length(line) AS lc, count(*) AS c
+  FROM l GROUP BY doc_id, line
+),
+dl AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum((c - 1) * lc) AS BIGINT) AS dup_chars
+  FROM lg GROUP BY doc_id
+),
+g2 AS (
+  SELECT doc_id, wi, w || ' ' || lead(w, 1) OVER win AS g
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY wi)
+),
+t2 AS (SELECT doc_id, max(c * gc) AS top FROM (
+  SELECT doc_id, length(g) AS gc, count(*) AS c FROM g2 WHERE g IS NOT NULL GROUP BY doc_id, g
+) GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id, wi, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS g
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY wi)
+),
+t3 AS (SELECT doc_id, max(c * gc) AS top FROM (
+  SELECT doc_id, length(g) AS gc, count(*) AS c FROM g3 WHERE g IS NOT NULL GROUP BY doc_id, g
+) GROUP BY doc_id),
+g4 AS (
+  SELECT doc_id, wi, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' || lead(w, 3) OVER win AS g
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY wi)
+),
+t4 AS (SELECT doc_id, max(c * gc) AS top FROM (
+  SELECT doc_id, length(g) AS gc, count(*) AS c FROM g4 WHERE g IS NOT NULL GROUP BY doc_id, g
+) GROUP BY doc_id),
+g5 AS (
+  SELECT doc_id, wi, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS g
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY wi)
+),
+d5 AS (SELECT doc_id, g FROM g5 WHERE g IS NOT NULL GROUP BY doc_id, g HAVING count(*) >= 2),
+cov5 AS (SELECT doc_id, unnest(generate_series(wi, wi + 4)) AS u
+         FROM g5 JOIN d5 USING (doc_id, g)),
+c5 AS (SELECT doc_id, CAST(count(DISTINCT u) AS BIGINT) AS cov FROM cov5 GROUP BY doc_id),
+g10 AS (
+  SELECT doc_id, wi, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win || ' ' || lead(w, 7) OVER win || ' ' || lead(w, 8) OVER win || ' ' || lead(w, 9) OVER win AS g
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY wi)
+),
+d10 AS (SELECT doc_id, g FROM g10 WHERE g IS NOT NULL GROUP BY doc_id, g HAVING count(*) >= 2),
+cov10 AS (SELECT doc_id, unnest(generate_series(wi, wi + 9)) AS u
+          FROM g10 JOIN d10 USING (doc_id, g)),
+c10 AS (SELECT doc_id, CAST(count(DISTINCT u) AS BIGINT) AS cov FROM cov10 GROUP BY doc_id)
+SELECT s.doc_id,
+  dl.n_lines,
+  CAST(dl.n_lines - dl.n_distinct AS DOUBLE) / dl.n_lines AS dup_line_frac,
+  CAST(dl.dup_chars AS DOUBLE) / s.n_chars AS dup_line_char_frac,
+  CAST(COALESCE(t2.top, 0) AS DOUBLE) / s.n_chars AS top2_char_frac,
+  CAST(COALESCE(t3.top, 0) AS DOUBLE) / s.n_chars AS top3_char_frac,
+  CAST(COALESCE(t4.top, 0) AS DOUBLE) / s.n_chars AS top4_char_frac,
+  CAST(COALESCE(c5.cov, 0) AS DOUBLE) / s.nw AS dup5_word_frac,
+  CAST(COALESCE(c10.cov, 0) AS DOUBLE) / s.nw AS dup10_word_frac,
+  CAST(CASE WHEN CAST(dl.n_lines - dl.n_distinct AS DOUBLE) / dl.n_lines <= 0.30
+             AND CAST(dl.dup_chars AS DOUBLE) / s.n_chars <= 0.20
+             AND CAST(COALESCE(t2.top, 0) AS DOUBLE) / s.n_chars <= 0.20
+             AND CAST(COALESCE(t3.top, 0) AS DOUBLE) / s.n_chars <= 0.18
+             AND CAST(COALESCE(t4.top, 0) AS DOUBLE) / s.n_chars <= 0.16
+             AND CAST(COALESCE(c5.cov, 0) AS DOUBLE) / s.nw <= 0.15
+             AND CAST(COALESCE(c10.cov, 0) AS DOUBLE) / s.nw <= 0.10
+        THEN 1 ELSE 0 END AS INT) AS pass_filter
+FROM s JOIN dl USING (doc_id)
+LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id) LEFT JOIN t4 USING (doc_id)
+LEFT JOIN c5 USING (doc_id) LEFT JOIN c10 USING (doc_id)
+
+), canon AS (
+  SELECT doc_id,
+         CAST(CASE WHEN row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+              THEN 1 ELSE 0 END AS INT) AS is_canonical
+  FROM documents
+)
+SELECT d.doc_id,
+       g46.pass_filter AS pass_gopher,
+       g48.pass_filter AS pass_repetition,
+       canon.is_canonical,
+       CAST(CASE WHEN g46.pass_filter = 1 AND g48.pass_filter = 1
+                  AND canon.is_canonical = 1 THEN 1 ELSE 0 END AS INT) AS keep,
+       CASE WHEN g46.pass_filter = 0 THEN 'gopher'
+            WHEN g48.pass_filter = 0 THEN 'repetition'
+            WHEN canon.is_canonical = 0 THEN 'duplicate'
+            ELSE 'kept' END AS drop_stage
+FROM documents d
+JOIN g46 ON d.doc_id = g46.doc_id
+JOIN g48 ON d.doc_id = g48.doc_id
+JOIN canon ON d.doc_id = canon.doc_id
+
+)
+SELECT d.doc_id,
+       regexp_replace(trim(d.text), '\\s+', ' ', 'g') AS text
+FROM documents d JOIN d56 ON d.doc_id = d56.doc_id
+WHERE d56.keep = 1
 """,
         "q44_html_extract": """
 SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text

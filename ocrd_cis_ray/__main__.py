@@ -51,6 +51,13 @@ def main(argv=None):
     cut.add_argument("--partitions", type=int, default=16)
     cut.add_argument("--num-cpus", type=int, default=8)
 
+    web = sub.add_parser("webcorpus", help="end-to-end web extraction: HTML -> main content -> repair -> curation -> resumable corpus")
+    web.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    web.add_argument("-o", "--output", required=True, help="output corpus dir (partitioned parquet + manifest)")
+    web.add_argument("--partitions", type=int, default=16)
+    web.add_argument("--min-stop-distinct", type=int, default=2)
+    web.add_argument("--num-cpus", type=int, default=8)
+
     cur = sub.add_parser("curate", help="FineWeb-style curation: quality gates + exact dedup -> keep decisions")
     cur.add_argument("-i", "--input", required=True, help="documents parquet (doc_id, text)")
     cur.add_argument("-o", "--output", required=True, help="output parquet dir (decisions)")
@@ -123,6 +130,16 @@ def main(argv=None):
                 args.output,
                 line_height=args.line_height,
                 n_partitions=args.partitions,
+            )
+            print(json.dumps(res))
+        elif args.cmd == "webcorpus":
+            from .pipelines.webcorpus import run_webcorpus
+
+            res = run_webcorpus(
+                args.sf_dir,
+                args.output,
+                n_partitions=args.partitions,
+                gopher_kwargs={"min_stop_distinct": args.min_stop_distinct},
             )
             print(json.dumps(res))
         elif args.cmd == "curate":
