@@ -846,6 +846,29 @@ def q66_webcorpus(sf_dir: str):
     return rd.read_parquet(out).select_columns(["doc_id", "text"])
 
 
+def q67_json_props_agg(sf_dir: str):
+    """Semi-structured column handling: extract an int field from the
+    JSON `props` string with ONE vectorized RE2 kernel
+    (pc.extract_regex — no per-row json.loads), then a grouped
+    aggregate. The 100-TB shape for log/event tables whose payload is
+    a JSON blob: project + extract at the read, never materialize
+    parsed objects."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k": (?P<v>\d+)')
+        v = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": v})
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="k_sum"), Count(alias_name="n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # main-content extraction (stages/webextract.py, stages/layout.py)
 
@@ -1643,6 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q64_dsir_weights": q64_dsir_weights,
         "q65_bloom_membership": q65_bloom_membership,
         "q66_webcorpus": q66_webcorpus,
+        "q67_json_props_agg": q67_json_props_agg,
         "q43_sample_fraction": q43_sample_fraction,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,
@@ -2390,6 +2414,12 @@ SELECT d.doc_id,
        regexp_replace(trim(d.text), '\\s+', ' ', 'g') AS text
 FROM documents d JOIN d56 ON d.doc_id = d56.doc_id
 WHERE d56.keep = 1
+""",
+        "q67_json_props_agg": """
+SELECT event_type,
+       CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
 """,
         "q44_html_extract": """
 SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text
