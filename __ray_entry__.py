@@ -835,13 +835,16 @@ def q66_webcorpus(sf_dir: str):
     Returns the written corpus read back; the oracle recomputes the
     composed keep decision (q56's expression) + the extraction
     inversion per kept doc."""
-    import os
+    import tempfile
 
     import ray.data as rd
 
     from ocrd_cis_ray.pipelines.webcorpus import run_webcorpus
 
-    out = f"/tmp/graft_webcorpus_{os.path.basename(sf_dir.rstrip('/'))}"
+    # fresh dir per invocation: the oracle checks THIS run's output, so
+    # never resume over a dir a previous code version committed
+    # (resumability itself is exercised by test_webcorpus + CLI)
+    out = tempfile.mkdtemp(prefix="graft_webcorpus_")
     run_webcorpus(sf_dir, out, n_partitions=8, gopher_kwargs={"min_stop_distinct": 1})
     return rd.read_parquet(out).select_columns(["doc_id", "text"])
 
