@@ -665,16 +665,21 @@ def q57_lm_perplexity(sf_dir: str):
 
 
 def q58_revenue_by_nation(sf_dir: str):
-    """TPC-H Q5 analog over the full dimension chain: lineitem ⋈
-    orders is the ONE large-large exchange (bucketed hash join);
-    customer, supplier, nation and region are broadcast lookups
-    (np.searchsorted key maps inside map_batches — dimension rows
-    never shuffle). Local-supplier semantics (s_nationkey =
-    c_nationkey), region filter 'ASIA', exact integer-cent revenue."""
+    """TPC-H Q5 analog over the full dimension chain. lineitem ⋈
+    orders picks its strategy by the build side's size (the engine's
+    standing rule: broadcast small sides, shuffle only large×large):
+    under ``broadcast_limit`` rows the (o_orderkey, o_custkey) map
+    broadcasts via ray.put + np.searchsorted — lineitem never
+    shuffles; above it, the bucketed ``hash_join`` exchange. customer,
+    supplier, nation and region always broadcast. Local-supplier
+    semantics (s_nationkey = c_nationkey), region filter 'ASIA',
+    exact integer-cent revenue."""
+    import ray
     import pyarrow.parquet as pq
 
     from ocrd_cis_ray.shuffle import hash_join
 
+    broadcast_limit = 5_000_000
     li = _read(
         sf_dir,
         "lineitem",
@@ -685,8 +690,23 @@ def q58_revenue_by_nation(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = hash_join(li, orders, on="o_orderkey")
+    orders_meta = pq.read_metadata(f"{sf_dir}/orders.parquet")
+    if orders_meta.num_rows <= broadcast_limit:
+        ot = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+        ok_order = np.argsort(ot["o_orderkey"].to_numpy())
+        o_keys = ot["o_orderkey"].to_numpy()[ok_order]
+        o_cust = ot["o_custkey"].to_numpy()[ok_order]
+        omap_ref = ray.put((o_keys, o_cust))
+
+        def attach_cust(t: pa.Table) -> pa.Table:
+            keys, cust = ray.get(omap_ref)
+            oc = cust[np.searchsorted(keys, t["o_orderkey"].to_numpy(zero_copy_only=False))]
+            return t.append_column("o_custkey", pa.array(oc, pa.int64()))
+
+        joined = li.map_batches(attach_cust, batch_format="pyarrow")
+    else:
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        joined = hash_join(li, orders, on="o_orderkey")
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
