@@ -103,6 +103,23 @@ def run_bench() -> dict:
             "docs_per_sec": round(n_docs / total, 1) if total > 0 else None,
         }
 
+    # north_rule tier end-to-end: HTML -> extraction -> repair ->
+    # curation -> resumable manifested write (fresh dir per repeat so
+    # resume never short-circuits the timing)
+    import tempfile
+
+    from ocrd_cis_ray.pipelines.webcorpus import run_webcorpus
+
+    timed(
+        "flagship_webcorpus",
+        lambda: run_webcorpus(
+            SF_DIR,
+            tempfile.mkdtemp(prefix="graft_bench_webc_"),
+            n_partitions=16,
+            gopher_kwargs={"min_stop_distinct": 1},
+        )["rows"],
+    )
+
     # full OCR-over-media lifecycle (segment -> recognize -> postcorrect)
     from ocrd_cis_ray.pipelines.ocr_chain import run_ocr_chain
 

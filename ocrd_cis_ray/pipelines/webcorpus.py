@@ -33,9 +33,9 @@ def run_webcorpus(
     n_partitions: int = 16,
     gopher_kwargs: dict | None = None,
 ) -> dict:
+    import ray
     import ray.data as rd
 
-    from ..shuffle import hash_join
     from ..stages.curation import curate_corpus
     from ..stages.textops import fix_text_batch
     from ..stages.webextract import extract_main_content, synthesize_html_batch
@@ -43,8 +43,11 @@ def run_webcorpus(
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     html = docs.map_batches(synthesize_html_batch, batch_format="pyarrow")
-    # actor-pool content extraction -> (doc_id, content_text)
-    content = extract_main_content(html, mode="content")
+    # actor-pool content extraction -> (doc_id, content_text); pool max
+    # tracks the session width (the default (1, 8) cap starved 32-cpu
+    # runs)
+    width = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    content = extract_main_content(html, mode="content", concurrency=(1, width))
 
     def repair(t: pa.Table) -> pa.Table:
         f = fix_text_batch(t, col="content_text")
@@ -52,7 +55,11 @@ def run_webcorpus(
 
     corpus = content.map_batches(repair, batch_format="pyarrow")
 
-    decisions = curate_corpus(corpus, gopher_kwargs=gopher_kwargs)
+    # curation CARRIES the text through its one content-hash exchange,
+    # so the kept corpus needs no join — documents move exactly once
+    decisions = curate_corpus(
+        corpus, gopher_kwargs=gopher_kwargs, carry=("text",)
+    ).materialize()
 
     # per-stage metrics: a tiny value_counts reduce (4 rows per block)
     stage_counts = (
@@ -66,10 +73,9 @@ def run_webcorpus(
         .to_dict()
     )
 
-    kept_flags = decisions.map_batches(
-        lambda df: df.loc[df["keep"] == 1, ["doc_id", "keep"]], batch_format="pandas"
+    kept = decisions.map_batches(
+        lambda df: df.loc[df["keep"] == 1, ["doc_id", "text"]], batch_format="pandas"
     )
-    kept = hash_join(corpus, kept_flags, on="doc_id").select_columns(["doc_id", "text"])
 
     res = write_resumable(
         kept,

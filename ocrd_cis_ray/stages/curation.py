@@ -21,25 +21,27 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _feature_batch(batch: pa.Table, *, gopher_kwargs: dict, repetition_kwargs: dict) -> pa.Table:
-    """doc_id + pass_gopher + pass_repetition + content_hash, one pass."""
+def _feature_batch(batch: pa.Table, *, gopher_kwargs: dict, repetition_kwargs: dict, carry: tuple = ()) -> pa.Table:
+    """doc_id + pass_gopher + pass_repetition + content_hash, one pass.
+    ``carry`` columns ride along through the exchange."""
     from .dedup import add_content_hash
     from .textops import gopher_quality_batch, repetition_stats_batch
 
     g = gopher_quality_batch(batch, **gopher_kwargs)
     r = repetition_stats_batch(batch, **repetition_kwargs)
     h = add_content_hash(batch.select(["doc_id", "text"]))
-    return pa.table(
-        {
-            "doc_id": batch["doc_id"],
-            "pass_gopher": g["pass_filter"],
-            "pass_repetition": r["pass_filter"],
-            "content_hash": h["content_hash"],
-        }
-    )
+    cols = {
+        "doc_id": batch["doc_id"],
+        "pass_gopher": g["pass_filter"],
+        "pass_repetition": r["pass_filter"],
+        "content_hash": h["content_hash"],
+    }
+    for c in carry:
+        cols[c] = batch[c]
+    return pa.table(cols)
 
 
-def curate_corpus(ds, *, gopher_kwargs: dict | None = None, repetition_kwargs: dict | None = None):
+def curate_corpus(ds, *, gopher_kwargs: dict | None = None, repetition_kwargs: dict | None = None, carry: tuple = ()):
     """documents(doc_id, text) -> (doc_id, pass_gopher,
     pass_repetition, is_canonical, keep, drop_stage).
 
@@ -47,7 +49,10 @@ def curate_corpus(ds, *, gopher_kwargs: dict | None = None, repetition_kwargs: d
     'gopher' -> 'repetition' -> 'duplicate' -> 'kept'. Threshold
     kwargs pass straight through to the two gate kernels (corpora with
     constrained vocabularies need e.g. a lower distinct-stopword
-    floor)."""
+    floor). ``carry`` columns (e.g. the text itself) ride through the
+    exchange and appear on the output rows — a consumer that wants the
+    KEPT CORPUS, not just decisions, gets it without a second join
+    (documents then move exactly once, the dedup-standard cost)."""
     from functools import partial
 
     from ..shuffle import bucketed_groupby
@@ -57,6 +62,7 @@ def curate_corpus(ds, *, gopher_kwargs: dict | None = None, repetition_kwargs: d
             _feature_batch,
             gopher_kwargs=gopher_kwargs or {},
             repetition_kwargs=repetition_kwargs or {},
+            carry=tuple(carry),
         ),
         batch_format="pyarrow",
     )
@@ -72,15 +78,16 @@ def curate_corpus(ds, *, gopher_kwargs: dict | None = None, repetition_kwargs: d
             "gopher",
             np.where(pr == 0, "repetition", np.where(ic == 0, "duplicate", "kept")),
         )
-        return pd.DataFrame(
-            {
-                "doc_id": b["doc_id"].to_numpy(),
-                "pass_gopher": pg,
-                "pass_repetition": pr,
-                "is_canonical": ic,
-                "keep": keep,
-                "drop_stage": stage,
-            }
-        )
+        out = {
+            "doc_id": b["doc_id"].to_numpy(),
+            "pass_gopher": pg,
+            "pass_repetition": pr,
+            "is_canonical": ic,
+            "keep": keep,
+            "drop_stage": stage,
+        }
+        for c in carry:
+            out[c] = b[c].to_numpy()
+        return pd.DataFrame(out)
 
     return bucketed_groupby(feats, "content_hash", decide, whole_bucket=True)

@@ -123,13 +123,16 @@ def run_partitioned(
         rows = sum(
             _parquet_rows(os.path.join(tmp, f)) for f in os.listdir(tmp) if f.endswith(".parquet")
         )
+        nbytes = sum(
+            os.path.getsize(os.path.join(tmp, f)) for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
         if os.path.isdir(final):
             shutil.rmtree(final)  # stale uncommitted output from a kill
         os.replace(tmp, final)
         commit_partition(
             out_dir,
             pid,
-            {"lo": lo, "hi": hi, "rows": rows, "stage": stage, "input_fingerprint": input_fingerprint},
+            {"lo": lo, "hi": hi, "rows": rows, "bytes": nbytes, "stage": stage, "input_fingerprint": input_fingerprint},
         )
         completed += 1
         rows_total += rows
@@ -187,19 +190,105 @@ def write_resumable(
         prev = b
     partitions.append((prev, None))
 
-    def make_ds(lo, hi):
-        def in_range(t):
-            ids = t[key]
-            mask = pc.greater_equal(ids, lo) if lo is not None else pc.equal(ids, ids)
-            if hi is not None:
-                mask = pc.and_(mask, pc.less(ids, hi))
-            return t.filter(mask)
+    # ---- ONE parallel pass over the materialized blocks -------------
+    # Each worker splits its batch by partition id (np.searchsorted on
+    # the broadcast bounds) and appends a uniquely-named parquet file
+    # into that partition's tmp dir — partition writes proceed in
+    # parallel across the cluster instead of one driver-sequenced
+    # execution per partition (16 sequential executions measured 13 s
+    # for a 2 s write workload at sf0.1). Publication stays exactly-
+    # once: the driver renames tmp dirs and commits manifest rows only
+    # after the pass completes; a kill mid-pass leaves only .tmp-*
+    # dirs, which the next run sweeps and redoes.
+    os.makedirs(out_dir, exist_ok=True)
+    for name in os.listdir(out_dir):
+        if name.startswith(".tmp-"):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+    done = completed_partitions(out_dir)
+    n_parts = len(partitions)
+    skip = {
+        pid
+        for pid, (lo, hi) in enumerate(partitions)
+        if (rec := done.get(pid)) is not None
+        and rec.get("input_fingerprint", "") == input_fingerprint
+        and rec.get("lo") == lo
+        and rec.get("hi") == hi
+    }
+    for pid in range(n_parts):
+        if pid in skip:
+            continue
+        if pid in done:  # stale: inputs or bounds changed — invalidate
+            try:
+                os.remove(os.path.join(_manifest_dir(out_dir), f"{pid:05d}.json"))
+            except OSError:
+                pass
+        if os.path.isdir(partition_dir(out_dir, pid)):
+            shutil.rmtree(partition_dir(out_dir, pid))
+    token = uuid.uuid4().hex
+    for pid in range(n_parts):
+        if pid not in skip:
+            os.makedirs(os.path.join(out_dir, f".tmp-{token}-{pid:05d}"), exist_ok=True)
+    bounds_arr = np.asarray(bounds)
+    skip_arr = np.zeros(n_parts, dtype=bool)
+    for pid in skip:
+        skip_arr[pid] = True
 
-        return ds.map_batches(in_range, batch_format="pyarrow")
+    import pandas as pd
+    import pyarrow as pa
 
-    return run_partitioned(
-        make_ds, out_dir, partitions, stage=stage, input_fingerprint=input_fingerprint
-    )
+    def write_split(t):
+        import pyarrow.parquet as pq
+
+        if t.num_rows == 0:
+            return pa.table(
+                {"pid": pa.array([], pa.int64()), "rows": pa.array([], pa.int64())}
+            )
+        ids = t[key].to_numpy(zero_copy_only=False)
+        pid = np.searchsorted(bounds_arr, ids, side="right")
+        out_pids, out_rows = [], []
+        for p in np.unique(pid):
+            if skip_arr[p]:
+                continue
+            sub = t.filter(pa.array(pid == p))
+            fn = os.path.join(
+                out_dir, f".tmp-{token}-{int(p):05d}", f"{uuid.uuid4().hex}.parquet"
+            )
+            pq.write_table(sub, fn)
+            out_pids.append(int(p))
+            out_rows.append(sub.num_rows)
+        return pa.table(
+            {"pid": pa.array(out_pids, pa.int64()), "rows": pa.array(out_rows, pa.int64())}
+        )
+
+    stats = ds.map_batches(write_split, batch_format="pyarrow").to_pandas()
+    per_pid = stats.groupby("pid")["rows"].sum() if len(stats) else pd.Series(dtype=np.int64)
+    completed = 0
+    rows_total = sum(int(done[p].get("rows", 0)) for p in skip)
+    for pid, (lo, hi) in enumerate(partitions):
+        if pid in skip:
+            continue
+        tmp = os.path.join(out_dir, f".tmp-{token}-{pid:05d}")
+        final = partition_dir(out_dir, pid)
+        nbytes = sum(
+            os.path.getsize(os.path.join(tmp, f)) for f in os.listdir(tmp)
+        )
+        rows = int(per_pid.get(pid, 0))
+        os.replace(tmp, final)
+        commit_partition(
+            out_dir,
+            pid,
+            {
+                "lo": lo,
+                "hi": hi,
+                "rows": rows,
+                "bytes": nbytes,
+                "stage": stage,
+                "input_fingerprint": input_fingerprint,
+            },
+        )
+        completed += 1
+        rows_total += rows
+    return {"completed": completed, "skipped": len(skip), "rows": rows_total}
 
 
 def doc_id_ranges(n_partitions: int, *, prefix: str = "d", id_width: int = 8, max_id: int = 10**8) -> list[tuple[str, str]]:
