@@ -136,9 +136,14 @@ class BPEEncoder:
         )
 
 
-def bpe_pipeline(ds, *, num_merges: int = 50, top_v: int = 100_000, concurrency=(1, 4)):
+def bpe_pipeline(ds, *, num_merges: int = 50, top_v: int = 100_000, concurrency=None):
     """Train on the corpus, then encode the same corpus with the
-    learned merges (an actor pool holding the rank table)."""
+    learned merges (an actor pool holding the rank table). Pool max
+    tracks the session width unless given explicitly."""
+    if concurrency is None:
+        import ray
+
+        concurrency = (1, max(4, int(ray.cluster_resources().get("CPU", 4))))
     merges = train_bpe(ds, num_merges=num_merges, top_v=top_v)
     encoded = ds.map_batches(
         BPEEncoder,

@@ -271,7 +271,11 @@ def kmeans(ds, *, k: int = 8, n_iter: int = 8, id_col: str = "vec_id", vec_col: 
         for c in range(k):
             if counts.get(c, 0) > 0:
                 new[c] = sums[c] / counts[c]
-        cent = _normalize(new)
+        new = _normalize(new)
+        shift = float(np.abs(new - cent).max())
+        cent = new
+        if shift < 1e-9:  # converged — skip the remaining passes
+            break
     out = proj.map_batches(
         _p(_assign_batch, cent=cent, id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow",
