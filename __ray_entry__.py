@@ -892,6 +892,69 @@ def q67_json_props_agg(sf_dir: str):
     )
 
 
+def q68_moving_window(sf_dir: str):
+    """Per-user 5-row moving sum (sliding window over the event
+    stream): ONE user_id-keyed exchange, then a vectorized in-group
+    cumsum-difference — no per-row Python, no second shuffle. Exact
+    integer cents so the SQL ROWS BETWEEN window reproduces it
+    bit-for-bit."""
+    from ocrd_cis_ray.shuffle import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        # cumsum-diff per user run (runs are contiguous after the sort)
+        users = g["user_id"].to_numpy()
+        run_start = np.ones(len(g), bool)
+        run_start[1:] = users[1:] != users[:-1]
+        cs = np.cumsum(cents)
+        base = np.zeros(len(g), np.int64)
+        # value of cumsum just before each row's window start (4 back,
+        # clamped to the row's run start)
+        idx = np.arange(len(g))
+        run_first = np.maximum.accumulate(np.where(run_start, idx, 0))
+        lo = np.maximum(idx - 4, run_first)
+        # prefix-sum difference: earlier users' totals cancel because
+        # both terms include them
+        mov = cs - np.where(lo == 0, 0, cs[lo - 1])
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "mov_sum_cents": mov.astype(np.int64),
+            }
+        )
+
+    return bucketed_groupby(ds, "user_id", window, whole_bucket=True)
+
+
+def q69_grouped_median(sf_dir: str):
+    """Exact per-group lower median (quantile_disc 0.5): one
+    event_type-keyed exchange, per-group vectorized sort +
+    element-at-(n-1)//2 pick. Integer cents for bit parity."""
+    from ocrd_cis_ray.shuffle import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_m, out_n = [], [], []
+        for t, sub in g.groupby("event_type", sort=False):
+            cents = np.sort(np.floor(sub["value"].to_numpy() * 100 + 0.5).astype(np.int64))
+            out_t.append(t)
+            out_m.append(int(cents[(len(cents) - 1) // 2]))
+            out_n.append(len(cents))
+        return pd.DataFrame(
+            {
+                "event_type": out_t,
+                "median_cents": np.asarray(out_m, np.int64),
+                "n": np.asarray(out_n, np.int64),
+            }
+        )
+
+    return bucketed_groupby(ds, "event_type", med, whole_bucket=True)
+
+
 # ---------------------------------------------------------------------------
 # main-content extraction (stages/webextract.py, stages/layout.py)
 
@@ -1690,6 +1753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q65_bloom_membership": q65_bloom_membership,
         "q66_webcorpus": q66_webcorpus,
         "q67_json_props_agg": q67_json_props_agg,
+        "q68_moving_window": q68_moving_window,
+        "q69_grouped_median": q69_grouped_median,
         "q43_sample_fraction": q43_sample_fraction,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,
@@ -2441,6 +2506,19 @@ WHERE d56.keep = 1
         "q67_json_props_agg": """
 SELECT event_type,
        CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+        "q68_moving_window": """
+SELECT event_id,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum_cents
+FROM events
+""",
+        "q69_grouped_median": """
+SELECT event_type,
+       CAST(quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.5) AS BIGINT) AS median_cents,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """,
