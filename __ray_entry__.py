@@ -250,6 +250,69 @@ def q09_distinct_users(sf_dir: str):
     return distinct.groupby("event_type").aggregate(Count(alias_name="n_users"))
 
 
+def q12_covariance_sums(sf_dir: str):
+    """Exact covariance/correlation MOMENTS per event_type: integer-cent
+    sums (Σx, Σy, Σxy, Σx², n) from which cov/corr derive exactly —
+    map-side partials + one tiny grouped reduce; emitting the moments
+    instead of the float ratio keeps the result bit-exact and
+    order-independent (the repo's standing integer-sum rule). x =
+    value cents, y = props 'k' field."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "props"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64())
+        m = pc.extract_regex(t["props"], r'"k": (?P<v>\d+)')
+        y = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "x": x,
+                "y": y,
+                "xy": pc.multiply(x, y),
+                "xx": pc.multiply(x, x),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("x", alias_name="sum_x"),
+            Sum("y", alias_name="sum_y"),
+            Sum("xy", alias_name="sum_xy"),
+            Sum("xx", alias_name="sum_xx"),
+            Count(alias_name="n"),
+        )
+    )
+
+
+def q16_grouped_distinct(sf_dir: str):
+    """Exact distinct users per event_type: block-local (type, user)
+    dedup partials -> ONE bucketed exchange keyed on event_type ->
+    per-group nunique. The partial dedup bounds the exchange at
+    (types x block-local users), not the event stream."""
+    from ocrd_cis_ray.shuffle import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["event_type", "user_id"])
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("event_type", sort=False)["user_id"].nunique().reset_index()
+        return pd.DataFrame(
+            {
+                "event_type": out["event_type"],
+                "n_users": out["user_id"].astype(np.int64),
+            }
+        )
+
+    partial_ds = ds.map_batches(local_dedup, batch_format="pandas")
+    return bucketed_groupby(partial_ds, "event_type", count_distinct, whole_bucket=True)
+
+
 def q13_top_docs_per_lang(sf_dir: str):
     """Top-3 documents by n_chars per language (grouped top-k: bucketed
     shuffle on the group key + per-group head, no global sort)."""
@@ -1755,6 +1818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q67_json_props_agg": q67_json_props_agg,
         "q68_moving_window": q68_moving_window,
         "q69_grouped_median": q69_grouped_median,
+        "q12_covariance_sums": q12_covariance_sums,
+        "q16_grouped_distinct": q16_grouped_distinct,
         "q43_sample_fraction": q43_sample_fraction,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,
@@ -2520,6 +2585,19 @@ FROM events
 SELECT event_type,
        CAST(quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.5) AS BIGINT) AS median_cents,
        COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+        "q12_covariance_sums": """
+SELECT event_type,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_x,
+       CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_y,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT) * CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_xy,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT) * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_xx,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+        "q16_grouped_distinct": """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type
 """,
         "q44_html_extract": """
