@@ -313,6 +313,60 @@ def q16_grouped_distinct(sf_dir: str):
     return bucketed_groupby(partial_ds, "event_type", count_distinct, whole_bucket=True)
 
 
+def q18_set_difference(sf_dir: str):
+    """Distributed set difference (EXCEPT): users active in the first
+    half of the month but NOT on the final day (churn-candidate
+    set). Block-local (user, side) dedup partials -> ONE user_id-keyed
+    exchange -> per-user flag conjunction. The exchange moves distinct
+    (user, side) tuples, not events."""
+    from ocrd_cis_ray.shuffle import bucketed_groupby
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    a_cut = pd.Timestamp("2024-01-16")
+    b_cut = pd.Timestamp("2024-01-30")
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        in_a = df["ts"] < a_cut
+        in_b = df["ts"] >= b_cut
+        out = pd.concat(
+            [
+                pd.DataFrame({"user_id": df.loc[in_a, "user_id"], "side": np.int8(0)}),
+                pd.DataFrame({"user_id": df.loc[in_b, "user_id"], "side": np.int8(1)}),
+            ]
+        )
+        return out.drop_duplicates()
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("user_id")["side"].agg(["min", "max"])
+        keep = f[(f["min"] == 0) & (f["max"] == 0)].index.to_numpy()
+        return pd.DataFrame({"user_id": keep.astype(np.int64)})
+
+    partials = ds.map_batches(local, batch_format="pandas")
+    return bucketed_groupby(partials, "user_id", diff, whole_bucket=True)
+
+
+def q19_pivot_counts(sf_dir: str):
+    """Pivot (wide conditional aggregation): per day-of-month, one
+    count column per event type — vectorized map-side crosstab
+    partials + one tiny grouped Sum; no row-level shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def crosstab(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.day.astype(np.int64)
+        out = pd.DataFrame({"day": day})
+        for t in types:
+            out[f"n_{t}"] = (df["event_type"] == t).astype(np.int64)
+        return out.groupby("day", as_index=False).sum()
+
+    agg = ds.map_batches(crosstab, batch_format="pandas").groupby("day")
+    return agg.aggregate(
+        *[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types]
+    )
+
+
 def q13_top_docs_per_lang(sf_dir: str):
     """Top-3 documents by n_chars per language (grouped top-k: bucketed
     shuffle on the group key + per-group head, no global sort)."""
@@ -1820,6 +1874,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q69_grouped_median": q69_grouped_median,
         "q12_covariance_sums": q12_covariance_sums,
         "q16_grouped_distinct": q16_grouped_distinct,
+        "q18_set_difference": q18_set_difference,
+        "q19_pivot_counts": q19_pivot_counts,
         "q43_sample_fraction": q43_sample_fraction,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_jaccard_pairs": q31_jaccard_pairs,
@@ -2599,6 +2655,20 @@ FROM events GROUP BY event_type
         "q16_grouped_distinct": """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type
+""",
+        "q18_set_difference": """
+SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-30'
+""",
+        "q19_pivot_counts": """
+SELECT CAST(day(ts) AS BIGINT) AS day,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY day(ts)
 """,
         "q44_html_extract": """
 SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text
