@@ -41,6 +41,14 @@ def _cents(col):
     return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
 
 
+def _props_k(col):
+    """Int field 'k' out of the JSON props string — ONE vectorized RE2
+    kernel (shared by q12/q67 so engine and oracle extraction stay in
+    lockstep)."""
+    m = pc.extract_regex(col, r'"k": (?P<v>\d+)')
+    return pc.cast(pc.struct_field(m, "v"), pa.int64())
+
+
 # ---------------------------------------------------------------------------
 # relational core
 
@@ -262,9 +270,8 @@ def q12_covariance_sums(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "value", "props"])
 
     def prep(t: pa.Table) -> pa.Table:
-        x = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)), pa.int64())
-        m = pc.extract_regex(t["props"], r'"k": (?P<v>\d+)')
-        y = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        x = _cents(t["value"])
+        y = _props_k(t["props"])
         return pa.table(
             {
                 "event_type": t["event_type"],
@@ -981,9 +988,17 @@ def q66_webcorpus(sf_dir: str):
     # fresh dir per invocation: the oracle checks THIS run's output, so
     # never resume over a dir a previous code version committed
     # (resumability itself is exercised by test_webcorpus + CLI)
+    import shutil
+
     out = tempfile.mkdtemp(prefix="graft_webcorpus_")
-    run_webcorpus(sf_dir, out, n_partitions=8, gopher_kwargs={"min_stop_distinct": 1})
-    return rd.read_parquet(out).select_columns(["doc_id", "text"])
+    try:
+        run_webcorpus(sf_dir, out, n_partitions=8, gopher_kwargs={"min_stop_distinct": 1})
+        # materialize before deleting the backing files (lazy reads
+        # would dangle), then clean /tmp — repeated driver runs must
+        # not accumulate corpora
+        return rd.read_parquet(out).select_columns(["doc_id", "text"]).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def q67_json_props_agg(sf_dir: str):
@@ -998,9 +1013,7 @@ def q67_json_props_agg(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "props"])
 
     def extract(t: pa.Table) -> pa.Table:
-        m = pc.extract_regex(t["props"], r'"k": (?P<v>\d+)')
-        v = pc.cast(pc.struct_field(m, "v"), pa.int64())
-        return pa.table({"event_type": t["event_type"], "k": v})
+        return pa.table({"event_type": t["event_type"], "k": _props_k(t["props"])})
 
     return (
         ds.map_batches(extract, batch_format="pyarrow")

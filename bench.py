@@ -110,15 +110,18 @@ def run_bench() -> dict:
 
     from ocrd_cis_ray.pipelines.webcorpus import run_webcorpus
 
-    timed(
-        "flagship_webcorpus",
-        lambda: run_webcorpus(
-            SF_DIR,
-            tempfile.mkdtemp(prefix="graft_bench_webc_"),
-            n_partitions=16,
-            gopher_kwargs={"min_stop_distinct": 1},
-        )["rows"],
-    )
+    def _webcorpus_once():
+        import shutil
+
+        out = tempfile.mkdtemp(prefix="graft_bench_webc_")
+        try:
+            return run_webcorpus(
+                SF_DIR, out, n_partitions=16, gopher_kwargs={"min_stop_distinct": 1}
+            )["rows"]
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    timed("flagship_webcorpus", _webcorpus_once)
 
     # full OCR-over-media lifecycle (segment -> recognize -> postcorrect)
     from ocrd_cis_ray.pipelines.ocr_chain import run_ocr_chain

@@ -148,7 +148,7 @@ def main(argv=None):
             out = curate_corpus(
                 rd.read_parquet(args.input, columns=["doc_id", "text"]),
                 gopher_kwargs={"min_stop_distinct": args.min_stop_distinct},
-            )
+            ).materialize()  # one execution for write + both counts
             out.write_parquet(args.output)
             kept = out.map_batches(
                 lambda df: df[df["keep"] == 1], batch_format="pandas"

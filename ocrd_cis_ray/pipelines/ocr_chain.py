@@ -195,52 +195,51 @@ def degrade_batch(t: pa.Table, *, source: str, noise: int, erode: float, seed: i
     ``erode``), which is what actually flips glyph classifications."""
     from ..sources.media import decode_gray
 
-    if True:
-        out = []
-        for did, buf in zip(t["doc_id"].to_pylist(), t["pixels"].to_pylist()):
-            img = decode_gray(buf).copy()
-            rng = np.random.default_rng((stable_hash64(f"{did}/{source}") ^ seed) & 0xFFFFFFFF)
-            h, w = img.shape
-            if erode > 0:
-                ys, xs = np.nonzero(img < 128)
-                drop = rng.random(len(ys)) < erode
-                img[ys[drop], xs[drop]] = 255
-            if noise > 0:
-                # vectorized speck placement: batch-draw candidate
-                # coordinates, test all 3x3 neighbourhoods with nine
-                # shifted-AND lookups at once, then greedily accept the
-                # first `noise` non-conflicting sites (a placed speck
-                # blackens its cell, so later candidates within
-                # Chebyshev distance 1 must be skipped — the sequential
-                # loop's semantics at vector cost). A dense page may
-                # lack `noise` isolated white sites; the bounded draw
-                # (8x oversample) gives up instead of spinning.
-                k = 8 * noise
-                ys = rng.integers(1, h - 1, size=k)
-                xs = rng.integers(1, w - 1, size=k)
-                white = img == 255
-                ok = np.ones(k, dtype=bool)
-                for dy in (-1, 0, 1):
-                    for dx in (-1, 0, 1):
-                        ok &= white[ys + dy, xs + dx]
-                placed = 0
-                occupied: set[tuple[int, int]] = set()
-                for y, x in zip(ys[ok].tolist(), xs[ok].tolist()):
-                    if placed >= noise:
-                        break
-                    if any(
-                        (y + dy, x + dx) in occupied
-                        for dy in (-1, 0, 1)
-                        for dx in (-1, 0, 1)
-                    ):
-                        continue
-                    img[y, x] = 0
-                    occupied.add((y, x))
-                    placed += 1
-            out.append(encode_gray(img))
-        cols = {n: t[n] for n in t.column_names}
-        cols["pixels"] = pa.array(out, pa.large_binary())
-        return pa.table(cols)
+    out = []
+    for did, buf in zip(t["doc_id"].to_pylist(), t["pixels"].to_pylist()):
+        img = decode_gray(buf).copy()
+        rng = np.random.default_rng((stable_hash64(f"{did}/{source}") ^ seed) & 0xFFFFFFFF)
+        h, w = img.shape
+        if erode > 0:
+            ys, xs = np.nonzero(img < 128)
+            drop = rng.random(len(ys)) < erode
+            img[ys[drop], xs[drop]] = 255
+        if noise > 0:
+            # vectorized speck placement: batch-draw candidate
+            # coordinates, test all 3x3 neighbourhoods with nine
+            # shifted-AND lookups at once, then greedily accept the
+            # first `noise` non-conflicting sites (a placed speck
+            # blackens its cell, so later candidates within
+            # Chebyshev distance 1 must be skipped — the sequential
+            # loop's semantics at vector cost). A dense page may
+            # lack `noise` isolated white sites; the bounded draw
+            # (8x oversample) gives up instead of spinning.
+            k = 8 * noise
+            ys = rng.integers(1, h - 1, size=k)
+            xs = rng.integers(1, w - 1, size=k)
+            white = img == 255
+            ok = np.ones(k, dtype=bool)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ok &= white[ys + dy, xs + dx]
+            placed = 0
+            occupied: set[tuple[int, int]] = set()
+            for y, x in zip(ys[ok].tolist(), xs[ok].tolist()):
+                if placed >= noise:
+                    break
+                if any(
+                    (y + dy, x + dx) in occupied
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                ):
+                    continue
+                img[y, x] = 0
+                occupied.add((y, x))
+                placed += 1
+        out.append(encode_gray(img))
+    cols = {n: t[n] for n in t.column_names}
+    cols["pixels"] = pa.array(out, pa.large_binary())
+    return pa.table(cols)
 
 
 def degrade(pages, source: str, noise: int, erode: float, seed: int = 42):

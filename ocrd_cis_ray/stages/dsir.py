@@ -34,7 +34,7 @@ def _doc_feature_hashes(texts: list, buckets: int) -> tuple[np.ndarray, np.ndarr
     """Flat bucket ids of word unigrams + bigrams for a batch, plus
     features-per-doc counts. Vectorized: one hash_array pass over all
     words + a rolling combine for bigrams."""
-    words_per_doc = [t.split(" ") if t else [] for t in texts]
+    words_per_doc = [t.split(" ") for t in texts]
     wc = np.array([len(ws) for ws in words_per_doc], dtype=np.int64)
     total = int(wc.sum())
     if total == 0:
@@ -111,15 +111,12 @@ def dsir_weights(ds, *, buckets: int = 4096, target_col: str = "lang", target_va
         texts = batch["text"].to_pylist()
         feats, per_doc = _doc_feature_hashes(texts, buckets)
         off = np.concatenate([[0], np.cumsum(per_doc)])
-        vals = ratio[feats]
-        # segment sums; zero-feature docs masked (reduceat repeats the
-        # boundary value on empty segments)
-        safe_off = np.minimum(off[:-1], max(len(vals) - 1, 0))
-        sums = (
-            np.add.reduceat(vals, safe_off)
-            if len(vals)
-            else np.zeros(len(texts), np.float64)
-        )
+        # pad one zero so offsets == len(vals) (trailing zero-feature
+        # docs) are valid reduceat indices WITHOUT corrupting the
+        # previous doc's segment (a clamped offset would steal its last
+        # element); empty segments still repeat the pad -> masked below
+        vals = np.append(ratio[feats], 0.0)
+        sums = np.add.reduceat(vals, off[:-1]) if len(feats) else np.zeros(len(texts))
         w = np.where(per_doc > 0, sums, 0.0)
         return pa.table(
             {

@@ -152,9 +152,13 @@ def perplexity_batch(batch: pa.Table, *, model: dict, alpha: float = 1.0, alphab
     c_lo = _lookup(lo_flat[ctx_idx] if len(lo_flat) else lo_flat, model["lo_h"], model["lo_c"])
     logp = np.log((c_hi + alpha) / (c_lo + alpha * alphabet))
     n_docs = len(texts)
-    # reduceat needs in-range offsets; zero-gram docs are masked below
-    safe_off = np.minimum(doc_hi_off[:-1], max(len(logp) - 1, 0))
-    sums = np.add.reduceat(logp, safe_off) if len(logp) else np.zeros(n_docs)
+    # pad one zero so offsets == len(logp) (trailing zero-gram docs)
+    # are valid WITHOUT stealing the previous doc's last gram (the
+    # failure mode of clamping); empty segments repeat the pad -> masked
+    padded = np.append(logp, 0.0)
+    sums = (
+        np.add.reduceat(padded, doc_hi_off[:-1]) if len(logp) else np.zeros(n_docs)
+    )
     sums = np.where(g_counts > 0, sums, 0.0)
     mean = np.where(g_counts > 0, sums / np.maximum(g_counts, 1), 0.0)
     ppl = np.exp(-mean)

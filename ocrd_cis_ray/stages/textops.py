@@ -469,7 +469,7 @@ def repetition_stats_batch(
     n_docs = len(texts)
     if n_docs == 0:
         return pa.table({"doc_id": batch["doc_id"]})
-    words_per_doc = [t.split(" ") if t else [] for t in texts]
+    words_per_doc = [t.split(" ") for t in texts]
     wc = np.array([len(ws) for ws in words_per_doc], dtype=np.int64)
     total = int(wc.sum())
     all_words = np.asarray(

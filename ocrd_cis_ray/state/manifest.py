@@ -160,14 +160,19 @@ def write_resumable(
     per-partition manifested so a killed job resumes).
 
     The Dataset is materialized ONCE; key-range bounds come from a
-    bounded driver-side sample (works for string or int keys), and each
-    partition filters the materialized blocks (vectorized pc range
-    mask) — no pipeline recompute per partition. Writes go through
-    ``run_partitioned``: tmp-dir + fsync-rename + manifest row, reruns
-    skip committed (fingerprint- and range-matched) partitions.
+    bounded driver-side sample (works for string or int keys). ALL
+    partitions are then written in ONE parallel pass (each worker
+    splits its batch by partition id and appends a deterministically
+    named file into that partition's tmp dir), after which the driver
+    renames tmp dirs into place and commits manifest rows —
+    exactly-once publication. Reruns skip committed (fingerprint- and
+    range-matched) partitions. Tradeoff vs the per-partition
+    ``run_partitioned`` loop (still used by cutter/ingest): the single
+    pass is ~6x faster, but a kill MID-PASS commits nothing and the
+    rerun redoes the whole write; once the pass has committed, reruns
+    skip everything.
     """
     import numpy as np
-    import pyarrow.compute as pc
 
     ds = ds.materialize()
     sample = (
@@ -245,13 +250,22 @@ def write_resumable(
             )
         ids = t[key].to_numpy(zero_copy_only=False)
         pid = np.searchsorted(bounds_arr, ids, side="right")
+        # file names must be DETERMINISTIC in the batch content: a Ray
+        # task retry re-writes the same file instead of adding a
+        # duplicate (uuid names would double the rows of a partition
+        # whose writer died after a partial write)
+        import hashlib
+
+        batch_tag = hashlib.blake2b(
+            np.ascontiguousarray(ids).tobytes(), digest_size=16
+        ).hexdigest()
         out_pids, out_rows = [], []
         for p in np.unique(pid):
             if skip_arr[p]:
                 continue
             sub = t.filter(pa.array(pid == p))
             fn = os.path.join(
-                out_dir, f".tmp-{token}-{int(p):05d}", f"{uuid.uuid4().hex}.parquet"
+                out_dir, f".tmp-{token}-{int(p):05d}", f"{batch_tag}.parquet"
             )
             pq.write_table(sub, fn)
             out_pids.append(int(p))

@@ -82,3 +82,33 @@ def test_dsir_targets_score_higher(ray_session):
     en_mean = merged.loc[merged["lang"] == "en", "log_weight"].mean()
     de_mean = merged.loc[merged["lang"] == "de", "log_weight"].mean()
     assert en_mean > 0 > de_mean
+
+
+def test_dsir_trailing_empty_doc_does_not_corrupt_neighbor(ray_session):
+    """Regression: a zero-feature doc at the END of a batch must not
+    steal the previous doc's last feature (reduceat offset clamping)."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.dsir import dsir_weights
+
+    base = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1], dtype=np.int64),
+            "text": ["the quick brown fox", "the quick brown fox"],
+            "lang": ["en", "en"],
+        }
+    )
+    with_empty = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1], dtype=np.int64),
+            "text": ["the quick brown fox", ""],
+            "lang": ["en", "en"],
+        }
+    )
+    a = dsir_weights(rd.from_pandas(base), buckets=64).to_pandas()
+    b = dsir_weights(rd.from_pandas(with_empty), buckets=64).to_pandas()
+    # doc 0 has identical features in both corpora relative to its own
+    # content; the point is that scoring COMPLETES and doc 0's weight
+    # reflects ALL its features (sum over 7 features, not 6)
+    assert b.loc[b.doc_id == 0, "n_features"].iloc[0] == 7
+    assert np.isfinite(b["log_weight"]).all()

@@ -100,3 +100,34 @@ def test_training_layout_invariant(ray_session):
             ref = key
         else:
             assert key == ref
+
+
+def test_trailing_short_doc_does_not_corrupt_neighbor(ray_session):
+    """Regression: a doc shorter than the gram order at the END of a
+    batch must not steal the previous doc's last gram."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.lm import lm_perplexity
+
+    full = pd.DataFrame(
+        {"doc_id": np.arange(len(TRAIN), dtype=np.int64), "text": TRAIN}
+    )
+    plus_short = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(TRAIN) + 1, dtype=np.int64),
+            "text": TRAIN + ["ab"],
+        }
+    )
+    a = (
+        lm_perplexity(rd.from_pandas(full).repartition(1), n=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # counts differ (the short doc adds lower-order grams), so compare
+    # against brute force instead of the other corpus
+    b = (
+        lm_perplexity(rd.from_pandas(plus_short).repartition(1), n=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = _brute_ppl(TRAIN + ["ab"], TRAIN[-1])
+    assert abs(b.loc[len(TRAIN) - 1, "perplexity"] - want) < 1e-9
+    assert b.loc[len(TRAIN), "n_grams"] == 0
