@@ -264,7 +264,10 @@ def q12_covariance_sums(sf_dir: str):
     map-side partials + one tiny grouped reduce; emitting the moments
     instead of the float ratio keeps the result bit-exact and
     order-independent (the repo's standing integer-sum rule). x =
-    value cents, y = props 'k' field."""
+    value cents, y = props 'k' field. Scale bound: Σx² must stay
+    below 2^63 — at ~1e10 per row that is ~9e8 rows per group; beyond
+    that, salt the group key into sub-groups and combine moments (they
+    are additive), or switch the xx partial to int128/float."""
     from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "events", ["event_type", "value", "props"])

@@ -242,17 +242,6 @@ def degrade_batch(t: pa.Table, *, source: str, noise: int, erode: float, seed: i
     return pa.table(cols)
 
 
-def degrade(pages, source: str, noise: int, erode: float, seed: int = 42):
-    """Dataset wrapper over ``degrade_batch`` (kept for the per-channel
-    task-stage path; the chain itself uses the fused DualChannelOCR)."""
-    from functools import partial
-
-    return pages.map_batches(
-        partial(degrade_batch, source=source, noise=noise, erode=erode, seed=seed),
-        batch_format="pyarrow",
-        batch_size=32,
-    )
-
 
 _CHANNEL_CONFIGS = (
     # (source, speck noise, stroke erosion, engine confidence)
@@ -313,55 +302,6 @@ class DualChannelOCR:
             )
         return pa.concat_tables(outs)
 
-
-def ocr_source_lines(pages, source: str, conf: float, *, concurrency: int = 4):
-    """One OCR engine's channel: degrade→preprocess→segment→recognize →
-    long-form variant lines (doc_id, source, line_no, text, conf)."""
-    from ..stages.image_ops import media_op
-    from ..stages.recognize import recognize_lines
-    from ..stages.segment import segment_pages
-
-    noise = {"OCR-1": 25, "OCR-2": 60}.get(source, 0)
-    erode = {"OCR-1": 0.15, "OCR-2": 0.32}.get(source, 0.0)
-    ds = degrade(pages, source, noise, erode)
-    ds = media_op(ds, "binarize", method="global")
-    ds = media_op(ds, "denoise", minsize=2)
-    ds = segment_pages(ds)
-    # fractional CPUs: two engine pools + task stages must co-exist even
-    # on a 4-cpu session without the pools reserving every core. The
-    # pool AUTOSCALES (1, max): min stays 1 so task stages never starve,
-    # max tracks the session width so recognition — the chain's heavy
-    # stage — can absorb idle cores instead of being capped at
-    # concurrency×0.5 cpus while 24 cores sit idle.
-    import ray
-
-    pool_max = max(concurrency, int(ray.cluster_resources().get("CPU", concurrency)))
-    # pool MIN must stay well under cluster width: two engine pools run
-    # concurrently, and min actors RESERVE cpus even while idle. With
-    # min=4 on a 4-cpu test session the two pools pinned 4x0.5x2 = all
-    # 4 cpus and starved the 1-cpu feeder tasks (observed: suite crawl
-    # at ~6% cpu). pool_max//8 keeps min=4 at 32 cpus, min=1 at <=8.
-    pool_min = max(1, pool_max // 8)
-    rec = recognize_lines(
-        ds, concurrency=(pool_min, pool_max), batch_size=64, num_cpus=0.5
-    )
-
-    def to_lines(t: pa.Table) -> pa.Table:
-        line_no = pa.array(
-            [int(s.rsplit("-", 1)[-1]) for s in t["span_id"].to_pylist()], pa.int32()
-        )
-        n = t.num_rows
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "source": pa.array([source] * n, pa.string()),
-                "line_no": line_no,
-                "text": t["text"],
-                "conf": pa.array(np.full(n, conf, dtype=np.float32)),
-            }
-        )
-
-    return rec.map_batches(to_lines, batch_format="pyarrow")
 
 
 def gt_lines(sf_dir: str):

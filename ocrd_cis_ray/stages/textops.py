@@ -468,7 +468,23 @@ def repetition_stats_batch(
     texts = batch["text"].to_pylist()
     n_docs = len(texts)
     if n_docs == 0:
-        return pa.table({"doc_id": batch["doc_id"]})
+        # full declared schema even for an empty block — downstream
+        # consumers (curation's fused feature pass) index pass_filter
+        empty_f = pa.array([], pa.float64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_lines": pa.array([], pa.int64()),
+                "dup_line_frac": empty_f,
+                "dup_line_char_frac": empty_f,
+                "top2_char_frac": empty_f,
+                "top3_char_frac": empty_f,
+                "top4_char_frac": empty_f,
+                "dup5_word_frac": empty_f,
+                "dup10_word_frac": empty_f,
+                "pass_filter": pa.array([], pa.int32()),
+            }
+        )
     words_per_doc = [t.split(" ") for t in texts]
     wc = np.array([len(ws) for ws in words_per_doc], dtype=np.int64)
     total = int(wc.sum())
@@ -503,7 +519,6 @@ def repetition_stats_batch(
         + line_len - 1
     )
     # rolling hash per line (lines have <= L words; L passes)
-    line_starts = np.zeros(total_lines, dtype=np.int64)
     first_word_of_line = np.ones(total, dtype=bool)
     first_word_of_line[1:] = flat_line[1:] != flat_line[:-1]
     line_starts = np.flatnonzero(first_word_of_line)
@@ -570,11 +585,11 @@ def repetition_stats_batch(
         return top, cov
 
     top_fracs = {}
-    for n_, thr in zip((2, 3, 4), max_top_gram_frac):
+    for n_ in (2, 3, 4):
         top, _ = _gram_stats(n_)
         top_fracs[n_] = top / safe_chars
     dup_fracs = {}
-    for n_, thr in zip((5, 10), max_dup_gram_frac):
+    for n_ in (5, 10):
         _, cov = _gram_stats(n_)
         dup_fracs[n_] = cov / wc.astype(np.float64)
 

@@ -250,15 +250,19 @@ def write_resumable(
             )
         ids = t[key].to_numpy(zero_copy_only=False)
         pid = np.searchsorted(bounds_arr, ids, side="right")
-        # file names must be DETERMINISTIC in the batch content: a Ray
+        # file names must be DETERMINISTIC in the batch CONTENT: a Ray
         # task retry re-writes the same file instead of adding a
         # duplicate (uuid names would double the rows of a partition
-        # whose writer died after a partial write)
+        # whose writer died after a partial write). String keys come
+        # back as an object array whose .tobytes() would serialize
+        # POINTERS (process-dependent!) — hash the actual key values.
         import hashlib
 
-        batch_tag = hashlib.blake2b(
-            np.ascontiguousarray(ids).tobytes(), digest_size=16
-        ).hexdigest()
+        if ids.dtype == object:
+            payload = "\x00".join(map(str, ids)).encode()
+        else:
+            payload = np.ascontiguousarray(ids).tobytes()
+        batch_tag = hashlib.blake2b(payload, digest_size=16).hexdigest()
         out_pids, out_rows = [], []
         for p in np.unique(pid):
             if skip_arr[p]:
