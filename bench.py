@@ -236,8 +236,41 @@ def run_scaling() -> dict:
     }
 
 
+HEADLINE_KEYS = (
+    "flagship_extract",
+    "flagship_align_eval",
+    "flagship_webcorpus",
+    "flagship_ocr_chain",
+    "q10_extract_spans",
+    "q31_jaccard_pairs",
+    "q32_minhash_pairs",
+    "q53_substring_dedup",
+    "q56_curation",
+    "q58_revenue_by_nation",
+)
+
+
+def _compact(result: dict) -> dict:
+    """The driver tail-captures stdout and parses the LAST line as JSON;
+    round 3's full per-query+spreads line grew past the capture window and
+    its head fell off (BENCH_r03 parsed=null). Keep the printed line small
+    (~10 headline queries) and write the full detail to BENCH_DETAIL.json."""
+    compact = {k: v for k, v in result.items() if k not in ("queries", "spreads", "page_partition_bytes")}
+    q = result.get("queries", {})
+    compact["queries"] = {k: q[k] for k in HEADLINE_KEYS if k in q}
+    compact["detail"] = "BENCH_DETAIL.json"
+    return compact
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        result = run_bench()
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        try:
+            with open(detail_path, "w") as f:
+                json.dump(result, f, indent=1)
+        except OSError:
+            pass
+        print(json.dumps(_compact(result)))

@@ -34,7 +34,7 @@ def _doc_feature_hashes(texts: list, buckets: int) -> tuple[np.ndarray, np.ndarr
     """Flat bucket ids of word unigrams + bigrams for a batch, plus
     features-per-doc counts. Vectorized: one hash_array pass over all
     words + a rolling combine for bigrams."""
-    words_per_doc = [t.split(" ") for t in texts]
+    words_per_doc = [t.split(" ") if t else [] for t in texts]
     wc = np.array([len(ws) for ws in words_per_doc], dtype=np.int64)
     total = int(wc.sum())
     if total == 0:

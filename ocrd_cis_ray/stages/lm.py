@@ -50,7 +50,11 @@ def _char_gram_hashes(texts: list, n: int) -> tuple[np.ndarray, np.ndarray]:
     g_counts = np.maximum(lens - n + 1, 0)
     if total < n or int(g_counts.sum()) == 0:
         return np.zeros(0, np.uint64), np.zeros(len(texts), np.int64)
-    acc = np.zeros(total - n + 1, np.uint64)
+    # seed the rolling hash with the order so order-n and order-(n-1)
+    # grams live in disjoint hash spaces: the count aggregate keys on
+    # the hash alone, and an unsalted cross-order collision would merge
+    # an n-gram's count into a context gram's count
+    acc = np.full(total - n + 1, np.uint64(n), np.uint64)
     with np.errstate(over="ignore"):
         for j in range(n):
             acc = acc * _MULT ^ a[j : total - n + 1 + j]

@@ -102,6 +102,125 @@ def reading_order(boxes: list[tuple[int, int, int, int]]) -> list[int]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Polygon outlines (masks2polygons semantics, reference
+# ocrd_cis/ocropy/segment.py:58-135): per label, outer contour(s) of the
+# label mask, reading-ordered parts, tiny parts dropped, ≥4-point
+# polygons of (x, y) int points. cv2/shapely-free: Moore-neighbor
+# boundary tracing + collinear-run compression (the CHAIN_APPROX_SIMPLE
+# analog for the raster contours this tracer produces).
+
+# clockwise 8-neighborhood ring (y down): E, SE, S, SW, W, NW, N, NE
+_TRACE_DIRS = [(0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1)]
+_TRACE_IDX = {d: i for i, d in enumerate(_TRACE_DIRS)}
+
+
+def trace_outer_contour(mask: np.ndarray) -> list[tuple[int, int]]:
+    """Outer boundary pixels of the foreground component containing the
+    topmost-leftmost pixel, clockwise, as (x, y) tuples (open polygon —
+    the endpoint is not repeated). Moore-neighbor tracing with Jacob's
+    stopping criterion; runtime O(perimeter)."""
+    h, w = mask.shape
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return []
+    i = int(np.lexsort((xs, ys))[0])
+    start = (int(ys[i]), int(xs[i]))
+    # backtrack cell = W neighbor of start (background by construction:
+    # start is the leftmost foreground pixel of the topmost row)
+    bg = (start[0], start[1] - 1)
+    start_bg = bg
+    cur = start
+    contour = [start]
+    for _ in range(4 * len(ys) + 8):
+        cy, cx = cur
+        bidx = _TRACE_IDX[(bg[0] - cy, bg[1] - cx)]
+        nxt = None
+        for k in range(1, 9):
+            idx = (bidx + k) % 8
+            dy, dx = _TRACE_DIRS[idx]
+            ny, nx = cy + dy, cx + dx
+            if 0 <= ny < h and 0 <= nx < w and mask[ny, nx]:
+                nxt = (ny, nx)
+                pdy, pdx = _TRACE_DIRS[(bidx + k - 1) % 8]
+                bg = (cy + pdy, cx + pdx)
+                break
+        if nxt is None:
+            break  # isolated single pixel
+        if nxt == start and bg == start_bg:
+            break  # closed the loop with the same entry direction
+        cur = nxt
+        contour.append(cur)
+    return [(x, y) for y, x in contour]
+
+
+def _compress_collinear(pts: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Drop interior points of straight runs (closed-polygon aware) —
+    a rectangle's traced boundary reduces to its 4 corners."""
+    n = len(pts)
+    if n < 3:
+        return pts
+    out = []
+    for i in range(n):
+        p0, p1, p2 = pts[i - 1], pts[i], pts[(i + 1) % n]
+        if (p1[0] - p0[0], p1[1] - p0[1]) != (p2[0] - p1[0], p2[1] - p1[1]):
+            out.append(p1)
+    return out if out else pts[:1]
+
+
+def masks_to_polygons(
+    bg_labels: np.ndarray,
+    fg_bin: np.ndarray,
+    *,
+    min_area: int | None = None,
+) -> tuple[list[tuple[int, list[tuple[int, int]]]], np.ndarray]:
+    """Label masks -> polygon outlines (reference masks2polygons,
+    segment.py:58-135): for every nonzero label with some foreground,
+    find the outer contour of each connected part, drop parts that are
+    both under ``min_area`` pixels and under 10% of the label's area,
+    sort parts in reading order, keep (simplified) polygons of ≥4
+    points. Returns (list of (label, polygon) tuples, new label array
+    renumbered by result index) — labels can split into multiple
+    polygons, exactly like the reference. Area = pixel count (the
+    reference uses cv2.contourArea; same order of magnitude, same
+    filtering intent)."""
+    from .image_ops import label_components
+
+    results: list[tuple[int, list[tuple[int, int]]]] = []
+    result_labels = np.zeros_like(bg_labels, dtype=bg_labels.dtype)
+    for label in np.unique(bg_labels):
+        if not label:
+            continue
+        bg_mask = bg_labels == label
+        if not np.count_nonzero(bg_mask & fg_bin):
+            continue  # skip labels with no foreground (reference :84-87)
+        parts, n_parts = label_components(bg_mask)
+        if n_parts == 0:
+            continue
+        areas = np.bincount(parts.ravel(), minlength=n_parts + 1)
+        total_area = int(areas[1:].sum())
+        if not total_area:
+            continue
+        # reading-order the parts by their bboxes (reference sorts
+        # contours with morph.reading_order, :105-110)
+        boxes = []
+        for p in range(1, n_parts + 1):
+            pys, pxs = np.nonzero(parts == p)
+            boxes.append((int(pys.min()), int(pys.max()) + 1, int(pxs.min()), int(pxs.max()) + 1))
+        order = reading_order(boxes) if len(boxes) > 1 else [0]
+        for bi in order:
+            p = bi + 1
+            area = int(areas[p])
+            if min_area and area < min_area and area / total_area < 0.1:
+                continue  # too small (reference :113-117)
+            poly = _compress_collinear(trace_outer_contour(parts == p))
+            if len(poly) < 4:
+                continue  # degenerate (reference :128-131)
+            results.append((int(label), poly))
+            result_labels[parts == p] = len(results)
+    return results, result_labels
+
+
 def _box_blur_1d(a: np.ndarray, size: int, axis: int) -> np.ndarray:
     """Centered box (uniform) filter along one axis via cumsum — O(n)
     vectorized, no scipy. Edge windows are clipped to the array (sum

@@ -240,7 +240,7 @@ def _assign_batch(batch: pa.Table, *, cent: np.ndarray, id_col: str, vec_col: st
     )
 
 
-def kmeans(ds, *, k: int = 8, n_iter: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"):
+def kmeans(ds, *, k: int = 8, n_iter: int = 8, tol: float = 1e-4, id_col: str = "vec_id", vec_col: str = "embedding"):
     """Distributed spherical k-means (cosine). Returns (assignments
     Dataset(id, cluster, centroid_sim), centroids (k, d)).
 
@@ -274,13 +274,71 @@ def kmeans(ds, *, k: int = 8, n_iter: int = 8, id_col: str = "vec_id", vec_col: 
         new = _normalize(new)
         shift = float(np.abs(new - cent).max())
         cent = new
-        if shift < 1e-9:  # converged — skip the remaining passes
+        # tol is a RUNTIME pin, not just a float guard: each Lloyd
+        # iteration is a full corpus pass, and centroids of separated
+        # data stop moving after 2-3 passes — waiting for 1e-9 paid
+        # ~n_iter passes on every run (q54's 2.5x bench spread)
+        if shift < tol:  # converged — skip the remaining passes
             break
     out = proj.map_batches(
         _p(_assign_batch, cent=cent, id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow",
     )
     return out, cent
+
+
+def semdedup_collapse(ds, *, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding", **pair_kwargs):
+    """Cluster-insensitive semantic-dup collapse — the oracle-checkable
+    member of the SemDeDup family. Rule: a row is dropped iff ANY
+    smaller-id row sits above the cosine threshold, and ``dup_of`` is
+    the SMALLEST such neighbor (not the greedy kept one) — no k-means
+    partition, so the result is independent of cluster layout and has
+    an exact SQL mirror (pairwise cosine self-join + min per node).
+
+    Distributed shape: threshold pairs from ``embedding_dup_pairs``
+    (broadcast ≤100k rows, centroid-bucketed above — the q34 path),
+    then ONE bucketed aggregate unions the pair-mins with the base id
+    set via a +inf sentinel: no join stage, ids move once.
+
+    Output: (id, keep:int32, dup_of:int64 — -1 for keepers).
+    """
+    from ..shuffle import bucketed_aggregate
+    from .dedup import embedding_dup_pairs
+
+    SENTINEL = np.int64(2**62)
+    pairs = embedding_dup_pairs(
+        ds, threshold=threshold, id_col=id_col, vec_col=vec_col, **pair_kwargs
+    )
+
+    def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df["id_b"].to_numpy().astype(np.int64),
+                "dup_of": df["id_a"].to_numpy().astype(np.int64),
+            }
+        )
+
+    def base_rows(t: pa.Table) -> pd.DataFrame:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({id_col: ids, "dup_of": np.full(len(ids), SENTINEL)})
+
+    unioned = pairs.map_batches(pair_rows, batch_format="pandas").union(
+        ds.select_columns([id_col]).map_batches(base_rows, batch_format="pyarrow")
+    )
+    agg = bucketed_aggregate(unioned, id_col, {"dup_of": ("dup_of", "min")}, combine=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["dup_of"].to_numpy().astype(np.int64)
+        keep = d == SENTINEL
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy().astype(np.int64),
+                "keep": keep.astype(np.int32),
+                "dup_of": np.where(keep, np.int64(-1), d),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
 
 
 def semdedup(ds, *, k: int = 8, n_iter: int = 8, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"):

@@ -238,7 +238,6 @@ def write_resumable(
     for pid in skip:
         skip_arr[pid] = True
 
-    import pandas as pd
     import pyarrow as pa
 
     def write_split(t):
@@ -253,16 +252,23 @@ def write_resumable(
         # file names must be DETERMINISTIC in the batch CONTENT: a Ray
         # task retry re-writes the same file instead of adding a
         # duplicate (uuid names would double the rows of a partition
-        # whose writer died after a partial write). String keys come
-        # back as an object array whose .tobytes() would serialize
-        # POINTERS (process-dependent!) — hash the actual key values.
+        # whose writer died after a partial write). The tag hashes the
+        # WHOLE batch (all columns, IPC bytes), not just the key values:
+        # with a non-unique key, two distinct batches can carry identical
+        # key sequences (e.g. >1 full batch of one doc_id's line rows)
+        # and a key-only tag would silently overwrite the first batch's
+        # file with the second's. Residual caveat (documented): batches
+        # byte-identical in their ENTIRETY coalesce to one file — add a
+        # row discriminator upstream if exact duplicate blocks must
+        # survive this sink.
         import hashlib
 
-        if ids.dtype == object:
-            payload = "\x00".join(map(str, ids)).encode()
-        else:
-            payload = np.ascontiguousarray(ids).tobytes()
-        batch_tag = hashlib.blake2b(payload, digest_size=16).hexdigest()
+        h = hashlib.blake2b(digest_size=16)
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        h.update(sink.getvalue())
+        batch_tag = h.hexdigest()
         out_pids, out_rows = [], []
         for p in np.unique(pid):
             if skip_arr[p]:
@@ -278,8 +284,7 @@ def write_resumable(
             {"pid": pa.array(out_pids, pa.int64()), "rows": pa.array(out_rows, pa.int64())}
         )
 
-    stats = ds.map_batches(write_split, batch_format="pyarrow").to_pandas()
-    per_pid = stats.groupby("pid")["rows"].sum() if len(stats) else pd.Series(dtype=np.int64)
+    ds.map_batches(write_split, batch_format="pyarrow").materialize()
     completed = 0
     rows_total = sum(int(done[p].get("rows", 0)) for p in skip)
     for pid, (lo, hi) in enumerate(partitions):
@@ -290,7 +295,10 @@ def write_resumable(
         nbytes = sum(
             os.path.getsize(os.path.join(tmp, f)) for f in os.listdir(tmp)
         )
-        rows = int(per_pid.get(pid, 0))
+        # count rows from the files actually on disk (parquet footers),
+        # not from writer-returned stats: the manifest must match disk
+        # truth even when a retried/coalesced batch wrote a file once
+        rows = sum(_parquet_rows(os.path.join(tmp, f)) for f in os.listdir(tmp))
         os.replace(tmp, final)
         commit_partition(
             out_dir,
