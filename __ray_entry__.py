@@ -1779,6 +1779,43 @@ def q75_glyph_spans(sf_dir: str):
     return rec.map_batches(explode, batch_format="pyarrow")
 
 
+def q77_word_polygons(sf_dir: str):
+    """Word Coords polygons from recognition: the reference attaches a
+    4-point bbox polygon (glyph extent x full line height) to every
+    Word element (ocrd_cis/ocropy/recognize.py:271-285
+    polygon_from_bbox). On the template grid these are exact
+    arithmetic — word w spanning chars [i, j) sits at
+    x ∈ [PAD_X + 8i, PAD_X + 8j), y ∈ [0, 28) — so a full value
+    oracle exists. One row per polygon vertex."""
+    from ocrd_cis_ray.stages.recognize import recognize_lines
+
+    rec = recognize_lines(_media_lines(sf_dir, max_chars=40), concurrency=2, batch_size=64)
+
+    def explode(t: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "word_no": [], "word": [], "vertex_no": [], "x": [], "y": []}
+        for did, ws in zip(t["doc_id"].to_pylist(), t["words"].to_pylist()):
+            for wn, wrec in enumerate(ws):
+                for vn, pt in enumerate(wrec["poly"]):
+                    out["doc_id"].append(did)
+                    out["word_no"].append(wn)
+                    out["word"].append(wrec["text"])
+                    out["vertex_no"].append(vn)
+                    out["x"].append(pt["x"])
+                    out["y"].append(pt["y"])
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "word_no": pa.array(out["word_no"], pa.int32()),
+                "word": pa.array(out["word"], pa.string()),
+                "vertex_no": pa.array(out["vertex_no"], pa.int32()),
+                "x": pa.array(out["x"], pa.int32()),
+                "y": pa.array(out["y"], pa.int32()),
+            }
+        )
+
+    return rec.map_batches(explode, batch_format="pyarrow")
+
+
 def q72_postcorrect(sf_dir: str):
     """OCR post-correction: corrupted tokens (e→c) against a lexicon
     built from the corpus vocabulary + a channel model — restored
@@ -1867,6 +1904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     a hash match and must not occupy window slots)."""
     return {
         # -- oracle-backed, highest verification priority ------------
+        "q77_word_polygons": q77_word_polygons,
         "q76_semdedup_pairs": q76_semdedup_pairs,
         "q75_glyph_spans": q75_glyph_spans,
         "q18_set_difference": q18_set_difference,
@@ -2861,6 +2899,35 @@ conn(node, reach) AS (
 comp AS (SELECT node, MIN(reach) AS cl FROM conn GROUP BY node)
 SELECT d.doc_id, d.n_chars FROM documents d
 WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> cl)
+""",
+        "q77_word_polygons": """
+WITH t AS (SELECT doc_id, rtrim(substring(text, 1, 40), ' ') AS s FROM documents),
+c AS (
+  SELECT doc_id, u.i AS i, substring(s, u.i, 1) AS ch
+  FROM t, UNNEST(generate_series(1, length(s))) AS u(i)
+),
+m AS (
+  SELECT doc_id, i, ch,
+         CASE WHEN ch <> ' ' AND COALESCE(lag(ch) OVER (PARTITION BY doc_id ORDER BY i), ' ') = ' '
+              THEN 1 ELSE 0 END AS is_start
+  FROM c
+),
+g AS (
+  SELECT doc_id, i, ch,
+         SUM(is_start) OVER (PARTITION BY doc_id ORDER BY i) AS wno
+  FROM m
+),
+w AS (
+  SELECT doc_id, CAST(wno - 1 AS INT) AS word_no,
+         string_agg(ch, '' ORDER BY i) AS word,
+         CAST(10 + 8 * (MIN(i) - 1) AS INT) AS x0,
+         CAST(10 + 8 * MAX(i) AS INT) AS x1
+  FROM g WHERE ch <> ' ' GROUP BY doc_id, wno
+)
+SELECT doc_id, word_no, word, CAST(v.vn AS INT) AS vertex_no,
+       CAST(CASE WHEN v.vn IN (0, 3) THEN x0 ELSE x1 END AS INT) AS x,
+       CAST(CASE WHEN v.vn IN (0, 1) THEN 0 ELSE 28 END AS INT) AS y
+FROM w, (VALUES (0), (1), (2), (3)) AS v(vn)
 """,
         "q76_semdedup_pairs": """
 WITH pairs AS (

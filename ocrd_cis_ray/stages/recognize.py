@@ -38,11 +38,26 @@ from ..sources.media import GLYPH_H, GLYPH_W, PAD_X, PAD_Y, _glyph, decode_gray
 CHARSET = [chr(c) for c in range(32, 127)]
 
 
+def _bbox_poly(x0, y0, x1, y1) -> list[dict]:
+    """4-point bbox polygon, reference polygon_from_bbox order
+    [[x0,y0],[x1,y0],[x1,y1],[x0,y1]] — the Coords the reference
+    attaches to every Word and Glyph (recognize.py:271-302: word bbox =
+    glyph-extent x full line height)."""
+    return [
+        {"x": int(x0), "y": int(y0)},
+        {"x": int(x1), "y": int(y0)},
+        {"x": int(x1), "y": int(y1)},
+        {"x": int(x0), "y": int(y1)},
+    ]
+
+
 class Recognizer:
     """Actor-pool stage: media line rows -> recognized text rows.
 
     Output columns: doc_id, span_id, text, conf:float32,
-    words: list<struct<text, conf:float32, x0:int32>>.
+    words: list<struct<text, conf:float32, x0:int32,
+    poly: list<struct<x:int32, y:int32>>>> — poly is the reference's
+    Word/Glyph Coords bbox polygon (recognize.py:271-302).
     """
 
     def __init__(self, *, min_conf: float = 0.0, model_path: str | None = None, emit_glyphs: bool = False):
@@ -70,9 +85,11 @@ class Recognizer:
         positions and (min+max)/2 word confidences — the reference's
         word assembly over clist/rlist/confidlist (recognize.py:237-265)."""
         text, confs, positions = self.seq.predict_line(img)
+        h = img.shape[0]
         glyphs = [
-            {"text": ch, "conf": np.float32(cf), "x0": np.int32(px)}
-            for ch, cf, px in zip(text, confs, positions)
+            {"text": ch, "conf": np.float32(cf), "x0": np.int32(px),
+             "poly": _bbox_poly(px, 0, positions[k + 1] if k + 1 < len(positions) else px + 1, h)}
+            for k, (ch, cf, px) in enumerate(zip(text, confs, positions))
         ]
         words = []
         i, n = 0, len(text)
@@ -86,7 +103,8 @@ class Recognizer:
             wconfs = confs[i:j]
             wconf = float((min(wconfs) + max(wconfs)) / 2.0) if wconfs else 0.0
             words.append(
-                {"text": text[i:j], "conf": np.float32(wconf), "x0": np.int32(positions[i])}
+                {"text": text[i:j], "conf": np.float32(wconf), "x0": np.int32(positions[i]),
+                 "poly": _bbox_poly(positions[i], 0, positions[j - 1] + 1, h)}
             )
             i = j
         line_conf = float(np.mean(confs)) if confs else 0.0
@@ -161,8 +179,12 @@ class Recognizer:
             else:
                 chars.append(CHARSET[int(best[i])])
         text = "".join(chars).rstrip()
+        # glyph poly = its grid cell x full line height; word poly =
+        # first-to-last glyph cell extent x full line height (reference
+        # recognize.py:271-302 bbox Coords, on the template grid)
         glyphs = [
-            {"text": text[i], "conf": np.float32(confs[i]), "x0": np.int32(x_base + i * GLYPH_W)}
+            {"text": text[i], "conf": np.float32(confs[i]), "x0": np.int32(x_base + i * GLYPH_W),
+             "poly": _bbox_poly(x_base + i * GLYPH_W, 0, x_base + (i + 1) * GLYPH_W, h)}
             for i in range(len(text))
         ]
         # word split with positions + (min+max)/2 confidences
@@ -179,7 +201,8 @@ class Recognizer:
             wconfs = confs[i:j]
             wconf = float((wconfs.min() + wconfs.max()) / 2.0) if len(wconfs) else 0.0
             words.append(
-                {"text": text[i:j], "conf": np.float32(wconf), "x0": np.int32(x_base + i * GLYPH_W)}
+                {"text": text[i:j], "conf": np.float32(wconf), "x0": np.int32(x_base + i * GLYPH_W),
+                 "poly": _bbox_poly(x_base + i * GLYPH_W, 0, x_base + j * GLYPH_W, h)}
             )
             i = j
         line_conf = float(confs[: max(1, n)].mean()) if n else 0.0
@@ -198,7 +221,11 @@ class Recognizer:
             confs.append(c)
             words_col.append(ws)
             glyphs_col.append(gs)
-        word_type = pa.struct([("text", pa.string()), ("conf", pa.float32()), ("x0", pa.int32())])
+        point_type = pa.struct([("x", pa.int32()), ("y", pa.int32())])
+        word_type = pa.struct(
+            [("text", pa.string()), ("conf", pa.float32()), ("x0", pa.int32()),
+             ("poly", pa.list_(point_type))]
+        )
         cols = {
             "doc_id": batch["doc_id"],  # preserve caller's id type
             "span_id": batch["span_id"],

@@ -726,7 +726,38 @@ def segment_page(
     return out
 
 
-def segment_pages_batch(batch: pa.Table, *, emit_regions: bool = False, **params) -> pa.Table:
+def line_polygon(img: np.ndarray, box: tuple[int, int, int, int], scale: int) -> list[tuple[int, int]]:
+    """Outline polygon of one line box's ink, absolute page coords.
+
+    The reference's line polygons come from masks2polygons over the
+    SPREAD line labels — contiguous per-line blobs, not raw glyph ink
+    (segment.py:58-135 applied at :486-520). The analog here: close the
+    box's ink horizontally (bridging inter-glyph and inter-word gaps,
+    like label spreading does) and trace the outer contour of the
+    resulting blob; reading-first polygon wins when the closing leaves
+    several parts."""
+    from .image_ops import r_closing
+
+    y0, y1, x0, x1 = box
+    fg = img[y0:y1, x0:x1] < 128
+    if not fg.any():
+        return []
+    closed = r_closing(fg, (1, _odd(4 * max(2, scale)))) | fg
+    labels = closed.astype(np.int32)  # single label: the line blob(s)
+    polys, _ = masks_to_polygons(labels, fg)
+    if not polys:
+        return []
+    return [(int(x + x0), int(y + y0)) for x, y in polys[0][1]]
+
+
+_POLY_TYPE = pa.list_(pa.struct([("x", pa.int32()), ("y", pa.int32())]))
+
+
+def polygon_to_arrow(poly: list[tuple[int, int]]) -> list[dict]:
+    return [{"x": int(x), "y": int(y)} for x, y in poly]
+
+
+def segment_pages_batch(batch: pa.Table, *, emit_regions: bool = False, emit_polygons: bool = False, **params) -> pa.Table:
     """Page-media rows -> line-media rows in reading order.
 
     Input: (doc_id, span_id, media_ref, features, pixels) page images.
@@ -735,6 +766,10 @@ def segment_pages_batch(batch: pa.Table, *, emit_regions: bool = False, **params
     ``emit_regions=True`` additionally groups the lines into text
     regions (lines_to_regions RXYC) and adds a ``region_no`` column —
     the reference's region level of the PAGE hierarchy.
+    ``emit_polygons=True`` adds a ``polygon: list<struct<x,y>>`` column
+    with each line's ink outline in absolute page coordinates (the
+    Coords element of the PAGE hierarchy, reference masks2polygons
+    segment.py:58-135).
     """
     out = {
         "doc_id": [],
@@ -748,6 +783,7 @@ def segment_pages_batch(batch: pa.Table, *, emit_regions: bool = False, **params
         "x0": [],
         "x1": [],
         "pixels": [],
+        "polygon": [],
     }
     ids = batch["doc_id"].to_pylist()
     spans = batch["span_id"].to_pylist()
@@ -761,6 +797,7 @@ def segment_pages_batch(batch: pa.Table, *, emit_regions: bool = False, **params
         except Exception:
             boxes = []  # log-and-skip (segment.py:486-493 fallback spirit)
         regions = lines_to_regions(boxes) if emit_regions and boxes else [0] * len(boxes)
+        scale = estimate_scale(img < 128) if (emit_polygons and boxes) else 0
         for ln, (y0, y1, x0, x1) in enumerate(boxes):
             out["doc_id"].append(did)
             out["span_id"].append(f"{sid}/line-{ln}")
@@ -773,6 +810,10 @@ def segment_pages_batch(batch: pa.Table, *, emit_regions: bool = False, **params
             out["x0"].append(x0)
             out["x1"].append(x1)
             out["pixels"].append(encode_gray(img[y0:y1, x0:x1]))
+            if emit_polygons:
+                out["polygon"].append(
+                    polygon_to_arrow(line_polygon(img, (y0, y1, x0, x1), scale))
+                )
     cols = {
         "doc_id": pa.array(out["doc_id"]),
         "span_id": pa.array(out["span_id"], pa.string()),
@@ -787,6 +828,8 @@ def segment_pages_batch(batch: pa.Table, *, emit_regions: bool = False, **params
     }
     if emit_regions:
         cols["region_no"] = pa.array(np.array(out["region_no"], np.int32))
+    if emit_polygons:
+        cols["polygon"] = pa.array(out["polygon"], _POLY_TYPE)
     return pa.table(cols)
 
 

@@ -222,3 +222,92 @@ def test_segment_pages_emit_regions(ray_session):
     assert [r["region_no"] for r in rows] == [0, 0, 1, 1]
     plain = segment_pages(ds).take_all()
     assert "region_no" not in plain[0]
+
+
+# ---------------------------------------------------------------------------
+# polygon outlines (masks2polygons semantics, reference segment.py:58-135)
+
+
+def test_trace_contour_rectangle_compresses_to_corners():
+    from ocrd_cis_ray.stages.segment import _compress_collinear, trace_outer_contour
+
+    m = np.zeros((10, 12), bool)
+    m[2:7, 3:9] = True
+    poly = _compress_collinear(trace_outer_contour(m))
+    # a filled rectangle's outline is exactly its 4 corners, clockwise
+    # from the topmost-leftmost pixel, as (x, y) points
+    assert poly == [(3, 2), (8, 2), (8, 6), (3, 6)]
+
+
+def test_trace_contour_l_shape():
+    from ocrd_cis_ray.stages.segment import _compress_collinear, trace_outer_contour
+
+    m = np.zeros((10, 10), bool)
+    m[1:8, 1:3] = True  # vertical bar
+    m[6:8, 1:8] = True  # horizontal foot -> L shape, 6 corners
+    poly = _compress_collinear(trace_outer_contour(m))
+    # 8-connected Moore tracing cuts the inner corner diagonally:
+    # (2,5) -> (3,6) instead of the right-angle (2,6)
+    assert poly == [(1, 1), (2, 1), (2, 5), (3, 6), (7, 6), (7, 7), (1, 7)]
+
+
+def test_masks_to_polygons_multi_part_and_filters():
+    from ocrd_cis_ray.stages.segment import masks_to_polygons
+
+    labels = np.zeros((12, 20), np.int32)
+    labels[2:6, 2:8] = 1    # label 1, part A (24 px)
+    labels[2:6, 12:18] = 1  # label 1, part B (24 px) -> right of A
+    labels[8:11, 2:6] = 2   # label 2
+    labels[8:9, 15:16] = 3  # label 3: single pixel -> <4 points, dropped
+    fg = labels > 0
+    polys, relab = masks_to_polygons(labels, fg)
+    assert [lab for lab, _ in polys] == [1, 1, 2]
+    # reading order: part A (left) before part B (right)
+    assert polys[0][1][0] == (2, 2) and polys[1][1][0] == (12, 2)
+    # result labels renumbered by emission index
+    assert relab[3, 3] == 1 and relab[3, 14] == 2 and relab[9, 3] == 3
+    assert relab[8, 15] == 0  # dropped part keeps no label
+    # min_area drops the small label-2 part when it is <10% of total
+    labels2 = np.zeros((30, 30), np.int32)
+    labels2[1:21, 1:21] = 1   # 400 px
+    labels2[25:27, 25:27] = 1  # 4 px, 1% of label total
+    polys2, _ = masks_to_polygons(labels2, labels2 > 0, min_area=10)
+    assert len(polys2) == 1
+
+
+def test_segment_pages_emit_polygons(ray_session):
+    import ray.data as rd
+
+    pg = stack_page(["word one", "second line"])
+    ds = rd.from_items(
+        [{"doc_id": "d1", "span_id": "page-0", "media_ref": "m", "features": "", "pixels": encode_gray(pg)}]
+    )
+    rows = segment_pages(ds, emit_polygons=True).take_all()
+    assert len(rows) == 2
+    for r in rows:
+        poly = r["polygon"]
+        assert len(poly) >= 4
+        xs = [p["x"] for p in poly]
+        ys = [p["y"] for p in poly]
+        # outline stays inside the line's box, absolute page coords
+        assert min(xs) >= r["x0"] and max(xs) < r["x1"]
+        assert min(ys) >= r["y0"] and max(ys) < r["y1"]
+    plain = segment_pages(ds).take_all()
+    assert "polygon" not in plain[0]
+
+
+def test_recognizer_word_polygons_grid():
+    rec = Recognizer()
+    img = render_line("ab cd")
+    text, conf, words, glyphs = rec.recognize_line(img)
+    assert text == "ab cd"
+    h = img.shape[0]
+    # word 'ab' spans chars [0,2) -> x in [10, 26); 'cd' chars [3,5) -> [34, 50)
+    assert words[0]["poly"] == [
+        {"x": 10, "y": 0}, {"x": 26, "y": 0}, {"x": 26, "y": h}, {"x": 10, "y": h}
+    ]
+    assert words[1]["poly"] == [
+        {"x": 34, "y": 0}, {"x": 50, "y": 0}, {"x": 50, "y": h}, {"x": 34, "y": h}
+    ]
+    # glyph poly = its grid cell
+    assert glyphs[3]["poly"][0] == {"x": 34, "y": 0} and glyphs[3]["poly"][1] == {"x": 42, "y": 0}
