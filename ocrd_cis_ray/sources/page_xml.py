@@ -136,3 +136,295 @@ def parse_page_xml_batch(batch: pa.Table) -> pa.Table:
             "spans": _build_spans(kinds, texts, media, offs),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# PAGE-XML export (the inverse writer): span rows -> PcGts trees +
+# METS registration. The reference serializes the mutated tree with
+# to_xml and registers it in the workspace METS per output file group
+# (ocrd_cis/ocropy/binarize.py:164-175, align/cli.py:44-55). Engine
+# analog: one {doc_id}.xml per document row, range-partitioned
+# directories committed through the per-partition manifest (resumable),
+# plus a mets.xml file group index.
+
+PAGE_NS = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+METS_NS = "http://www.loc.gov/METS/"
+XLINK_NS = "http://www.w3.org/1999/xlink"
+
+
+def _ref_id(media_ref: str, fallback: str) -> tuple[str, str]:
+    """media_ref 'image#id' -> (image, id); generated id when absent."""
+    if media_ref and "#" in media_ref:
+        image, _, rid = media_ref.partition("#")
+        return image, rid or fallback
+    return "", fallback
+
+
+def spans_to_page_xml(
+    doc_id: str,
+    spans: list[dict],
+    *,
+    image_filename: str | None = None,
+    line_alts: dict[int, list[tuple[str, float, str]]] | None = None,
+) -> bytes:
+    """Interleaved span rows -> serialized PcGts bytes (inverse of
+    ``parse_page_xml``; round-trip span-sequence-equal for page-xml-
+    sourced corpora).
+
+    Structure: region spans open TextRegion elements (ids recovered
+    from the ``image#id`` media_ref fragment when present), line spans
+    nest TextLine + TextEquiv/Unicode, word spans nest Word elements;
+    a ReadingOrder/OrderedGroup/RegionRefIndexed block pins the region
+    order. ``line_alts`` maps a line span's offset to support OCR
+    variants [(text, conf, source), ...] appended as TextEquiv
+    index=i+1, dataType='other', dataTypeDetails=
+    'ocrd-cis-line-alignment:<source>' — the reference's aligned
+    TextEquiv output semantics (align/cli.py:96-108)."""
+    ET.register_namespace("", PAGE_NS)
+    root = ET.Element(f"{{{PAGE_NS}}}PcGts")
+    image = image_filename
+    region_ids: list[str] = []
+    regions: list[tuple[ET.Element, dict]] = []
+    cur_region = None
+    cur_line = None
+    n_line = 0
+    for span in spans:
+        kind = span["kind"]
+        text = span.get("text") or ""
+        mref = span.get("media_ref") or ""
+        off = int(span.get("offset", len(region_ids)))
+        if kind == "region":
+            img, rid = _ref_id(mref, f"r{off:04d}")
+            if image is None and img:
+                image = img
+            cur_region = ET.Element(f"{{{PAGE_NS}}}TextRegion", {"id": rid})
+            cur_line = None
+            region_ids.append(rid)
+            regions.append((cur_region, {"text": text}))
+        elif kind == "line":
+            if cur_region is None:  # line without region: implicit region
+                cur_region = ET.Element(
+                    f"{{{PAGE_NS}}}TextRegion", {"id": f"r{off:04d}"}
+                )
+                region_ids.append(f"r{off:04d}")
+                regions.append((cur_region, {"text": text}))
+            img, lid = _ref_id(mref, f"l{off:04d}")
+            if image is None and img:
+                image = img
+            cur_line = ET.SubElement(cur_region, f"{{{PAGE_NS}}}TextLine", {"id": lid})
+            n_line += 1
+            alts = (line_alts or {}).get(off, [])
+            _add_text_equiv(cur_line, text, index=0 if alts else None)
+            for i, (alt_text, alt_conf, alt_source) in enumerate(alts):
+                te = _add_text_equiv(cur_line, alt_text, index=i + 1, conf=alt_conf)
+                te.set("dataType", "other")
+                te.set("dataTypeDetails", f"ocrd-cis-line-alignment:{alt_source}")
+        elif kind == "word":
+            if cur_line is None:
+                continue  # word without a line has no PAGE slot
+            w = ET.Element(f"{{{PAGE_NS}}}Word", {"id": f"w{off:04d}"})
+            _add_text_equiv(w, text)
+            # Words must precede the line's TextEquiv elements (PAGE
+            # schema order); insert before the first TextEquiv
+            tes = [i for i, ch in enumerate(cur_line) if ch.tag.endswith("TextEquiv")]
+            cur_line.insert(tes[0] if tes else len(cur_line), w)
+        # other span kinds (image/separator/table) have no text slot here
+    page = ET.SubElement(
+        root, f"{{{PAGE_NS}}}Page", {"imageFilename": image or f"{doc_id}.png"}
+    )
+    if len(region_ids) > 1:
+        ro = ET.SubElement(page, f"{{{PAGE_NS}}}ReadingOrder")
+        og = ET.SubElement(ro, f"{{{PAGE_NS}}}OrderedGroup", {"id": f"{doc_id}_order"})
+        for i, rid in enumerate(region_ids):
+            ET.SubElement(
+                og,
+                f"{{{PAGE_NS}}}RegionRefIndexed",
+                {"regionRef": rid, "index": str(i)},
+            )
+    for el, meta in regions:
+        page.append(el)
+        _add_text_equiv(el, meta["text"])  # region TextEquiv last (schema order)
+    return ET.tostring(root, encoding="utf-8", xml_declaration=True)
+
+
+def _add_text_equiv(el, text: str, *, index: int | None = None, conf: float | None = None):
+    attrs = {}
+    if index is not None:
+        attrs["index"] = str(index)
+    if conf is not None:
+        attrs["conf"] = f"{conf:.4f}"
+    te = ET.SubElement(el, f"{{{PAGE_NS}}}TextEquiv", attrs)
+    u = ET.SubElement(te, f"{{{PAGE_NS}}}Unicode")
+    u.text = text
+    return te
+
+
+def _write_mets(out_dir: str, file_group: str) -> int:
+    """Scan committed partition dirs and (re)write mets.xml registering
+    every page file under ``file_group`` — the workspace.add_file/METS
+    analog. Atomic (tmp + rename); idempotent on resume."""
+    ET.register_namespace("mets", METS_NS)
+    ET.register_namespace("xlink", XLINK_NS)
+    mets = ET.Element(f"{{{METS_NS}}}mets")
+    filesec = ET.SubElement(mets, f"{{{METS_NS}}}fileSec")
+    grp = ET.SubElement(filesec, f"{{{METS_NS}}}fileGrp", {"USE": file_group})
+    n = 0
+    for part in sorted(os.listdir(out_dir)):
+        if not part.startswith("part="):
+            continue
+        pdir = os.path.join(out_dir, part)
+        for name in sorted(os.listdir(pdir)):
+            if not name.endswith(".xml"):
+                continue
+            doc = os.path.splitext(name)[0]
+            f = ET.SubElement(
+                grp,
+                f"{{{METS_NS}}}file",
+                {"ID": f"{file_group}_{doc}", "MIMETYPE": "application/vnd.prima.page+xml"},
+            )
+            ET.SubElement(
+                f,
+                f"{{{METS_NS}}}FLocat",
+                {"LOCTYPE": "OTHER", f"{{{XLINK_NS}}}href": f"{part}/{name}"},
+            )
+            n += 1
+    tmp = os.path.join(out_dir, ".tmp-mets.xml")
+    ET.ElementTree(mets).write(tmp, encoding="utf-8", xml_declaration=True)
+    os.replace(tmp, os.path.join(out_dir, "mets.xml"))
+    return n
+
+
+def write_page_xml_corpus(
+    ds,
+    out_dir: str,
+    *,
+    file_group: str = "OCR-D-OUT",
+    n_partitions: int = 8,
+    input_fingerprint: str = "",
+    sample_limit: int = 200_000,
+) -> dict:
+    """Resumable PAGE-XML corpus sink: one ``{doc_id}.xml`` per
+    (doc_id, spans) row in range-partitioned ``part=NNNNN`` dirs, each
+    committed through the per-partition manifest (kill-safe: tmp dir +
+    rename + manifest row, the write_resumable protocol), then one
+    mets.xml registering the file group. File names are the doc_id —
+    unique by schema — so task retries overwrite their own output.
+
+    Returns {"completed": k, "skipped": s, "rows": n, "mets_files": m}.
+    """
+    import shutil
+    import uuid
+
+    import numpy as np
+
+    from ..state.manifest import (
+        commit_partition,
+        completed_partitions,
+        partition_dir,
+    )
+
+    ds = ds.materialize()
+    sample = (
+        ds.select_columns(["doc_id"])
+        .randomize_block_order(seed=42)
+        .limit(sample_limit)
+        .to_pandas()["doc_id"]
+        .sort_values()
+        .to_numpy()
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    if len(sample) == 0:
+        _write_mets(out_dir, file_group)
+        return {"completed": 0, "skipped": 0, "rows": 0, "mets_files": 0}
+    idx = [round(i * len(sample) / n_partitions) for i in range(1, n_partitions)]
+    bounds = sorted({str(sample[min(i, len(sample) - 1)]) for i in idx})
+    partitions: list[tuple] = []
+    prev = None
+    for b in bounds:
+        partitions.append((prev, b))
+        prev = b
+    partitions.append((prev, None))
+    n_parts = len(partitions)
+
+    for name in os.listdir(out_dir):
+        if name.startswith(".tmp-"):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+    done = completed_partitions(out_dir)
+    skip = {
+        pid
+        for pid, (lo, hi) in enumerate(partitions)
+        if (rec := done.get(pid)) is not None
+        and rec.get("input_fingerprint", "") == input_fingerprint
+        and rec.get("lo") == lo
+        and rec.get("hi") == hi
+    }
+    for pid in range(n_parts):
+        if pid in skip:
+            continue
+        if pid in done:
+            try:
+                os.remove(os.path.join(out_dir, "_manifest", f"{pid:05d}.json"))
+            except OSError:
+                pass
+        if os.path.isdir(partition_dir(out_dir, pid)):
+            shutil.rmtree(partition_dir(out_dir, pid))
+    token = uuid.uuid4().hex
+    for pid in range(n_parts):
+        if pid not in skip:
+            os.makedirs(os.path.join(out_dir, f".tmp-{token}-{pid:05d}"), exist_ok=True)
+    bounds_arr = np.asarray(bounds, dtype=object)
+    skip_arr = np.zeros(n_parts, dtype=bool)
+    for pid in skip:
+        skip_arr[pid] = True
+
+    def write_split(t: pa.Table) -> pa.Table:
+        ids = [str(d) for d in t["doc_id"].to_pylist()]
+        spans_col = t["spans"].to_pylist()
+        pid = np.searchsorted(bounds_arr, np.asarray(ids, dtype=object), side="right")
+        out_pid, out_rows = [], []
+        for i, (did, spans) in enumerate(zip(ids, spans_col)):
+            p = int(pid[i])
+            if skip_arr[p]:
+                continue
+            payload = spans_to_page_xml(did, spans)
+            fn = os.path.join(out_dir, f".tmp-{token}-{p:05d}", f"{did}.xml")
+            with open(fn, "wb") as f:
+                f.write(payload)
+            out_pid.append(p)
+            out_rows.append(1)
+        return pa.table(
+            {
+                "pid": pa.array(out_pid, pa.int64()),
+                "rows": pa.array(out_rows, pa.int64()),
+            }
+        )
+
+    ds.map_batches(write_split, batch_format="pyarrow").materialize()
+    completed = 0
+    rows_total = sum(int(done[p].get("rows", 0)) for p in skip)
+    for pid, (lo, hi) in enumerate(partitions):
+        if pid in skip:
+            continue
+        tmp = os.path.join(out_dir, f".tmp-{token}-{pid:05d}")
+        rows = len([f for f in os.listdir(tmp) if f.endswith(".xml")])
+        os.replace(tmp, partition_dir(out_dir, pid))
+        commit_partition(
+            out_dir,
+            pid,
+            {
+                "lo": lo,
+                "hi": hi,
+                "rows": rows,
+                "stage": f"page-xml:{file_group}",
+                "input_fingerprint": input_fingerprint,
+            },
+        )
+        completed += 1
+        rows_total += rows
+    mets_files = _write_mets(out_dir, file_group)
+    return {
+        "completed": completed,
+        "skipped": len(skip),
+        "rows": rows_total,
+        "mets_files": mets_files,
+    }

@@ -193,3 +193,95 @@ def test_page_xml_auto_dispatch_and_downstream(ray_session, page_xml_dir):
     assert len(docs) == 3
     tbl = pa.Table.from_pandas(docs[["doc_id", "spans"]])
     assert extract_spans_batch(tbl).num_rows == 3
+
+
+# ---------------------------------------------------------------------------
+# PAGE-XML export (inverse writer + METS registration,
+# reference binarize.py:164-175, align/cli.py:44-55)
+
+
+def _span_seq(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+def test_page_xml_round_trip(ray_session, page_xml_dir, tmp_path):
+    """golden PAGE-XML -> ingest -> export -> re-ingest is span-sequence
+    equal (kind, text, media_ref, order)."""
+    from ocrd_cis_ray.sources.page_xml import write_page_xml_corpus
+
+    docs = ingest_pages(page_xml_dir, format="page-xml")
+    out = str(tmp_path / "export")
+    stats = write_page_xml_corpus(docs, out, n_partitions=2)
+    assert stats["rows"] == 3 and stats["mets_files"] == 3
+
+    re_docs = (
+        ingest_pages(out, format="page-xml").to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    orig = (
+        ingest_pages(page_xml_dir, format="page-xml").to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(re_docs["doc_id"]) == list(orig["doc_id"])
+    for i in range(len(orig)):
+        assert _span_seq(re_docs["spans"][i]) == _span_seq(orig["spans"][i])
+
+    # mets.xml registers every page file in the group
+    import xml.etree.ElementTree as ET
+
+    mets = ET.parse(f"{out}/mets.xml").getroot()
+    grp = mets.find(".//{*}fileGrp")
+    assert grp.get("USE") == "OCR-D-OUT"
+    ids = sorted(f.get("ID") for f in grp.iterfind("{*}file"))
+    assert ids == ["OCR-D-OUT_p0000", "OCR-D-OUT_p0001", "OCR-D-OUT_p0002"]
+
+
+def test_page_xml_export_resume_skips_committed(ray_session, page_xml_dir, tmp_path):
+    """Kill-one-partition resume: a rerun skips committed partitions."""
+    import shutil
+
+    from ocrd_cis_ray.sources.page_xml import write_page_xml_corpus
+
+    docs = ingest_pages(page_xml_dir, format="page-xml")
+    out = str(tmp_path / "export")
+    first = write_page_xml_corpus(docs, out, n_partitions=2, input_fingerprint="v1")
+    assert first["completed"] == 2
+    # simulate a kill: destroy partition 1's output + manifest row
+    shutil.rmtree(f"{out}/part=00001")
+    import os
+
+    os.remove(f"{out}/_manifest/00001.json")
+    second = write_page_xml_corpus(docs, out, n_partitions=2, input_fingerprint="v1")
+    assert second["skipped"] == 1 and second["completed"] == 1
+    assert second["rows"] == 3 and second["mets_files"] == 3
+
+
+def test_spans_to_page_xml_indexed_text_equivs():
+    """Aligned support OCRs land as TextEquiv index=i+1 with
+    dataTypeDetails='ocrd-cis-line-alignment:SRC' (align/cli.py:96-108)."""
+    import xml.etree.ElementTree as ET
+
+    from ocrd_cis_ray.sources.page_xml import spans_to_page_xml
+
+    spans = [
+        {"kind": "region", "text": "hello world", "media_ref": "img.png#r1", "offset": 0},
+        {"kind": "line", "text": "hello world", "media_ref": "img.png#l1", "offset": 1},
+        {"kind": "word", "text": "hello", "media_ref": "", "offset": 2},
+        {"kind": "word", "text": "world", "media_ref": "", "offset": 3},
+    ]
+    payload = spans_to_page_xml(
+        "d1", spans, line_alts={1: [("hcllo world", 0.8, "OCR-2")]}
+    )
+    root = ET.fromstring(payload)
+    line = root.find(".//{*}TextLine")
+    tes = list(line.iterfind("{*}TextEquiv"))
+    assert len(tes) == 2
+    assert tes[0].get("index") == "0"
+    assert tes[1].get("index") == "1"
+    assert tes[1].get("conf") == "0.8000"
+    assert tes[1].get("dataType") == "other"
+    assert tes[1].get("dataTypeDetails") == "ocrd-cis-line-alignment:OCR-2"
+    assert tes[1].find("{*}Unicode").text == "hcllo world"
+    # words precede the TextEquivs in schema order
+    kids = [ch.tag.split("}")[1] for ch in line]
+    assert kids.index("Word") < kids.index("TextEquiv")
