@@ -468,6 +468,30 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
         wide.map_batches(to_pairs, batch_format="pyarrow"), sample_rate=0.25
     )
 
+    # learned re-ranker + decision maker over candidate features
+    # (rank/distance/frequency/peer agreement — the reference's
+    # profiler-free rrFeatures/dmFeatures subset, data/config.json:
+    # 15-215) trained on GT'd lines; train_ranker's model-selection
+    # gate falls back to the fixed vote unless the learned decision
+    # beats it on the training sample
+    from ..stages.postcorrect import train_ranker
+
+    def to_train(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"text": t["OCR-2"], "peer_text": t["OCR-1"], "gt_text": t["GT"]}
+        )
+
+    pool_max = max(concurrency, int(ray.cluster_resources().get("CPU", concurrency)))
+    # full-corpus examples: the per-actor triple cache makes extraction
+    # scale with DISTINCT (token, peer, gt) triples, not line count, and
+    # marginal hard examples are exactly what the decision maker needs
+    ranker = train_ranker(
+        wide.map_batches(to_train, batch_format="pyarrow"),
+        lexicon,
+        confusions,
+        sample_rate=1.0,
+    )
+
     # line-level correction inside the actor pool (cursor matcher + nOCR
     # peer vote per token; no token-level shuffle)
     def to_correct(t: pa.Table) -> pa.Table:
@@ -476,10 +500,10 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
              "peer_text": t["OCR-1"], "GT": t["GT"]}
         )
 
-    pool_max = max(concurrency, int(ray.cluster_resources().get("CPU", concurrency)))
     fixed = wide.map_batches(to_correct, batch_format="pyarrow").map_batches(
         LineCorrector,
         fn_constructor_args=(lexicon, confusions),
+        fn_constructor_kwargs={"ranker": ranker},
         batch_format="pyarrow",
         concurrency=(max(1, pool_max // 8), pool_max),
         batch_size=256,

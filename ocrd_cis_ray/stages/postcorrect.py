@@ -65,6 +65,8 @@ class PostCorrector:
         max_candidates: int = 10,
         max_dist: int = 2,
         accept_threshold: float = -math.inf,
+        ranker=None,
+        accept_prob: float = 0.5,
     ):
         self.lexicon = dict(lexicon)
         self.total = max(1, sum(self.lexicon.values()))
@@ -72,6 +74,10 @@ class PostCorrector:
         self.max_candidates = max_candidates
         self.max_dist = max_dist
         self.accept_threshold = accept_threshold
+        # learned re-ranker (train_ranker weights over RANKER_FEATURES);
+        # None = the fixed prior-score vote
+        self.ranker = np.asarray(ranker, np.float64) if ranker is not None else None
+        self.accept_prob = accept_prob
         # SymSpell-style index: delete-variant -> [lexicon words]
         self.index: dict[str, list[str]] = {}
         for w in self.lexicon:
@@ -119,9 +125,82 @@ class PostCorrector:
     # other aligned OCR engines outrank lexicon-only ones,
     # data/config.json rrFeatures/dmFeatures)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..util import lev_within
+    # learned-ranker feature vector per candidate — the profiler-free
+    # subset of the reference's rrFeatures (data/config.json:15-215):
+    # rank in the prior ordering, edit distance, dictionary frequency,
+    # channel-model score, peer (nOCR) agreement, length delta, bias —
+    # plus an explicit KEEP option (is_keep=1, the reference's decision-
+    # maker: runDM decides whether the top candidate is applied at all,
+    # postcorrect/cli.py:34-39). Argmax over candidates+keep replaces a
+    # probability threshold, which class imbalance would miscalibrate.
+    # Fixed divisors keep scales comparable WITHOUT data-dependent
+    # standardization (inference must reproduce training bit-for-bit).
+    RANKER_FEATURES = ("bias", "rank", "distance", "log_freq", "channel", "peer_agree", "len_delta", "is_keep")
 
+    def merged_candidates(self, key: str, peer_key: str) -> list[tuple[str, int, float]]:
+        """Prior-ranked candidates with the peer-vote merge — ONE
+        candidate list shared by ranking, training-example extraction
+        and the fixed vote, so the ranker scores exactly what inference
+        sees."""
+        from ..util import lev_within, levenshtein
+
+        cands = self.candidates(key)
+        if (
+            peer_key
+            and peer_key != key
+            and peer_key in self.lexicon
+            and lev_within(key, peer_key, self.max_dist + 1)
+        ):
+            d = levenshtein(key, peer_key)
+            score = self._score(key, peer_key, d) + self.VOTE_BONUS
+            cands = sorted(
+                [c for c in cands if c[0] != peer_key] + [(peer_key, d, score)],
+                key=lambda t: (-t[2], t[1], t[0]),
+            )[: self.max_candidates]
+        return cands
+
+    def cand_features(self, key: str, peer_key: str, cands: list[tuple[str, int, float]], *, include_keep: bool = False) -> np.ndarray:
+        """(n_cands [+1 keep row], |RANKER_FEATURES|) float64 features."""
+        n = len(cands) + (1 if include_keep else 0)
+        out = np.zeros((n, len(self.RANKER_FEATURES)), np.float64)
+        for r, (w, d, s) in enumerate(cands):
+            out[r] = (
+                1.0,
+                r / 10.0,
+                d / 4.0,
+                math.log(self.lexicon.get(w, 1) / self.total) / 20.0,
+                s / 40.0,
+                1.0 if w == peer_key else 0.0,
+                abs(len(w) - len(key)) / 4.0,
+                0.0,
+            )
+        if include_keep:
+            out[len(cands)] = (
+                1.0,
+                len(cands) / 10.0,
+                0.0,
+                math.log(self.lexicon.get(key, 1) / self.total) / 20.0,
+                0.0,
+                1.0 if key == peer_key else 0.0,
+                0.0,
+                1.0,
+            )
+        return out
+
+    def _choose(self, key: str, peer_key: str, cands: list[tuple[str, int, float]]) -> str:
+        """Pick the correction: learned ranker when trained (argmax
+        probability over candidates + the explicit keep option), else
+        the fixed prior-score vote above ``accept_threshold``."""
+        if not cands:
+            return key
+        if self.ranker is None:
+            return cands[0][0] if cands[0][2] >= self.accept_threshold else key
+        z = self.cand_features(key, peer_key, cands, include_keep=True) @ self.ranker
+        entries = [(w, d) for w, d, _ in cands] + [(key, 0)]
+        order = sorted(range(len(entries)), key=lambda i: (-z[i], entries[i][1], entries[i][0]))
+        return entries[order[0]][0]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         tokens = batch["token"].to_pylist()
         peers = batch["peer"].to_pylist() if "peer" in batch.column_names else [None] * len(tokens)
         cand_type = pa.struct(
@@ -143,33 +222,15 @@ class PostCorrector:
             if ck in cache:
                 sus, corr, cl = cache[ck]
             else:
-                cands = self.candidates(key)
                 # nOCR vote: the aligned token from another engine is a
                 # candidate with a vote bonus when it's a lexicon word
                 # within edit range of the suspicious token
-                if (
-                    peer_key
-                    and peer_key != key
-                    and peer_key in self.lexicon
-                    and lev_within(key, peer_key, self.max_dist + 1)
-                ):
-                    from ..util import levenshtein
-
-                    d = levenshtein(key, peer_key)
-                    score = self._score(key, peer_key, d) + self.VOTE_BONUS
-                    cands = sorted(
-                        [c for c in cands if c[0] != peer_key] + [(peer_key, d, score)],
-                        key=lambda t: (-t[2], t[1], t[0]),
-                    )[: self.max_candidates]
+                cands = self.merged_candidates(key, peer_key)
                 cl = [
                     {"suggestion": c, "distance": np.int32(d), "weight": np.float32(s)}
                     for c, d, s in cands
                 ]
-                if cands and cands[0][2] >= self.accept_threshold:
-                    corr = cands[0][0]
-                    sus = True
-                else:
-                    corr, sus = key, True
+                corr, sus = self._choose(key, peer_key, cands), True
                 cache[ck] = (sus, corr, cl)
             suspicious.append(sus)
             corrected.append(corr if corr else tok)
@@ -202,8 +263,6 @@ class PostCorrector:
         return " ".join(out)
 
     def _correct_token(self, tok: str, peer: str) -> str:
-        from ..util import lev_within, levenshtein
-
         key = clean_token(tok or "")
         if not key:
             return tok
@@ -216,20 +275,7 @@ class PostCorrector:
         hit = self._cache.get(ck)
         if hit is not None:
             return hit[1]
-        cands = self.candidates(key)
-        if (
-            peer_key
-            and peer_key != key
-            and peer_key in self.lexicon
-            and lev_within(key, peer_key, self.max_dist + 1)
-        ):
-            d = levenshtein(key, peer_key)
-            score = self._score(key, peer_key, d) + self.VOTE_BONUS
-            cands = sorted(
-                [c for c in cands if c[0] != peer_key] + [(peer_key, d, score)],
-                key=lambda t: (-t[2], t[1], t[0]),
-            )[: self.max_candidates]
-        corr = cands[0][0] if cands and cands[0][2] >= self.accept_threshold else key
+        corr = self._choose(key, peer_key, self.merged_candidates(key, peer_key))
         self._cache[ck] = (True, corr, None)
         return corr
 
@@ -320,6 +366,199 @@ def confusion_partials_batch(
             "n": pa.array([v for _, v in items], pa.int64()),
         }
     )
+
+
+class RankerExampleUDF(PostCorrector):
+    """Actor stage: (text, peer_text, gt_text) line rows -> per-candidate
+    (features, label) training rows for the learned ranker. Labels come
+    from the cursor-aligned GT token (the reference trains its
+    rank/decision models on GT-profiled candidates, aio/aio.py:617-627,
+    data/config.json rrFeatures)."""
+
+    def __init__(self, *args, sample_rate: float = 1.0, **kw):
+        super().__init__(*args, **kw)
+        self.sample_rate = sample_rate
+        self._example_cache: dict[tuple, tuple] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        from ..stages.align import match_cursor
+
+        texts = batch["text"].to_pylist()
+        peers = (
+            batch["peer_text"].to_pylist()
+            if "peer_text" in batch.column_names
+            else [""] * len(texts)
+        )
+        gts = batch["gt_text"].to_pylist()
+        if self.sample_rate < 1.0 and len(texts):
+            thr = int(self.sample_rate * (1 << 32))
+            h = pd.util.hash_array(
+                np.asarray([(t or "") for t in texts], dtype=object)
+            ) % (1 << 32)
+            keep = h < thr
+            texts = [t for t, k in zip(texts, keep) if k]
+            peers = [p for p, k in zip(peers, keep) if k]
+            gts = [g for g, k in zip(gts, keep) if k]
+        feats: list[np.ndarray] = []
+        labels: list[float] = []
+        tok_ids: list[int] = []
+        for text, peer, gt in zip(texts, peers, gts):
+            words = (text or "").split(" ") if text else []
+            if not words:
+                continue
+            ptoks = (peer or "").split(" ") if peer else []
+            gtoks = (gt or "").split(" ") if gt else []
+            matched = match_cursor(words, ptoks) if ptoks else None
+            gmatched = match_cursor(words, gtoks) if gtoks else None
+            if gmatched is None:
+                continue
+            for wn, w in enumerate(words):
+                key = clean_token(w or "")
+                if not key or key in self.lexicon:
+                    continue
+                gt_tok = clean_token(gtoks[gmatched[wn]] or "")
+                if not gt_tok:
+                    continue
+                peer_key = clean_token(ptoks[matched[wn]] or "") if matched is not None else ""
+                # triple cache: candidate generation + features are
+                # deterministic in (key, peer, gt), and OCR errors
+                # repeat — extraction cost scales with DISTINCT triples
+                # (the train_ranker driver dedups again anyway)
+                trip = (key, peer_key, gt_tok)
+                hit = self._example_cache.get(trip)
+                if hit is None:
+                    cands = self.merged_candidates(key, peer_key)
+                    if not cands:
+                        self._example_cache[trip] = ()
+                        continue
+                    F = self.cand_features(key, peer_key, cands, include_keep=True)
+                    lab = [1.0 if c[0] == gt_tok else 0.0 for c in cands]
+                    lab.append(1.0 if key == gt_tok else 0.0)  # keep row
+                    tok = int(
+                        pd.util.hash_array(
+                            np.asarray([f"{key}\x00{peer_key}\x00{gt_tok}"], dtype=object)
+                        )[0]
+                    )
+                    hit = (F, lab, tok)
+                    self._example_cache[trip] = hit
+                elif hit == ():
+                    continue
+                F, lab, tok = hit
+                feats.append(F)
+                labels.extend(lab)
+                tok_ids.extend([tok] * len(lab))
+        if feats:
+            X = np.concatenate(feats)
+        else:
+            X = np.zeros((0, len(self.RANKER_FEATURES)), np.float64)
+        cols = {f"f_{name}": pa.array(X[:, i]) for i, name in enumerate(self.RANKER_FEATURES)}
+        cols["label"] = pa.array(np.asarray(labels, np.float64))
+        cols["tok_id"] = pa.array(np.asarray(tok_ids, np.uint64))
+        return pa.table(cols)
+
+
+# worker-process-level single-slot cache for task-based extraction:
+# ranker example extraction runs as plain Ray Data TASKS (reusing the
+# session's prewarmed worker processes — late actor-pool spawns in a
+# crowded session cost seconds of ramp) with the PostCorrector state
+# broadcast ONCE via ray.put and rebuilt at most once per worker
+_EXTRACT_STATE: list = [None, None]  # [state_ref, udf]
+
+
+def _ranker_examples_batch(batch: pa.Table, state_ref) -> pa.Table:
+    import ray as _ray
+
+    if _EXTRACT_STATE[0] != state_ref:  # ObjectRef equality is by id
+        lexicon, confusions, sample_rate, pc_kwargs = _ray.get(state_ref)
+        _EXTRACT_STATE[0] = state_ref
+        _EXTRACT_STATE[1] = RankerExampleUDF(
+            lexicon, confusions, sample_rate=sample_rate, **pc_kwargs
+        )
+    return _EXTRACT_STATE[1](batch)
+
+
+def _fit_logistic(X: np.ndarray, y: np.ndarray, *, iters: int = 300, lr: float = 0.5, l2: float = 1e-3) -> np.ndarray:
+    """Full-batch logistic regression, fixed iterations, zero init —
+    bit-deterministic given (X, y) order."""
+    w = np.zeros(X.shape[1], np.float64)
+    n = max(1, len(y))
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-X @ w))
+        g = X.T @ (p - y) / n + l2 * w
+        w -= lr * g
+    return w
+
+
+def train_ranker(
+    lines_ds,
+    lexicon: dict[str, int],
+    confusions=None,
+    *,
+    sample_rate: float = 1.0,
+    concurrency: int = 4,
+    min_examples: int = 20,
+    **pc_kwargs,
+):
+    """Train the candidate re-ranker on GT'd line rows
+    (text, peer_text, gt_text): distributed feature extraction as plain
+    Ray Data tasks over the session's warm workers (PostCorrector state
+    — lexicon index + channel model — broadcast once via ray.put and
+    rebuilt at most once per worker process; ``concurrency`` is
+    accepted for API stability but tasks self-scale), bounded by a
+    deterministic content-hash line sample, then a driver-side logistic
+    fit over the (small, ≤ max_candidates rows per suspicious token)
+    example table.
+
+    Returns the weight vector for ``PostCorrector(ranker=...)``, or
+    None when examples are too few/degenerate OR when the learned
+    argmax decision does not beat the fixed top-candidate vote on the
+    training sample (model selection: never ship a ranker worse than
+    the rule it replaces). Examples are dedup-grouped by token triple
+    and lexsorted before fitting, so the weights are byte-stable across
+    block layouts."""
+    import ray
+    from functools import partial
+
+    # task-based extraction (no actor pool): state broadcast once,
+    # rebuilt at most once per (already-warm) worker process
+    state_ref = ray.put((lexicon, confusions, sample_rate, pc_kwargs))
+    ex = lines_ds.map_batches(
+        partial(_ranker_examples_batch, state_ref=state_ref),
+        batch_format="pyarrow",
+        batch_size=512,
+        num_cpus=0.5,
+    ).to_pandas()
+    if len(ex) < min_examples:
+        return None
+    # one example group per distinct (token, peer, gt) triple: repeated
+    # occurrences would both bias the fit and break layout determinism
+    ex = ex.sort_values([c for c in ex.columns]).drop_duplicates(
+        subset=["tok_id", "f_rank", "f_is_keep"], keep="first"
+    )
+    y = ex["label"].to_numpy(np.float64)
+    if y.min() == y.max():
+        return None  # single class: nothing to learn
+    tok = ex["tok_id"].to_numpy(np.uint64)
+    X = ex.drop(columns=["label", "tok_id"]).to_numpy(np.float64)
+    order = np.lexsort(tuple(X[:, i] for i in range(X.shape[1] - 1, -1, -1)) + (tok,))
+    X, y, tok = X[order], y[order], tok[order]
+    w = _fit_logistic(X, y)
+    # -- model selection on the training sample ------------------------
+    # fixed vote decision = the rank-0 candidate row; learned decision =
+    # argmax score within the token group (keep row included)
+    z = X @ w
+    df = pd.DataFrame(
+        {"tok": tok, "z": z, "y": y, "rank0": (X[:, 1] == 0.0) & (X[:, 7] == 0.0)}
+    )
+    fixed_ok = learned_ok = groups = 0
+    for _, g in df.groupby("tok", sort=False):
+        groups += 1
+        r0 = g[g["rank0"]]
+        fixed_ok += int(r0["y"].iloc[0]) if len(r0) else 0
+        learned_ok += int(g.loc[g["z"].idxmax(), "y"])
+    if groups == 0 or learned_ok <= fixed_ok:
+        return None
+    return w
 
 
 def learn_confusions(

@@ -143,6 +143,79 @@ def test_full_ocr_chain(ray_session):
     assert got["d1"] == "the quick brown fox"
 
 
+RANK_LEX = {
+    "smite": 50, "hello": 100, "world": 80, "crown": 40, "plane": 40,
+    "stone": 40, "grape": 40, "mouse": 40, "house": 40, "track": 40,
+    "bring": 40, "shine": 40, "feast": 40, "globe": 40,
+}
+# keep cases: OOV tokens both engines agree on (GT = the token itself);
+# the fixed vote mangles them into the nearest lexicon word
+_KEEP = ["smith", "hella", "worla", "crowd", "plant", "stony"]
+# error cases: the peer engine (and GT) name the right lexicon word
+_ERR = [
+    ("wxrld", "world"), ("hxllo", "hello"), ("crxwn", "crown"),
+    ("plxne", "plane"), ("stxne", "stone"), ("grxpe", "grape"),
+    ("mxuse", "mouse"), ("trxck", "track"), ("brxng", "bring"),
+    ("shxne", "shine"), ("fxast", "feast"), ("glxbe", "globe"),
+]
+
+
+def _ranker_lines():
+    rows = [{"text": t, "peer_text": t, "gt_text": t} for t in _KEEP]
+    rows += [{"text": t, "peer_text": gt, "gt_text": gt} for t, gt in _ERR]
+    return rows
+
+
+def test_train_ranker_learns_keep_decision(ray_session):
+    """The learned decision-maker (reference dmFeatures: runDM decides
+    whether the top candidate is applied, postcorrect/cli.py:34-39)
+    keeps agreed-on OOV tokens the fixed vote would mangle."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.postcorrect import train_ranker
+
+    w = train_ranker(rd.from_items(_ranker_lines()), RANK_LEX, concurrency=1)
+    assert w is not None
+
+    batch = pa.table(
+        {
+            "doc_id": ["d"] * 2, "line_no": pa.array([0, 0], pa.int32()),
+            "word_no": pa.array([0, 1], pa.int32()),
+            "token": ["smith", "wxrld"], "peer": ["smith", "world"],
+        }
+    )
+    fixed = PostCorrector(RANK_LEX)(batch)["corrected"].to_pylist()
+    learned = PostCorrector(RANK_LEX, ranker=w)(batch)["corrected"].to_pylist()
+    assert fixed == ["smite", "world"]  # fixed vote mangles the OOV keep
+    assert learned == ["smith", "world"]  # ranker keeps it, still corrects
+
+
+def test_train_ranker_deterministic(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.postcorrect import train_ranker
+
+    lines = _ranker_lines()
+    w1 = train_ranker(rd.from_items(lines), RANK_LEX, concurrency=1)
+    w2 = train_ranker(rd.from_items(list(reversed(lines))), RANK_LEX, concurrency=2)
+    assert np.array_equal(w1, w2)
+
+
+def test_train_ranker_gate_falls_back(ray_session):
+    """Model selection: too few examples, or a learned decision that
+    does not beat the fixed vote on the training sample, returns None
+    (the chain then keeps the fixed vote)."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.postcorrect import train_ranker
+
+    few = [{"text": "wxrld", "peer_text": "world", "gt_text": "world"}]
+    assert train_ranker(rd.from_items(few), RANK_LEX, concurrency=1) is None
+    # every GT is the rank-0 candidate -> fixed vote is already perfect
+    perfect = [{"text": t, "peer_text": gt, "gt_text": gt} for t, gt in _ERR]
+    assert train_ranker(rd.from_items(perfect), RANK_LEX, concurrency=1) is None
+
+
 def test_recognizer_glyph_spans():
     """emit_glyphs surfaces one glyph per character with grid positions
     and per-char confidences (reference recognize.py:267-302 Glyph
