@@ -162,6 +162,8 @@ def run_bench() -> dict:
         "q40_ann_topk",
         "q50_wer_global",
         "q51_cer_by_source",
+        "q78_eval_report",
+        "q79_error_types",
     ):
         fn = Q[name]
 

@@ -96,6 +96,129 @@ def cer_partials_batch(
     )
 
 
+def eval_report_partials(
+    batch: pa.Table, *, sources: tuple[str, ...], gt_col: str = "GT"
+) -> pa.Table:
+    """Per-block partial sums for the model-comparison eval report
+    (reference div/eval.py:166-207): per source — line count, GT char
+    mass, levenshtein char-error mass, GT word count, and full words
+    recognized (each GT word counted when it appears anywhere in the
+    prediction's word list, div/eval.py:183-207)."""
+    gt = batch[gt_col].to_pylist()
+    rows = {s: [0, 0, 0, 0, 0] for s in sources}  # lines, chars, errs, words, recognized
+    for src in sources:
+        pred = batch[src].to_pylist()
+        a = rows[src]
+        for g, p in zip(gt, pred):
+            g = g or ""
+            p = p or ""
+            a[0] += 1
+            a[1] += len(g)
+            a[2] += levenshtein(p, g)
+            gw = g.split(" ")
+            pw = set(p.split(" "))
+            a[3] += len(gw)
+            a[4] += sum(1 for w in gw if w in pw)
+    return pa.table(
+        {
+            "source": pa.array(list(sources), pa.string()),
+            "n_lines": pa.array([rows[s][0] for s in sources], pa.int64()),
+            "gt_chars": pa.array([rows[s][1] for s in sources], pa.int64()),
+            "char_errors": pa.array([rows[s][2] for s in sources], pa.int64()),
+            "gt_words": pa.array([rows[s][3] for s in sources], pa.int64()),
+            "words_recognized": pa.array([rows[s][4] for s in sources], pa.int64()),
+        }
+    )
+
+
+def eval_report(wide_ds, *, sources: tuple[str, ...] = ("OCR-1", "OCR-2"), gt_col: str = "GT") -> pd.DataFrame:
+    """Model-comparison eval report over aligned wide lines (one column
+    per source + GT): per source — n_lines, gt_chars, char_errors,
+    gt_words, words_recognized, accuracy = 1 - errors/chars. The Ray
+    restatement of the reference's div/eval.py report ('#token errors
+    made by models' / '#full words recognized' / '#accuracy achieved',
+    eval.py:226-296): partial sums per block, O(blocks × sources)
+    driver-side reduce — no row shuffle."""
+    from functools import partial
+
+    partials = wide_ds.map_batches(
+        partial(eval_report_partials, sources=sources, gt_col=gt_col),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = (
+        partials.groupby("source", as_index=False)[
+            ["n_lines", "gt_chars", "char_errors", "gt_words", "words_recognized"]
+        ]
+        .sum()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["accuracy"] = 1.0 - out["char_errors"].astype("float64") / out["gt_chars"]
+    return out
+
+
+def error_type_partials(
+    batch: pa.Table, *, sources: tuple[str, ...], gt_col: str = "GT"
+) -> pa.Table:
+    """Per-block confusion-class counts from the full DP alignment
+    backtrace (util.edit_ops, the reference's per-error-type breakdown
+    intent in div/eval.py): substitutions carry (gt_char, ocr_char),
+    deletions (gt_char, ''), insertions ('', ocr_char)."""
+    from collections import Counter
+
+    from ..util import edit_ops
+
+    gt = batch[gt_col].to_pylist()
+    counts: Counter = Counter()
+    for src in sources:
+        pred = batch[src].to_pylist()
+        for g, p in zip(gt, pred):
+            g = g or ""
+            p = p or ""
+            if g == p:
+                continue  # fast path: no error ops
+            _, pairs = edit_ops(g, p)
+            for gi, pi in pairs:
+                if gi is not None and pi is not None:
+                    if g[gi] != p[pi]:
+                        counts[(src, g[gi], p[pi])] += 1
+                elif pi is None:
+                    counts[(src, g[gi], "")] += 1
+                else:
+                    counts[(src, "", p[pi])] += 1
+    keys = sorted(counts)
+    return pa.table(
+        {
+            "source": pa.array([k[0] for k in keys], pa.string()),
+            "gt_char": pa.array([k[1] for k in keys], pa.string()),
+            "ocr_char": pa.array([k[2] for k in keys], pa.string()),
+            "n": pa.array([counts[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def error_type_counts(
+    wide_ds, *, sources: tuple[str, ...] = ("OCR-1", "OCR-2"), gt_col: str = "GT"
+) -> pd.DataFrame:
+    """Per-source per-confusion-class error counts (source, gt_char,
+    ocr_char, n) — substitution / insertion / deletion classes from the
+    real alignment backtrace. Partial Counters per block, then a
+    driver-side reduce over O(blocks × observed classes) rows (the
+    class alphabet is tiny vs the corpus)."""
+    from functools import partial
+
+    partials = wide_ds.map_batches(
+        partial(error_type_partials, sources=sources, gt_col=gt_col),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return (
+        partials.groupby(["source", "gt_char", "ocr_char"], as_index=False)["n"]
+        .sum()
+        .sort_values(["source", "gt_char", "ocr_char"])
+        .reset_index(drop=True)
+    )
+
+
 def cer_by_source(ds, *, source_col: str = "source", test_col: str = "text", gt_col: str = "gt_text"):
     """Per-source CER: Dataset of (source, char_errors, gt_chars,
     char_error_rate). Partial per batch → groupby(source).sum (tiny)."""

@@ -209,6 +209,46 @@ def test_cer_partials_formula():
     assert out.loc["s2", "char_errors"] == 1 and out.loc["s2", "gt_chars"] == 5
 
 
+def test_eval_report_partials_formula():
+    """div/eval.py semantics: char errors = levenshtein mass, words
+    recognized = GT-word membership in the prediction word list with GT
+    duplicates each counted (eval.py:183-207)."""
+    from ocrd_cis_ray.stages.metrics import eval_report_partials
+
+    b = pa.table(
+        {
+            "GT": ["the cat the", "dog runs"],
+            "OCR-1": ["thc cat thc", "dog rnns"],  # e->c style noise
+        }
+    )
+    out = eval_report_partials(b, sources=("OCR-1",)).to_pydict()
+    assert out["n_lines"] == [2]
+    assert out["gt_chars"] == [len("the cat the") + len("dog runs")]
+    assert out["char_errors"] == [2 + 1]
+    assert out["gt_words"] == [3 + 2]
+    # 'the' not in pred words (twice missed), 'cat' present, 'dog' present
+    assert out["words_recognized"] == [1 + 1]
+
+
+def test_error_type_counts_golden():
+    """Confusion-class counts from the real DP backtrace: substitution,
+    deletion and insertion classes each land in the right bucket."""
+    from ocrd_cis_ray.stages.metrics import error_type_partials
+
+    b = pa.table(
+        {
+            "GT": ["abc abc", "quit", "same"],
+            "OCR-1": ["xbc xbc", "uitz", "same"],  # a->x subs, q deleted, z inserted
+        }
+    )
+    out = error_type_partials(b, sources=("OCR-1",)).to_pandas()
+    got = {
+        (r.gt_char, r.ocr_char): r.n
+        for r in out.itertuples()
+    }
+    assert got == {("a", "x"): 2, ("q", ""): 1, ("", "z"): 1}
+
+
 # ---------------------------------------------------------------------------
 # dedup kernels
 
