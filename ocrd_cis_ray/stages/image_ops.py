@@ -483,6 +483,38 @@ def spread_labels(labels: np.ndarray, maxdist: int = 9999999) -> np.ndarray:
     return out
 
 
+def dist_labels(mask: np.ndarray) -> np.ndarray:
+    """Chessboard distance to the nearest background for pixels inside
+    ``mask`` — the depth transform the reference uses to flatten
+    overlapping line masks by depth (morph dist_labels in
+    resegment.py:254-259). Exact two-pass chamfer (full-row horizontal
+    relaxations subsume the W/E half-sweeps); every row op vectorized,
+    O(H) python iterations."""
+    h, w = mask.shape
+    big = np.int32(h + w + 2)
+    d = np.where(mask, big, 0).astype(np.int32)
+    xs = np.arange(w, dtype=np.int32)
+
+    def _hrelax(row: np.ndarray) -> np.ndarray:
+        # min over k<=x of row[k]+(x-k) = x + cummin(row-k), both directions
+        row = np.minimum(row, np.minimum.accumulate(row - xs) + xs)
+        rev = row[::-1]
+        return np.minimum(row, (np.minimum.accumulate(rev - xs) + xs)[::-1])
+
+    def _vrelax(cur: np.ndarray, adj: np.ndarray) -> np.ndarray:
+        m = adj.copy()
+        m[1:] = np.minimum(m[1:], adj[:-1])
+        m[:-1] = np.minimum(m[:-1], adj[1:])
+        return np.minimum(cur, m + 1)
+
+    d[0] = _hrelax(d[0])
+    for y in range(1, h):
+        d[y] = _hrelax(_vrelax(d[y], d[y - 1]))
+    for y in range(h - 2, -1, -1):
+        d[y] = _hrelax(_vrelax(d[y], d[y + 1]))
+    return d * mask
+
+
 def remove_separator_lines(img: np.ndarray, scale: int, *, min_len_scale: float = 10.0) -> tuple[np.ndarray, int]:
     """Remove long black rules (horizontal/vertical separators) before
     line finding (remove_hlines, common.py:512-519, and the vertical

@@ -903,3 +903,201 @@ def resegment_rows(ds, **params):
     return ds.map_batches(
         partial(resegment_rows_batch, **params), batch_format="pyarrow", batch_size=64
     )
+
+
+# ---------------------------------------------------------------------------
+# page-level resegment: baseline/ccomps-style line polygon recompute
+# (reference resegment.py:181-279 + spread_dist :416-467) — existing
+# (coarse, possibly shifted) line boxes compete for the page's connected
+# components by mask depth, winners are spread into the background, and
+# each line's coordinates are replaced by the contour hull of its spread
+# region when the fg/bg overlap with the old mask is sufficient.
+
+
+def _convex_hull(points: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Monotone-chain convex hull of (x, y) points, counter-clockwise —
+    the engine's join for multi-part line regions (the reference joins
+    assigned contours into one hull polygon, resegment.py:479-515)."""
+    pts = sorted(set(points))
+    if len(pts) <= 2:
+        return pts
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list[tuple[int, int]] = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[tuple[int, int]] = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return lower[:-1] + upper[:-1]
+
+
+def resegment_page(
+    img: np.ndarray,
+    boxes: list[tuple[int, int, int, int]],
+    *,
+    threshold: float = 0.9,
+    min_comp: int = 4,
+) -> list[tuple[bool, list[tuple[int, int]], tuple[int, int, int, int]]]:
+    """Recompute line polygons for existing (coarse) ``boxes`` against a
+    fresh component analysis of the page (the reference's `ccomps`
+    method, resegment.py:239-261 + spread_dist :416-467):
+
+    1. depth-flatten the overlapping line masks — per-line chessboard
+       distance transform, normalized so large lines do not displace
+       small ones, argmax wins (resegment.py:253-259);
+    2. propagate the flattened seeds to the foreground connected
+       components by majority overlap (spread_dist :423);
+    3. spread the labels into the background up to scale/2 (:425);
+    4. accept a line's new region only if it covers ≥ threshold/3 of
+       the old mask's area AND ≥ threshold of the old mask's
+       foreground; contour-hull it (:432-463), else keep the old box.
+
+    Returns one (accepted, polygon, (y0, y1, x0, x1)) per input box;
+    polygon vertices are absolute (x, y) page coordinates.
+    """
+    from .image_ops import dist_labels, label_components, propagate_labels_majority, spread_labels
+
+    h, w = img.shape
+    fg = img < 128
+    comps, n_comps = label_components(fg)
+    if n_comps:
+        # ignore the smallest components like punctuation (:422, and the
+        # size gate `counts > 15/zoom` in :247)
+        counts = np.bincount(comps.ravel(), minlength=n_comps + 1)
+        comps = comps * (counts > min_comp)[comps]
+    scale = estimate_scale(fg)
+
+    # depth-flattened seed labels over the (overlapping) old masks
+    depth = np.zeros((len(boxes) + 1, h, w), np.float32)
+    old_masks = []
+    for i, (y0, y1, x0, x1) in enumerate(boxes):
+        m = np.zeros((h, w), bool)
+        m[max(0, y0) : max(0, y1), max(0, x0) : max(0, x1)] = True
+        old_masks.append(m)
+        d = dist_labels(m).astype(np.float32)
+        peak = d.max()
+        if peak > 0:
+            depth[i + 1] = d * (255.0 / peak)
+    new_labels = np.argmax(depth, axis=0).astype(np.int32)
+
+    new_labels = propagate_labels_majority(comps > 0, new_labels)
+    new_labels = spread_labels(new_labels, maxdist=max(1, scale // 2))
+
+    out: list[tuple[bool, list[tuple[int, int]], tuple[int, int, int, int]]] = []
+    for i, (y0, y1, x0, x1) in enumerate(boxes):
+        old = old_masks[i]
+        box_poly = [(x0, y0), (x1 - 1, y0), (x1 - 1, y1 - 1), (x0, y1 - 1)]
+        new = new_labels == i + 1
+        n_old = int(np.count_nonzero(old))
+        if not n_old or np.array_equal(new, old):
+            out.append((False, box_poly, (y0, y1, x0, x1)))
+            continue
+        covers_bg = np.count_nonzero(new) / n_old
+        n_old_fg = int(np.count_nonzero(old & fg))
+        if covers_bg < threshold / 3 or not n_old_fg:
+            out.append((False, box_poly, (y0, y1, x0, x1)))
+            continue
+        covers_fg = np.count_nonzero(new & fg) / n_old_fg
+        if covers_fg < threshold:
+            out.append((False, box_poly, (y0, y1, x0, x1)))
+            continue
+        parts, n_parts = label_components(new)
+        pts: list[tuple[int, int]] = []
+        poly: list[tuple[int, int]] = []
+        if n_parts == 1:
+            poly = _compress_collinear(trace_outer_contour(new))
+        elif n_parts > 1:
+            for p in range(1, n_parts + 1):
+                pts.extend(trace_outer_contour(parts == p))
+            poly = _convex_hull(pts)
+        if len(poly) < 4:
+            out.append((False, box_poly, (y0, y1, x0, x1)))
+            continue
+        ys, xs2 = np.nonzero(new)
+        nb = (int(ys.min()), int(ys.max()) + 1, int(xs2.min()), int(xs2.max()) + 1)
+        out.append((True, poly, nb))
+    return out
+
+
+def resegment_pages_batch(batch: pa.Table, *, threshold: float = 0.9) -> pa.Table:
+    """Page rows + coarse line boxes -> line rows with recomputed
+    polygons. Input: (doc_id, span_id, media_ref, features, pixels)
+    page images plus a ``lines`` column (list<struct<y0,y1,x0,x1>> of
+    the existing segmentation). Output: one row per input line with
+    (accepted, polygon, tightened box, cropped payload); rejected lines
+    keep their original coordinates — the reference's 'not all existing
+    lines might have been resegmented' contract (resegment.py:80-96)."""
+    out: dict[str, list] = {
+        "doc_id": [], "span_id": [], "media_ref": [], "features": [],
+        "line_no": [], "accepted": [], "y0": [], "y1": [], "x0": [], "x1": [],
+        "pixels": [], "polygon": [],
+    }
+    from .image_ops import add_feature
+
+    ids = batch["doc_id"].to_pylist()
+    spans = batch["span_id"].to_pylist()
+    refs = batch["media_ref"].to_pylist()
+    feats = batch["features"].to_pylist()
+    pixels = batch["pixels"].to_pylist()
+    lines_col = batch["lines"].to_pylist()
+    for did, sid, ref, feat, buf, lines in zip(ids, spans, refs, feats, pixels, lines_col):
+        boxes = [(int(b["y0"]), int(b["y1"]), int(b["x0"]), int(b["x1"])) for b in (lines or [])]
+        if not boxes:
+            continue
+        try:
+            img = decode_gray(buf)
+            results = resegment_page(img, boxes, threshold=threshold)
+        except Exception:
+            results = [
+                (False, [(x0, y0), (x1 - 1, y0), (x1 - 1, y1 - 1), (x0, y1 - 1)], (y0, y1, x0, x1))
+                for (y0, y1, x0, x1) in boxes
+            ]
+            img = None
+        for ln, (acc, poly, (y0, y1, x0, x1)) in enumerate(results):
+            out["doc_id"].append(did)
+            out["span_id"].append(f"{sid}/line-{ln}")
+            out["media_ref"].append(f"{ref}#l{ln}")
+            out["features"].append(add_feature(feat, "resegmented") if acc else feat)
+            out["line_no"].append(ln)
+            out["accepted"].append(acc)
+            out["y0"].append(y0)
+            out["y1"].append(y1)
+            out["x0"].append(x0)
+            out["x1"].append(x1)
+            out["pixels"].append(
+                encode_gray(img[y0:y1, x0:x1]) if img is not None else b""
+            )
+            out["polygon"].append(polygon_to_arrow(poly))
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"]),
+            "span_id": pa.array(out["span_id"], pa.string()),
+            "media_ref": pa.array(out["media_ref"], pa.string()),
+            "features": pa.array(out["features"], pa.string()),
+            "line_no": pa.array(np.array(out["line_no"], np.int32)),
+            "accepted": pa.array(out["accepted"], pa.bool_()),
+            "y0": pa.array(np.array(out["y0"], np.int32)),
+            "y1": pa.array(np.array(out["y1"], np.int32)),
+            "x0": pa.array(np.array(out["x0"], np.int32)),
+            "x1": pa.array(np.array(out["x1"], np.int32)),
+            "pixels": pa.array(out["pixels"], pa.large_binary()),
+            "polygon": pa.array(out["polygon"], _POLY_TYPE),
+        }
+    )
+
+
+def resegment_pages(ds, **params):
+    """Page-level resegment as an actor-friendly batch stage (media
+    payloads: small batches, vectorized kernels inside)."""
+    from functools import partial
+
+    return ds.map_batches(
+        partial(resegment_pages_batch, **params), batch_format="pyarrow", batch_size=16
+    )

@@ -311,3 +311,102 @@ def test_recognizer_word_polygons_grid():
     ]
     # glyph poly = its grid cell
     assert glyphs[3]["poly"][0] == {"x": 34, "y": 0} and glyphs[3]["poly"][1] == {"x": 42, "y": 0}
+
+
+# ---------------------------------------------------------------------------
+# page-level resegment (reference resegment.py ccomps method)
+
+
+def test_dist_labels_matches_bruteforce():
+    from ocrd_cis_ray.stages.image_ops import dist_labels
+
+    rng = np.random.RandomState(3)
+    mask = rng.rand(18, 25) < 0.6
+    got = dist_labels(mask)
+    ys, xs = np.indices(mask.shape)
+    bg = np.argwhere(~mask)
+    for y in range(mask.shape[0]):
+        for x in range(mask.shape[1]):
+            if not mask[y, x]:
+                assert got[y, x] == 0
+                continue
+            want = np.max(np.abs(bg - [y, x]), axis=1).min() if len(bg) else mask.shape[0] + mask.shape[1] + 2
+            assert got[y, x] == want, (y, x, got[y, x], want)
+
+
+def test_resegment_page_recovers_shifted_boxes():
+    """Shifted coarse boxes snap back to the true line ink (the
+    reference's polygonalization of bad/coarse segmentation,
+    resegment.py:100-104): each accepted new region must cover its own
+    line's foreground and none of its neighbour's."""
+    from ocrd_cis_ray.stages.segment import resegment_page, segment_page
+
+    page = stack_page(["first line here", "second line", "third one"], gap=14)
+    true_boxes = segment_page(page)
+    assert len(true_boxes) == 3
+    # corrupt: shift each box DOWN by 6px (partially off its line)
+    coarse = [(y0 + 6, y1 + 6, x0, x1) for (y0, y1, x0, x1) in true_boxes]
+    results = resegment_page(page, coarse, threshold=0.8)
+    fg = page < 128
+    for (acc, poly, box), (ty0, ty1, tx0, tx1) in zip(results, true_boxes):
+        assert acc, "shifted line was not resegmented"
+        ny0, ny1, nx0, nx1 = box
+        # the new box covers the true line's ink rows again
+        assert ny0 <= ty0 + 1 and ny1 >= ty1 - 1
+        # and carries (nearly) all of the true line's foreground
+        m = np.zeros_like(fg)
+        m[ny0:ny1, nx0:nx1] = True
+        # ≥90%: tiny components (i-dots, punctuation) are gated out by
+        # min_comp and may sit beyond spread reach — same as the
+        # reference's `counts > 15/zoom` component filter
+        line_fg = int(fg[ty0:ty1, tx0:tx1].sum())
+        assert int((m & fg)[ty0:ty1, tx0:tx1].sum()) >= 0.9 * line_fg
+        assert len(poly) >= 4
+
+
+def test_resegment_page_keeps_unmatched_box():
+    """A coarse box over blank background fails the fg-coverage gate and
+    keeps its original coordinates (spread_dist threshold semantics,
+    resegment.py:437-448)."""
+    from ocrd_cis_ray.stages.segment import resegment_page
+
+    page = np.full((60, 120), 255, np.uint8)
+    img = render_line("hi")
+    page[10 : 10 + img.shape[0], 10 : 10 + img.shape[1]] = img
+    blank_box = (40, 55, 10, 110)
+    results = resegment_page(page, [blank_box], threshold=0.8)
+    acc, poly, box = results[0]
+    assert not acc
+    assert box == blank_box
+
+
+def test_resegment_pages_stage(ray_session):
+    """The Ray stage: page rows + coarse line boxes -> accepted line rows
+    with polygons; rejected lines keep their box."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.segment import resegment_pages, segment_page
+
+    page = stack_page(["alpha beta", "gamma delta"], gap=14)
+    true_boxes = segment_page(page)
+    coarse = [
+        {"y0": y0 + 5, "y1": y1 + 5, "x0": x0, "x1": x1} for (y0, y1, x0, x1) in true_boxes
+    ]
+    rows = [
+        {
+            "doc_id": "d0",
+            "span_id": "p0",
+            "media_ref": "m0",
+            "features": "binarized",
+            "pixels": encode_gray(page),
+            "lines": coarse,
+        }
+    ]
+    out = resegment_pages(rd.from_arrow(pa.Table.from_pylist(rows))).to_pandas()
+    assert len(out) == 2
+    assert out["accepted"].all()
+    assert (out["features"] == "binarized,resegmented").all()
+    # polygons are non-degenerate and in absolute page coords
+    for poly in out["polygon"]:
+        assert len(poly) >= 4
+        assert all(0 <= p["y"] < page.shape[0] and 0 <= p["x"] < page.shape[1] for p in poly)
