@@ -270,7 +270,11 @@ class DualChannelOCR:
     def __init__(self, *, seed: int = 42, model_path: str | None = None):
         from ..stages.recognize import Recognizer
 
-        self.rec = Recognizer(**({"model_path": model_path} if model_path else {}))
+        # text_only: the chain consumes line TEXT only — word/glyph
+        # polygon assembly is per-char Python dict churn it never reads
+        self.rec = Recognizer(
+            text_only=True, **({"model_path": model_path} if model_path else {})
+        )
         self.seed = seed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -405,9 +409,39 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
     confusion learning, and line correction all run row-locally over
     the materialized wide frame.
     """
+    import os
+    import time
     from functools import partial
 
     import ray
+
+    _t0 = [time.perf_counter()]
+    _trace = os.environ.get("GRAFT_CHAIN_TIMING")
+
+    def _mark(label: str) -> None:
+        if _trace:
+            now = time.perf_counter()
+            print(f"[chain] {label}: {now - _t0[0]:.2f}s", flush=True)
+            _t0[0] = now
+
+    # lexicon from the corpus vocabulary (the reference's language
+    # dict), built distributed + top-V truncated — never a full-corpus
+    # driver scan (textops.token_frequencies). Kicked off in a driver
+    # THREAD so its (text-only, ~2 s) Dataset job overlaps the
+    # media-heavy OCR phase — the two jobs share the Ray scheduler,
+    # the result is order-independent.
+    from concurrent.futures import ThreadPoolExecutor
+
+    import ray.data as rd
+
+    from ..stages.textops import token_frequencies
+
+    # build the Dataset on the MAIN thread (read_parquet's lazy fsspec
+    # import is not thread-safe in Ray 2.49); only the execution runs in
+    # the worker thread
+    _docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    _threads = ThreadPoolExecutor(max_workers=2)
+    lex_future = _threads.submit(lambda: token_frequencies(_docs, top_v=200_000).to_dict())
 
     # render pages ONCE and share across engine channels (pages are the
     # expensive media payload; the object store holds them for both);
@@ -418,6 +452,7 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
         pages, rb_stats = rebalance_pages(synth_pages(sf_dir))
     else:
         pages = synth_pages(sf_dir).materialize()
+    _mark("pages")
     pool_max_ocr = max(concurrency, int(ray.cluster_resources().get("CPU", concurrency)))
     ocr = pages.map_batches(
         DualChannelOCR,
@@ -432,25 +467,25 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
     # lets the all-to-all's backpressure throttle upstream concurrency
     # (measured 26.3s fused vs 13.5s + 5.3s split at 32 cpus)
     variants = ocr.union(gt).materialize()
+    _mark("ocr+variants")
     wide = wide_lines(variants).materialize()  # the chain's one shuffle
+    _mark("wide_pivot")
 
-    cer_raw = _cer_reduce(
-        wide.map_batches(
-            partial(_cer_partials_wide, pairs=[("OCR-1", "GT"), ("OCR-2", "GT")]),
-            batch_format="pyarrow",
-        ),
-        stage="raw",
+    # raw CER over the (materialized) wide frame runs in a thread too:
+    # it has no dependency on the correction path and overlaps the
+    # confusion/ranker training jobs below
+    cer_raw_future = _threads.submit(
+        lambda: _cer_reduce(
+            wide.map_batches(
+                partial(_cer_partials_wide, pairs=[("OCR-1", "GT"), ("OCR-2", "GT")]),
+                batch_format="pyarrow",
+            ),
+            stage="raw",
+        )
     )
 
-    # lexicon from the corpus vocabulary (the reference's language
-    # dict), built distributed + top-V truncated — never a full-corpus
-    # driver scan (textops.token_frequencies)
-    import ray.data as rd
-
-    from ..stages.textops import token_frequencies
-
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    lexicon = token_frequencies(docs, top_v=200_000).to_dict()
+    lexicon = lex_future.result()
+    _mark("lexicon")
 
     # channel model learned from OCR-2-vs-GT pairs — row-local over
     # wide, SAMPLE-BOUND: the confusion estimate saturates after a few
@@ -467,6 +502,7 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
     confusions = learn_confusions(
         wide.map_batches(to_pairs, batch_format="pyarrow"), sample_rate=0.25
     )
+    _mark("confusions")
 
     # learned re-ranker + decision maker over candidate features
     # (rank/distance/frequency/peer agreement — the reference's
@@ -491,6 +527,7 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
         confusions,
         sample_rate=1.0,
     )
+    _mark("train_ranker")
 
     # line-level correction inside the actor pool (cursor matcher + nOCR
     # peer vote per token; no token-level shuffle)
@@ -519,7 +556,10 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
         ),
         stage="postcorrected",
     )
+    _mark("correct+cer")
 
+    cer_raw = cer_raw_future.result()
+    _threads.shutdown(wait=False)
     out = pd.concat([cer_raw, cer_fixed], ignore_index=True)[
         ["stage", "source", "char_errors", "gt_chars", "char_error_rate"]
     ]

@@ -255,7 +255,13 @@ class PostCorrector:
         if not words:
             return text
         ptoks = peer_text.split(" ") if peer_text else []
-        matched = match_cursor(words, ptoks) if ptoks else None
+        # peer alignment only matters for suspicious (OOV) tokens — a
+        # line without any skips the cursor match entirely (exact same
+        # output: in-lexicon tokens never read the peer)
+        needs_peer = any(
+            (k := clean_token(w or "")) and k not in self.lexicon for w in words
+        )
+        matched = match_cursor(words, ptoks) if (ptoks and needs_peer) else None
         out = []
         for wn, w in enumerate(words):
             peer = ptoks[matched[wn]] if matched is not None else ""
@@ -406,14 +412,18 @@ class RankerExampleUDF(PostCorrector):
             words = (text or "").split(" ") if text else []
             if not words:
                 continue
+            keys = [clean_token(w or "") for w in words]
+            # lines with zero suspicious (OOV) tokens produce zero
+            # examples — skip BOTH cursor alignments for them
+            if not any(k and k not in self.lexicon for k in keys):
+                continue
             ptoks = (peer or "").split(" ") if peer else []
             gtoks = (gt or "").split(" ") if gt else []
             matched = match_cursor(words, ptoks) if ptoks else None
             gmatched = match_cursor(words, gtoks) if gtoks else None
             if gmatched is None:
                 continue
-            for wn, w in enumerate(words):
-                key = clean_token(w or "")
+            for wn, key in enumerate(keys):
                 if not key or key in self.lexicon:
                     continue
                 gt_tok = clean_token(gtoks[gmatched[wn]] or "")

@@ -60,7 +60,7 @@ class Recognizer:
     Word/Glyph Coords bbox polygon (recognize.py:271-302).
     """
 
-    def __init__(self, *, min_conf: float = 0.0, model_path: str | None = None, emit_glyphs: bool = False):
+    def __init__(self, *, min_conf: float = 0.0, model_path: str | None = None, emit_glyphs: bool = False, text_only: bool = False):
         # "model load" once per actor: either a pickled numpy BIDILSTM
         # (the reference's load_object + walk/postLoad path,
         # recognize.py:94-102) or the deterministic template bank
@@ -79,12 +79,19 @@ class Recognizer:
         self.tnorm = np.maximum(np.linalg.norm(self.templates, axis=1), 1e-9)
         self.min_conf = min_conf
         self.emit_glyphs = emit_glyphs
+        # text_only: skip word/glyph (and polygon) assembly — the OCR
+        # chain consumes only the line text; per-char dict building is
+        # pure overhead there (measured ~+15% chain wall at sf0.1)
+        self.text_only = text_only
 
     def recognize_line_lstm(self, img: np.ndarray) -> tuple[str, float, list[dict]]:
         """BIDILSTM + CTC path: predict, then split into words with
         positions and (min+max)/2 word confidences — the reference's
         word assembly over clist/rlist/confidlist (recognize.py:237-265)."""
         text, confs, positions = self.seq.predict_line(img)
+        if self.text_only:
+            line_conf = float(np.mean(confs)) if confs else 0.0
+            return text.strip(), line_conf, [], []
         h = img.shape[0]
         glyphs = [
             {"text": ch, "conf": np.float32(cf), "x0": np.int32(px),
@@ -179,6 +186,10 @@ class Recognizer:
             else:
                 chars.append(CHARSET[int(best[i])])
         text = "".join(chars).rstrip()
+        if self.text_only:
+            n = len(text)
+            line_conf = float(confs[: max(1, n)].mean()) if n else 0.0
+            return text, line_conf, [], []
         # glyph poly = its grid cell x full line height; word poly =
         # first-to-last glyph cell extent x full line height (reference
         # recognize.py:271-302 bbox Coords, on the template grid)
@@ -221,20 +232,21 @@ class Recognizer:
             confs.append(c)
             words_col.append(ws)
             glyphs_col.append(gs)
-        point_type = pa.struct([("x", pa.int32()), ("y", pa.int32())])
-        word_type = pa.struct(
-            [("text", pa.string()), ("conf", pa.float32()), ("x0", pa.int32()),
-             ("poly", pa.list_(point_type))]
-        )
         cols = {
             "doc_id": batch["doc_id"],  # preserve caller's id type
             "span_id": batch["span_id"],
             "text": pa.array(texts, pa.string()),
             "conf": pa.array(np.array(confs, dtype=np.float32)),
-            "words": pa.array(words_col, pa.list_(word_type)),
         }
-        if self.emit_glyphs:
-            cols["glyphs"] = pa.array(glyphs_col, pa.list_(word_type))
+        if not self.text_only:
+            point_type = pa.struct([("x", pa.int32()), ("y", pa.int32())])
+            word_type = pa.struct(
+                [("text", pa.string()), ("conf", pa.float32()), ("x0", pa.int32()),
+                 ("poly", pa.list_(point_type))]
+            )
+            cols["words"] = pa.array(words_col, pa.list_(word_type))
+            if self.emit_glyphs:
+                cols["glyphs"] = pa.array(glyphs_col, pa.list_(word_type))
         return pa.table(cols)
 
 
