@@ -64,7 +64,11 @@ def synth_pages(sf_dir: str, *, n_blocks: int | None = None):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     if n_blocks is None:
-        n_blocks = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        # 6x CPU: the fused OCR stage is CPU-bound at ~15 ms/page, so
+        # finer blocks cost nothing in overhead but remove the 2-wave
+        # straggler tail on the actor pool (measured 11.8 s @ 2xCPU ->
+        # 9.9 s @ 6xCPU for the OCR stage at sf0.1/32 cpus)
+        n_blocks = max(16, 6 * int(ray.cluster_resources().get("CPU", 8)))
     ds = ds.repartition(n_blocks)
 
     def render(t: pa.Table) -> pa.Table:
