@@ -653,7 +653,14 @@ def segment_page(
             remove_separators=remove_separators,
             fullpage=fullpage,
         )
-    binary = binarize_global(img)
+    # already-binary input (the chain binarizes upstream) skips the
+    # redundant Otsu pass — thresholding a {0,255} image at any Otsu
+    # threshold in (0,255) returns it unchanged (inverted first when
+    # mostly dark, mirroring binarize_global's inversion check), exact
+    if img.dtype == np.uint8 and bool(((img == 0) | (img == 255)).all()):
+        binary = img if img.mean() >= 127.5 else (255 - img)
+    else:
+        binary = binarize_global(img)
     if remove_separators:
         # paint out long black rules (column dividers / hrules) so the
         # whitespace-gap cuts can see through them (remove_hlines +
