@@ -7,14 +7,16 @@ OCR engine recognize → align → profile/post-correct → stats):
       → preprocessing (binarize → despeckle)          [stateless tasks]
       → line segmentation (recursive XY cut)          [stateless tasks]
       → line recognition                              [actor pool]
-      → n-way alignment of OCR sources + GT           [bucketed shuffle]
+      → n-way join of OCR sources + GT                [page-local]
       → per-source CER                                 [partial+reduce]
       → post-correction of the worst source            [actor pool]
       → CER after correction                           [partial+reduce]
 
-Everything is one lazy Dataset flow per OCR source, union-ed into the
-alignment shuffle. GT lines are derived from the same deterministic
-page layout, so CER-before/after has exact goldens.
+Both engine channels run fused in ONE actor pool and the per-line
+source join happens page-locally inside the actor (the GT text rides
+on the page row), so the chain moves media exactly once (render →
+actors) and text never shuffles. GT lines are derived from the same
+deterministic page layout, so CER-before/after has exact goldens.
 """
 
 from __future__ import annotations
@@ -50,15 +52,20 @@ def compose_page(lines: list[str], *, gap: int = 6, pad: int = 12) -> np.ndarray
     return np.vstack(rows)
 
 
-def synth_pages(sf_dir: str, *, n_blocks: int | None = None):
+def synth_pages(sf_dir: str, *, n_blocks: int | None = None, carry_text: bool = False):
     """documents → page-image media rows (doc_id, span_id, media_ref,
-    features, pixels).
+    features, pixels[, text]).
 
     The text-only input is repartitioned BEFORE the media render: a
     single-file parquet read is one task, so without this the rendered
     media lands in a handful of giant blocks and every downstream map
     stage is starved of parallelism. The exchange moves only (doc_id,
-    text) rows — cheap — and buys N balanced media blocks."""
+    text) rows — cheap — and buys N balanced media blocks.
+
+    ``carry_text=True`` keeps the source text on the page row so a
+    downstream stage can derive the GT lines page-locally (the chain's
+    zero-shuffle wide path) — the text is small next to the pixels and
+    rides along for free."""
     import ray
     import ray.data as rd
 
@@ -73,22 +80,24 @@ def synth_pages(sf_dir: str, *, n_blocks: int | None = None):
 
     def render(t: pa.Table) -> pa.Table:
         out = {"doc_id": [], "span_id": [], "media_ref": [], "features": [], "pixels": []}
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        texts = t["text"].to_pylist()
+        for did, text in zip(t["doc_id"].to_pylist(), texts):
             img = compose_page(page_lines(text))
             out["doc_id"].append(str(did))
             out["span_id"].append("page-0")
             out["media_ref"].append(f"media/{did}/page-0.bin")
             out["features"].append("")
             out["pixels"].append(encode_gray(img))
-        return pa.table(
-            {
-                "doc_id": pa.array(out["doc_id"], pa.string()),
-                "span_id": pa.array(out["span_id"], pa.string()),
-                "media_ref": pa.array(out["media_ref"], pa.string()),
-                "features": pa.array(out["features"], pa.string()),
-                "pixels": pa.array(out["pixels"], pa.large_binary()),
-            }
-        )
+        cols = {
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "span_id": pa.array(out["span_id"], pa.string()),
+            "media_ref": pa.array(out["media_ref"], pa.string()),
+            "features": pa.array(out["features"], pa.string()),
+            "pixels": pa.array(out["pixels"], pa.large_binary()),
+        }
+        if carry_text:
+            cols["text"] = pa.array([s or "" for s in texts], pa.string())
+        return pa.table(cols)
 
     return ds.map_batches(render, batch_format="pyarrow")
 
@@ -271,7 +280,7 @@ class DualChannelOCR:
     full of workers). Recognition state (template bank / LSTM) loads
     once per actor, shared by both channels."""
 
-    def __init__(self, *, seed: int = 42, model_path: str | None = None):
+    def __init__(self, *, seed: int = 42, model_path: str | None = None, emit_wide: bool = False):
         from ..stages.recognize import Recognizer
 
         # text_only: the chain consumes line TEXT only — word/glyph
@@ -280,18 +289,26 @@ class DualChannelOCR:
             text_only=True, **({"model_path": model_path} if model_path else {})
         )
         self.seed = seed
+        self.emit_wide = emit_wide
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _channel_lines(self, batch: pa.Table):
+        """Run every engine channel over the (media-only) page batch;
+        yields (source, recognizer output table)."""
         from ..stages.image_ops import _media_stage
         from ..stages.segment import segment_pages_batch
 
-        outs = []
         for source, noise, erode, conf in _CHANNEL_CONFIGS:
             t = degrade_batch(batch, source=source, noise=noise, erode=erode, seed=self.seed)
             t = _media_stage(t, op="binarize", params={"method": "global"})
             t = _media_stage(t, op="denoise", params={"minsize": 2})
             t = segment_pages_batch(t)
-            r = self.rec(t)
+            yield source, conf, self.rec(t)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.emit_wide:
+            return self._call_wide(batch)
+        outs = []
+        for source, conf, r in self._channel_lines(batch):
             line_no = pa.array(
                 [int(s.rsplit("-", 1)[-1]) for s in r["span_id"].to_pylist()],
                 pa.int32(),
@@ -309,6 +326,52 @@ class DualChannelOCR:
                 )
             )
         return pa.concat_tables(outs)
+
+    def _call_wide(self, batch: pa.Table) -> pa.Table:
+        """Zero-shuffle wide path: the page row carries its source text
+        (synth_pages carry_text=True), the GT lines derive from it with
+        the SAME page_lines layout that rendered the page, and both OCR
+        channels run in this actor — so the (doc_id, line_no) join that
+        the long path pays a bucketed exchange for is a page-LOCAL dict
+        merge here. Emits one row per (doc_id, line_no) with one text
+        column per source, exactly the frame wide_lines would pivot to:
+        the union of GT and recognized line numbers, absent cells "".
+        """
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        media = batch.drop_columns(["text"])
+
+        chan_maps: dict[str, dict[str, dict[int, str]]] = {}
+        for source, _conf, r in self._channel_lines(media):
+            per_doc: dict[str, dict[int, str]] = {}
+            for did, sid, tx in zip(
+                r["doc_id"].to_pylist(), r["span_id"].to_pylist(), r["text"].to_pylist()
+            ):
+                per_doc.setdefault(did, {})[int(sid.rsplit("-", 1)[-1])] = tx
+            chan_maps[source] = per_doc
+
+        srcs = [c[0] for c in _CHANNEL_CONFIGS]
+        out: dict[str, list] = {"doc_id": [], "line_no": [], **{s: [] for s in srcs}, "GT": []}
+        for did, text in zip(doc_ids, texts):
+            gl = page_lines(text)
+            per_src = [chan_maps[s].get(did, {}) for s in srcs]
+            lns = set(range(len(gl)))
+            for m in per_src:
+                lns.update(m.keys())
+            for ln in sorted(lns):
+                out["doc_id"].append(did)
+                out["line_no"].append(ln)
+                out["GT"].append(gl[ln] if ln < len(gl) else "")
+                for s, m in zip(srcs, per_src):
+                    out[s].append(m.get(ln, ""))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "line_no": pa.array(out["line_no"], pa.int32()),
+                **{s: pa.array(out[s], pa.string()) for s in srcs},
+                "GT": pa.array(out["GT"], pa.string()),
+            }
+        )
 
 
 
@@ -409,9 +472,13 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
     'raw' row per OCR source and one 'postcorrected' row for OCR-2
     (the noisier engine — the reference corrects the aligned master).
 
-    Shuffle budget: ONE bucketed exchange (the wide pivot). CER,
-    confusion learning, and line correction all run row-locally over
-    the materialized wide frame.
+    Shuffle budget: ZERO media-or-line exchanges. The page row carries
+    its GT text, both OCR channels run fused per actor, and the wide
+    (doc_id, line_no) frame is assembled page-locally inside the OCR
+    actor (DualChannelOCR emit_wide). CER, confusion learning, and
+    line correction all run row-locally over the materialized wide
+    frame. (The gated rebalance pays one media exchange ONLY when the
+    realized block-byte spread exceeds its threshold.)
     """
     import os
     import time
@@ -453,27 +520,27 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
     # fan-out sees equal-byte blocks even under media-size skew
     rb_stats = None
     if rebalance:
-        pages, rb_stats = rebalance_pages(synth_pages(sf_dir))
+        pages, rb_stats = rebalance_pages(synth_pages(sf_dir, carry_text=True))
     else:
-        pages = synth_pages(sf_dir).materialize()
+        pages = synth_pages(sf_dir, carry_text=True).materialize()
     _mark("pages")
     pool_max_ocr = max(concurrency, int(ray.cluster_resources().get("CPU", concurrency)))
-    ocr = pages.map_batches(
+    # ZERO-shuffle wide frame: the page row carries its GT text, both
+    # OCR channels run fused in one actor, and the (doc_id, line_no)
+    # source join happens page-locally inside the actor — the bucketed
+    # wide_lines pivot this chain used to pay (~7 s of pure exchange at
+    # sf0.1/32cpus: the pivot compute is negligible, the all-to-all is
+    # not) is gone. wide_lines stays for consumers that genuinely hold
+    # long-form variant rows (q50–q52, align eval).
+    wide = pages.map_batches(
         DualChannelOCR,
+        fn_constructor_kwargs={"emit_wide": True},
         batch_format="pyarrow",
         batch_size=8,
         concurrency=(max(1, pool_max_ocr // 2), pool_max_ocr),
         num_cpus=1,
-    )
-    gt = gt_lines(sf_dir)
-    # materialize the (small, text-only) variant rows BEFORE the pivot:
-    # feeding the sort-based shuffle directly from the heavy media maps
-    # lets the all-to-all's backpressure throttle upstream concurrency
-    # (measured 26.3s fused vs 13.5s + 5.3s split at 32 cpus)
-    variants = ocr.union(gt).materialize()
-    _mark("ocr+variants")
-    wide = wide_lines(variants).materialize()  # the chain's one shuffle
-    _mark("wide_pivot")
+    ).materialize()
+    _mark("ocr_wide")
 
     # raw CER over the (materialized) wide frame runs in a thread too:
     # it has no dependency on the correction path and overlaps the
