@@ -1475,9 +1475,18 @@ def q74_lstm_recognize(sf_dir: str):
 def _eval_variant_lines(sf_dir: str):
     """Variant lines with richer SQL-expressible corruptions for the
     eval-report queries: OCR-1 = two substitution classes (e→c, o→0),
-    OCR-2 = substitution + deletion (t→l, q removed). The engine runs
+    OCR-2 = two deletion classes (q and a removed). The engine runs
     the REAL alignment (edit_ops DP backtrace) — the oracle exploits
-    the known corruption structure to recompute the counts in SQL."""
+    the known corruption structure to recompute the counts in SQL.
+
+    Each source is substitution-only or deletion-only ON PURPOSE: a
+    deletion adjacent to a substitution in the SAME source is cost-
+    ambiguous in the DP (delete x / sub y→z vs sub x→z / delete y are
+    both minimal), so per-class counts would depend on the backtrace
+    tie-break and the oracle could not recompute them structurally.
+    Substitution-only (with output chars disjoint from input chars)
+    and deletion-only corruptions have a UNIQUE minimal class
+    attribution, so any correct aligner matches the SQL."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
@@ -1490,7 +1499,7 @@ def _eval_variant_lines(sf_dir: str):
             for ln, lt in enumerate(lines):
                 for src, variant, conf in (
                     ("OCR-1", lt.replace("e", "c").replace("o", "0"), 0.8),
-                    ("OCR-2", lt.replace("t", "l").replace("q", ""), 0.7),
+                    ("OCR-2", lt.replace("q", "").replace("a", ""), 0.7),
                     ("GT", lt, 1.0),
                 ):
                     out["doc_id"].append(did)
@@ -3072,7 +3081,7 @@ FROM t, UNNEST(generate_series(1, length(s))) AS u(i)
 , pred AS (
   SELECT doc_id, line_no, ltext,
          replace(replace(ltext, 'e', 'c'), 'o', '0') AS p1,
-         replace(replace(ltext, 't', 'l'), 'q', '') AS p2
+         replace(replace(ltext, 'q', ''), 'a', '') AS p2
   FROM lines
 ),
 chars AS (
@@ -3105,11 +3114,11 @@ SELECT * FROM (
   SELECT 'OCR-1', 'o', '0',
          CAST(SUM(length(ltext) - length(replace(ltext, 'o', ''))) AS BIGINT) FROM lines
   UNION ALL
-  SELECT 'OCR-2', 't', 'l',
-         CAST(SUM(length(ltext) - length(replace(ltext, 't', ''))) AS BIGINT) FROM lines
-  UNION ALL
   SELECT 'OCR-2', 'q', '',
          CAST(SUM(length(ltext) - length(replace(ltext, 'q', ''))) AS BIGINT) FROM lines
+  UNION ALL
+  SELECT 'OCR-2', 'a', '',
+         CAST(SUM(length(ltext) - length(replace(ltext, 'a', ''))) AS BIGINT) FROM lines
 ) WHERE n > 0
 """,
         "q52_source_agreement": variant_cte

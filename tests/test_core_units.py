@@ -292,3 +292,52 @@ def test_simhash_similar_docs_close():
     ab = int(_popcount64(np.array([out["simhash"][0] ^ out["simhash"][1]], dtype=np.uint64))[0])
     ac = int(_popcount64(np.array([out["simhash"][0] ^ out["simhash"][2]], dtype=np.uint64))[0])
     assert ab < ac
+
+
+def test_error_type_counts_deletion_only_attribution_unique():
+    """q79's oracle recomputes class counts structurally, which is only
+    valid when each source is substitution-only or deletion-only (a
+    deletion ADJACENT to a substitution in one source is cost-ambiguous
+    in the DP — 'tq'->'l' can be attributed two ways).  Pin that the
+    deletion-only corruption used by q79's OCR-2 gets the structural
+    counts from the real backtrace even on adversarial adjacency."""
+    from ocrd_cis_ray.stages.metrics import error_type_partials
+
+    gts = ["tq aqua", "qt data", "aa q a", "quarta"]
+    preds = [g.replace("q", "").replace("a", "") for g in gts]
+    b = pa.table({"GT": gts, "OCR-2": preds})
+    out = error_type_partials(b, sources=("OCR-2",)).to_pandas()
+    got = {(r.gt_char, r.ocr_char): r.n for r in out.itertuples()}
+    n_q = sum(g.count("q") for g in gts)
+    n_a = sum(g.count("a") for g in gts)
+    assert got == {("q", ""): n_q, ("a", ""): n_a}
+
+
+def test_error_type_counts_substitution_only_attribution_unique():
+    """Same uniqueness property for q79's OCR-1: pointwise substitution
+    with output chars disjoint from input chars gives exactly one
+    minimal class attribution (no del+ins trade is ever cost-equal)."""
+    from ocrd_cis_ray.stages.metrics import error_type_partials
+
+    gts = ["echo zone", "ceo oec", "e o eo oe", "cc00"]
+    preds = [g.replace("e", "c").replace("o", "0") for g in gts]
+    b = pa.table({"GT": gts, "OCR-1": preds})
+    out = error_type_partials(b, sources=("OCR-1",)).to_pandas()
+    got = {(r.gt_char, r.ocr_char): r.n for r in out.itertuples()}
+    n_e = sum(g.count("e") for g in gts)
+    n_o = sum(g.count("o") for g in gts)
+    assert got == {("e", "c"): n_e, ("o", "0"): n_o}
+
+
+def test_remove_small_components_minsize_le_1_is_noop():
+    """minsize<=1 must match the slow path (sizes < minsize matches no
+    component): the isolated-pixel fast path only fires at minsize==2."""
+    from ocrd_cis_ray.stages.image_ops import remove_small_components
+
+    img = np.full((8, 8), 255, np.uint8)
+    img[3, 3] = 0  # one isolated foreground pixel
+    for ms in (0, 1):
+        out, n = remove_small_components(img, minsize=ms)
+        assert n == 0 and out[3, 3] == 0
+    out, n = remove_small_components(img, minsize=2)
+    assert n == 1 and out[3, 3] == 255
