@@ -512,125 +512,129 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
     # the worker thread
     _docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     _threads = ThreadPoolExecutor(max_workers=2)
-    lex_future = _threads.submit(lambda: token_frequencies(_docs, top_v=200_000).to_dict())
+    try:
+        lex_future = _threads.submit(lambda: token_frequencies(_docs, top_v=200_000).to_dict())
 
-    # render pages ONCE and share across engine channels (pages are the
-    # expensive media payload; the object store holds them for both);
-    # rebalance=True re-partitions by byte-weighted doc_id ranges so the
-    # fan-out sees equal-byte blocks even under media-size skew
-    rb_stats = None
-    if rebalance:
-        pages, rb_stats = rebalance_pages(synth_pages(sf_dir, carry_text=True))
-    else:
-        pages = synth_pages(sf_dir, carry_text=True).materialize()
-    _mark("pages")
-    pool_max_ocr = max(concurrency, int(ray.cluster_resources().get("CPU", concurrency)))
-    # ZERO-shuffle wide frame: the page row carries its GT text, both
-    # OCR channels run fused in one actor, and the (doc_id, line_no)
-    # source join happens page-locally inside the actor — the bucketed
-    # wide_lines pivot this chain used to pay (~7 s of pure exchange at
-    # sf0.1/32cpus: the pivot compute is negligible, the all-to-all is
-    # not) is gone. wide_lines stays for consumers that genuinely hold
-    # long-form variant rows (q50–q52, align eval).
-    wide = pages.map_batches(
-        DualChannelOCR,
-        fn_constructor_kwargs={"emit_wide": True},
-        batch_format="pyarrow",
-        batch_size=8,
-        concurrency=(max(1, pool_max_ocr // 2), pool_max_ocr),
-        num_cpus=1,
-    ).materialize()
-    _mark("ocr_wide")
+        # render pages ONCE and share across engine channels (pages are the
+        # expensive media payload; the object store holds them for both);
+        # rebalance=True re-partitions by byte-weighted doc_id ranges so the
+        # fan-out sees equal-byte blocks even under media-size skew
+        rb_stats = None
+        if rebalance:
+            pages, rb_stats = rebalance_pages(synth_pages(sf_dir, carry_text=True))
+        else:
+            pages = synth_pages(sf_dir, carry_text=True).materialize()
+        _mark("pages")
+        pool_max_ocr = max(concurrency, int(ray.cluster_resources().get("CPU", concurrency)))
+        # ZERO-shuffle wide frame: the page row carries its GT text, both
+        # OCR channels run fused in one actor, and the (doc_id, line_no)
+        # source join happens page-locally inside the actor — the bucketed
+        # wide_lines pivot this chain used to pay (~7 s of pure exchange at
+        # sf0.1/32cpus: the pivot compute is negligible, the all-to-all is
+        # not) is gone. wide_lines stays for consumers that genuinely hold
+        # long-form variant rows (q50–q52, align eval).
+        wide = pages.map_batches(
+            DualChannelOCR,
+            fn_constructor_kwargs={"emit_wide": True},
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=(max(1, pool_max_ocr // 2), pool_max_ocr),
+            num_cpus=1,
+        ).materialize()
+        _mark("ocr_wide")
 
-    # raw CER over the (materialized) wide frame runs in a thread too:
-    # it has no dependency on the correction path and overlaps the
-    # confusion/ranker training jobs below
-    cer_raw_future = _threads.submit(
-        lambda: _cer_reduce(
-            wide.map_batches(
-                partial(_cer_partials_wide, pairs=[("OCR-1", "GT"), ("OCR-2", "GT")]),
-                batch_format="pyarrow",
+        # raw CER over the (materialized) wide frame runs in a thread too:
+        # it has no dependency on the correction path and overlaps the
+        # confusion/ranker training jobs below
+        cer_raw_future = _threads.submit(
+            lambda: _cer_reduce(
+                wide.map_batches(
+                    partial(_cer_partials_wide, pairs=[("OCR-1", "GT"), ("OCR-2", "GT")]),
+                    batch_format="pyarrow",
+                ),
+                stage="raw",
+            )
+        )
+
+        lexicon = lex_future.result()
+        _mark("lexicon")
+
+        # channel model learned from OCR-2-vs-GT pairs — row-local over
+        # wide, SAMPLE-BOUND: the confusion estimate saturates after a few
+        # thousand aligned pairs, so cap the O(len²) edit alignments at 64
+        # differing lines per batch instead of paying one per corpus line
+        from ..stages.postcorrect import LineCorrector, learn_confusions
+
+        def to_pairs(t: pa.Table) -> pa.Table:
+            return pa.table({"text": t["OCR-2"], "gt_text": t["GT"]})
+
+        # deterministic 25% content-hash sample: layout-invariant (rerun ==
+        # rerun, any block layout), bounded alignment cost; the channel
+        # model is a rate estimate, so subsampling is consistent.
+        confusions = learn_confusions(
+            wide.map_batches(to_pairs, batch_format="pyarrow"), sample_rate=0.25
+        )
+        _mark("confusions")
+
+        # learned re-ranker + decision maker over candidate features
+        # (rank/distance/frequency/peer agreement — the reference's
+        # profiler-free rrFeatures/dmFeatures subset, data/config.json:
+        # 15-215) trained on GT'd lines; train_ranker's model-selection
+        # gate falls back to the fixed vote unless the learned decision
+        # beats it on the training sample
+        from ..stages.postcorrect import train_ranker
+
+        def to_train(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"text": t["OCR-2"], "peer_text": t["OCR-1"], "gt_text": t["GT"]}
+            )
+
+        pool_max = max(concurrency, int(ray.cluster_resources().get("CPU", concurrency)))
+        # full-corpus examples: the per-actor triple cache makes extraction
+        # scale with DISTINCT (token, peer, gt) triples, not line count, and
+        # marginal hard examples are exactly what the decision maker needs
+        ranker = train_ranker(
+            wide.map_batches(to_train, batch_format="pyarrow"),
+            lexicon,
+            confusions,
+            sample_rate=1.0,
+        )
+        _mark("train_ranker")
+
+        # line-level correction inside the actor pool (cursor matcher + nOCR
+        # peer vote per token; no token-level shuffle)
+        def to_correct(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_id": t["doc_id"], "line_no": t["line_no"], "text": t["OCR-2"],
+                 "peer_text": t["OCR-1"], "GT": t["GT"]}
+            )
+
+        fixed = wide.map_batches(to_correct, batch_format="pyarrow").map_batches(
+            LineCorrector,
+            fn_constructor_args=(lexicon, confusions),
+            fn_constructor_kwargs={"ranker": ranker},
+            batch_format="pyarrow",
+            concurrency=(max(1, pool_max // 8), pool_max),
+            batch_size=256,
+            num_cpus=0.5,
+        )
+
+        def fixed_wide(t: pa.Table) -> pa.Table:
+            return pa.table({"OCR-2": t["corrected_text"], "GT": t["GT"]})
+
+        cer_fixed = _cer_reduce(
+            fixed.map_batches(fixed_wide, batch_format="pyarrow").map_batches(
+                partial(_cer_partials_wide, pairs=[("OCR-2", "GT")]), batch_format="pyarrow"
             ),
-            stage="raw",
+            stage="postcorrected",
         )
-    )
+        _mark("correct+cer")
 
-    lexicon = lex_future.result()
-    _mark("lexicon")
-
-    # channel model learned from OCR-2-vs-GT pairs — row-local over
-    # wide, SAMPLE-BOUND: the confusion estimate saturates after a few
-    # thousand aligned pairs, so cap the O(len²) edit alignments at 64
-    # differing lines per batch instead of paying one per corpus line
-    from ..stages.postcorrect import LineCorrector, learn_confusions
-
-    def to_pairs(t: pa.Table) -> pa.Table:
-        return pa.table({"text": t["OCR-2"], "gt_text": t["GT"]})
-
-    # deterministic 25% content-hash sample: layout-invariant (rerun ==
-    # rerun, any block layout), bounded alignment cost; the channel
-    # model is a rate estimate, so subsampling is consistent.
-    confusions = learn_confusions(
-        wide.map_batches(to_pairs, batch_format="pyarrow"), sample_rate=0.25
-    )
-    _mark("confusions")
-
-    # learned re-ranker + decision maker over candidate features
-    # (rank/distance/frequency/peer agreement — the reference's
-    # profiler-free rrFeatures/dmFeatures subset, data/config.json:
-    # 15-215) trained on GT'd lines; train_ranker's model-selection
-    # gate falls back to the fixed vote unless the learned decision
-    # beats it on the training sample
-    from ..stages.postcorrect import train_ranker
-
-    def to_train(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"text": t["OCR-2"], "peer_text": t["OCR-1"], "gt_text": t["GT"]}
-        )
-
-    pool_max = max(concurrency, int(ray.cluster_resources().get("CPU", concurrency)))
-    # full-corpus examples: the per-actor triple cache makes extraction
-    # scale with DISTINCT (token, peer, gt) triples, not line count, and
-    # marginal hard examples are exactly what the decision maker needs
-    ranker = train_ranker(
-        wide.map_batches(to_train, batch_format="pyarrow"),
-        lexicon,
-        confusions,
-        sample_rate=1.0,
-    )
-    _mark("train_ranker")
-
-    # line-level correction inside the actor pool (cursor matcher + nOCR
-    # peer vote per token; no token-level shuffle)
-    def to_correct(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"doc_id": t["doc_id"], "line_no": t["line_no"], "text": t["OCR-2"],
-             "peer_text": t["OCR-1"], "GT": t["GT"]}
-        )
-
-    fixed = wide.map_batches(to_correct, batch_format="pyarrow").map_batches(
-        LineCorrector,
-        fn_constructor_args=(lexicon, confusions),
-        fn_constructor_kwargs={"ranker": ranker},
-        batch_format="pyarrow",
-        concurrency=(max(1, pool_max // 8), pool_max),
-        batch_size=256,
-        num_cpus=0.5,
-    )
-
-    def fixed_wide(t: pa.Table) -> pa.Table:
-        return pa.table({"OCR-2": t["corrected_text"], "GT": t["GT"]})
-
-    cer_fixed = _cer_reduce(
-        fixed.map_batches(fixed_wide, batch_format="pyarrow").map_batches(
-            partial(_cer_partials_wide, pairs=[("OCR-2", "GT")]), batch_format="pyarrow"
-        ),
-        stage="postcorrected",
-    )
-    _mark("correct+cer")
-
-    cer_raw = cer_raw_future.result()
-    _threads.shutdown(wait=False)
+        cer_raw = cer_raw_future.result()
+    finally:
+        # never leak the executor (and its in-flight Dataset-job
+        # threads) into a later chain run if any stage raises
+        _threads.shutdown(wait=False, cancel_futures=True)
     out = pd.concat([cer_raw, cer_fixed], ignore_index=True)[
         ["stage", "source", "char_errors", "gt_chars", "char_error_rate"]
     ]

@@ -207,7 +207,10 @@ def spans_to_page_xml(
                     f"{{{PAGE_NS}}}TextRegion", {"id": f"r{off:04d}"}
                 )
                 region_ids.append(f"r{off:04d}")
-                regions.append((cur_region, {"text": text}))
+                # empty region TextEquiv: the line's text must NOT be
+                # duplicated at region level (re-ingest would fabricate
+                # a region span the original sequence never had)
+                regions.append((cur_region, {"text": ""}))
             img, lid = _ref_id(mref, f"l{off:04d}")
             if image is None and img:
                 image = img
@@ -304,127 +307,42 @@ def write_page_xml_corpus(
     sample_limit: int = 200_000,
 ) -> dict:
     """Resumable PAGE-XML corpus sink: one ``{doc_id}.xml`` per
-    (doc_id, spans) row in range-partitioned ``part=NNNNN`` dirs, each
-    committed through the per-partition manifest (kill-safe: tmp dir +
-    rename + manifest row, the write_resumable protocol), then one
-    mets.xml registering the file group. File names are the doc_id —
-    unique by schema — so task retries overwrite their own output.
+    (doc_id, spans) row in range-partitioned ``part=NNNNN`` dirs, plus
+    one mets.xml registering the file group. The kill-safe resume
+    machinery (sampled bounds, committed-partition skip, .tmp sweep,
+    rename+manifest commit) is ``state.manifest.partitioned_write_pass``
+    — shared with write_resumable, NOT re-implemented here. File names
+    are the doc_id — unique by schema — so task retries overwrite their
+    own output.
 
     Returns {"completed": k, "skipped": s, "rows": n, "mets_files": m}.
     """
-    import shutil
-    import uuid
+    from ..state.manifest import partitioned_write_pass
 
-    import numpy as np
-
-    from ..state.manifest import (
-        commit_partition,
-        completed_partitions,
-        partition_dir,
-    )
-
-    ds = ds.materialize()
-    sample = (
-        ds.select_columns(["doc_id"])
-        .randomize_block_order(seed=42)
-        .limit(sample_limit)
-        .to_pandas()["doc_id"]
-        .sort_values()
-        .to_numpy()
-    )
-    os.makedirs(out_dir, exist_ok=True)
-    if len(sample) == 0:
-        _write_mets(out_dir, file_group)
-        return {"completed": 0, "skipped": 0, "rows": 0, "mets_files": 0}
-    idx = [round(i * len(sample) / n_partitions) for i in range(1, n_partitions)]
-    bounds = sorted({str(sample[min(i, len(sample) - 1)]) for i in idx})
-    partitions: list[tuple] = []
-    prev = None
-    for b in bounds:
-        partitions.append((prev, b))
-        prev = b
-    partitions.append((prev, None))
-    n_parts = len(partitions)
-
-    for name in os.listdir(out_dir):
-        if name.startswith(".tmp-"):
-            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
-    done = completed_partitions(out_dir)
-    skip = {
-        pid
-        for pid, (lo, hi) in enumerate(partitions)
-        if (rec := done.get(pid)) is not None
-        and rec.get("input_fingerprint", "") == input_fingerprint
-        and rec.get("lo") == lo
-        and rec.get("hi") == hi
-    }
-    for pid in range(n_parts):
-        if pid in skip:
-            continue
-        if pid in done:
-            try:
-                os.remove(os.path.join(out_dir, "_manifest", f"{pid:05d}.json"))
-            except OSError:
-                pass
-        if os.path.isdir(partition_dir(out_dir, pid)):
-            shutil.rmtree(partition_dir(out_dir, pid))
-    token = uuid.uuid4().hex
-    for pid in range(n_parts):
-        if pid not in skip:
-            os.makedirs(os.path.join(out_dir, f".tmp-{token}-{pid:05d}"), exist_ok=True)
-    bounds_arr = np.asarray(bounds, dtype=object)
-    skip_arr = np.zeros(n_parts, dtype=bool)
-    for pid in skip:
-        skip_arr[pid] = True
-
-    def write_split(t: pa.Table) -> pa.Table:
+    def write_batch(t, pids, skip_mask, tmp_dir_for):
         ids = [str(d) for d in t["doc_id"].to_pylist()]
         spans_col = t["spans"].to_pylist()
-        pid = np.searchsorted(bounds_arr, np.asarray(ids, dtype=object), side="right")
-        out_pid, out_rows = [], []
         for i, (did, spans) in enumerate(zip(ids, spans_col)):
-            p = int(pid[i])
-            if skip_arr[p]:
+            p = int(pids[i])
+            if skip_mask[p]:
                 continue
-            payload = spans_to_page_xml(did, spans)
-            fn = os.path.join(out_dir, f".tmp-{token}-{p:05d}", f"{did}.xml")
-            with open(fn, "wb") as f:
-                f.write(payload)
-            out_pid.append(p)
-            out_rows.append(1)
-        return pa.table(
-            {
-                "pid": pa.array(out_pid, pa.int64()),
-                "rows": pa.array(out_rows, pa.int64()),
-            }
-        )
+            with open(os.path.join(tmp_dir_for(p), f"{did}.xml"), "wb") as f:
+                f.write(spans_to_page_xml(did, spans))
 
-    ds.map_batches(write_split, batch_format="pyarrow").materialize()
-    completed = 0
-    rows_total = sum(int(done[p].get("rows", 0)) for p in skip)
-    for pid, (lo, hi) in enumerate(partitions):
-        if pid in skip:
-            continue
-        tmp = os.path.join(out_dir, f".tmp-{token}-{pid:05d}")
-        rows = len([f for f in os.listdir(tmp) if f.endswith(".xml")])
-        os.replace(tmp, partition_dir(out_dir, pid))
-        commit_partition(
-            out_dir,
-            pid,
-            {
-                "lo": lo,
-                "hi": hi,
-                "rows": rows,
-                "stage": f"page-xml:{file_group}",
-                "input_fingerprint": input_fingerprint,
-            },
-        )
-        completed += 1
-        rows_total += rows
-    mets_files = _write_mets(out_dir, file_group)
-    return {
-        "completed": completed,
-        "skipped": len(skip),
-        "rows": rows_total,
-        "mets_files": mets_files,
-    }
+    def rows_in_dir(tmp: str) -> int:
+        return len([f for f in os.listdir(tmp) if f.endswith(".xml")])
+
+    res = partitioned_write_pass(
+        ds,
+        out_dir,
+        key="doc_id",
+        n_partitions=n_partitions,
+        stage=f"page-xml:{file_group}",
+        input_fingerprint=input_fingerprint,
+        sample_limit=sample_limit,
+        write_batch=write_batch,
+        rows_in_dir=rows_in_dir,
+        stringify_key=True,
+    )
+    res["mets_files"] = _write_mets(out_dir, file_group)
+    return res

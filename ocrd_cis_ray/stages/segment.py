@@ -981,25 +981,32 @@ def resegment_page(
         comps = comps * (counts > min_comp)[comps]
     scale = estimate_scale(fg)
 
-    # depth-flattened seed labels over the (overlapping) old masks
-    depth = np.zeros((len(boxes) + 1, h, w), np.float32)
-    old_masks = []
+    # depth-flattened seed labels over the (overlapping) old masks —
+    # running max/argmax over two (h, w) planes instead of an
+    # (n_boxes+1, h, w) stack (identical result: strict > replicates
+    # np.argmax's first-index-wins tie-break; ~n_boxes/2 less memory,
+    # which matters at batch_size pages per task on 300-dpi scans)
+    best_depth = np.zeros((h, w), np.float32)
+    new_labels = np.zeros((h, w), np.int32)
     for i, (y0, y1, x0, x1) in enumerate(boxes):
         m = np.zeros((h, w), bool)
         m[max(0, y0) : max(0, y1), max(0, x0) : max(0, x1)] = True
-        old_masks.append(m)
         d = dist_labels(m).astype(np.float32)
         peak = d.max()
         if peak > 0:
-            depth[i + 1] = d * (255.0 / peak)
-    new_labels = np.argmax(depth, axis=0).astype(np.int32)
+            d *= 255.0 / peak
+            win = d > best_depth
+            best_depth[win] = d[win]
+            new_labels[win] = i + 1
+    del best_depth
 
     new_labels = propagate_labels_majority(comps > 0, new_labels)
     new_labels = spread_labels(new_labels, maxdist=max(1, scale // 2))
 
     out: list[tuple[bool, list[tuple[int, int]], tuple[int, int, int, int]]] = []
     for i, (y0, y1, x0, x1) in enumerate(boxes):
-        old = old_masks[i]
+        old = np.zeros((h, w), bool)
+        old[max(0, y0) : max(0, y1), max(0, x0) : max(0, x1)] = True
         box_poly = [(x0, y0), (x1 - 1, y0), (x1 - 1, y1 - 1), (x0, y1 - 1)]
         new = new_labels == i + 1
         n_old = int(np.count_nonzero(old))

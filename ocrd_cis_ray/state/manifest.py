@@ -145,34 +145,44 @@ def _parquet_rows(path: str) -> int:
     return pq.read_metadata(path).num_rows
 
 
-def write_resumable(
+def partitioned_write_pass(
     ds,
     out_dir: str,
     *,
-    key: str = "doc_id",
-    n_partitions: int = 16,
-    stage: str = "stage",
-    input_fingerprint: str = "",
-    sample_limit: int = 200_000,
+    key: str,
+    n_partitions: int,
+    stage: str,
+    input_fingerprint: str,
+    sample_limit: int,
+    write_batch,
+    rows_in_dir,
+    extra_rec=None,
+    stringify_key: bool = False,
 ) -> dict:
-    """Checkpointed partitioned write of ANY Dataset — the generic
-    per-stage lineage sink (north_rule: every stage's output is
-    per-partition manifested so a killed job resumes).
+    """Shared scaffold of the one-pass resumable sinks: the kill-safety-
+    critical resume semantics live here ONCE — sampled key-range bounds,
+    committed-partition skip validation against (lo, hi, fingerprint),
+    stale-manifest invalidation, .tmp sweep + per-run token dirs, the
+    single parallel map_batches write pass, and the exactly-once
+    rename+commit loop. ``write_resumable`` (parquet) and the PAGE-XML
+    corpus sink (one XML per row) parameterize only the file format:
 
-    The Dataset is materialized ONCE; key-range bounds come from a
-    bounded driver-side sample (works for string or int keys). ALL
-    partitions are then written in ONE parallel pass (each worker
-    splits its batch by partition id and appends a deterministically
-    named file into that partition's tmp dir), after which the driver
-    renames tmp dirs into place and commits manifest rows —
-    exactly-once publication. Reruns skip committed (fingerprint- and
-    range-matched) partitions. Tradeoff vs the per-partition
-    ``run_partitioned`` loop (still used by cutter/ingest): the single
-    pass is ~6x faster, but a kill MID-PASS commits nothing and the
-    rerun redoes the whole write; once the pass has committed, reruns
-    skip everything.
+    - ``write_batch(table, pids, skip_mask, tmp_dir_for)`` writes the
+      non-skipped rows of one batch into ``tmp_dir_for(pid)``;
+    - ``rows_in_dir(tmp_dir)`` counts rows actually ON DISK (the
+      manifest must match disk truth even when a retried batch
+      coalesced to one file);
+    - ``extra_rec(tmp_dir)`` adds sink-specific manifest fields.
+
+    Writes proceed in parallel across the cluster instead of one
+    driver-sequenced execution per partition (16 sequential executions
+    measured 13 s for a 2 s write workload at sf0.1). A kill MID-PASS
+    commits nothing and leaves only .tmp-* dirs, which the next run
+    sweeps and redoes; once committed, reruns skip fingerprint- and
+    range-matched partitions.
     """
     import numpy as np
+    import pyarrow as pa
 
     ds = ds.materialize()
     sample = (
@@ -183,8 +193,11 @@ def write_resumable(
         .sort_values()
         .to_numpy()
     )
+    os.makedirs(out_dir, exist_ok=True)
     if len(sample) == 0:
         return {"completed": 0, "skipped": 0, "rows": 0}
+    if stringify_key:
+        sample = np.asarray(sorted(str(x) for x in sample), dtype=object)
     idx = [round(i * len(sample) / n_partitions) for i in range(1, n_partitions)]
     bounds = sorted({sample[min(i, len(sample) - 1)] for i in idx})
     bounds = [b.item() if isinstance(b, np.generic) else b for b in bounds]
@@ -194,23 +207,12 @@ def write_resumable(
         partitions.append((prev, b))
         prev = b
     partitions.append((prev, None))
+    n_parts = len(partitions)
 
-    # ---- ONE parallel pass over the materialized blocks -------------
-    # Each worker splits its batch by partition id (np.searchsorted on
-    # the broadcast bounds) and appends a uniquely-named parquet file
-    # into that partition's tmp dir — partition writes proceed in
-    # parallel across the cluster instead of one driver-sequenced
-    # execution per partition (16 sequential executions measured 13 s
-    # for a 2 s write workload at sf0.1). Publication stays exactly-
-    # once: the driver renames tmp dirs and commits manifest rows only
-    # after the pass completes; a kill mid-pass leaves only .tmp-*
-    # dirs, which the next run sweeps and redoes.
-    os.makedirs(out_dir, exist_ok=True)
     for name in os.listdir(out_dir):
         if name.startswith(".tmp-"):
             shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
     done = completed_partitions(out_dir)
-    n_parts = len(partitions)
     skip = {
         pid
         for pid, (lo, hi) in enumerate(partitions)
@@ -230,25 +232,80 @@ def write_resumable(
         if os.path.isdir(partition_dir(out_dir, pid)):
             shutil.rmtree(partition_dir(out_dir, pid))
     token = uuid.uuid4().hex
+
+    def tmp_for(p: int) -> str:
+        return os.path.join(out_dir, f".tmp-{token}-{int(p):05d}")
+
     for pid in range(n_parts):
         if pid not in skip:
-            os.makedirs(os.path.join(out_dir, f".tmp-{token}-{pid:05d}"), exist_ok=True)
-    bounds_arr = np.asarray(bounds)
+            os.makedirs(tmp_for(pid), exist_ok=True)
+    bounds_arr = np.asarray(bounds, dtype=object) if stringify_key else np.asarray(bounds)
     skip_arr = np.zeros(n_parts, dtype=bool)
     for pid in skip:
         skip_arr[pid] = True
 
+    def _split(t):
+        if t.num_rows:
+            if stringify_key:
+                ids = np.asarray([str(d) for d in t[key].to_pylist()], dtype=object)
+            else:
+                ids = t[key].to_numpy(zero_copy_only=False)
+            pids = np.searchsorted(bounds_arr, ids, side="right")
+            write_batch(t, pids, skip_arr, tmp_for)
+        # constant empty schema: the pass is executed for its side
+        # effects only; rows are counted from disk at commit time
+        return pa.table({"pid": pa.array([], pa.int64())})
+
+    ds.map_batches(_split, batch_format="pyarrow").materialize()
+    completed = 0
+    rows_total = sum(int(done[p].get("rows", 0)) for p in skip)
+    for pid, (lo, hi) in enumerate(partitions):
+        if pid in skip:
+            continue
+        tmp = tmp_for(pid)
+        rows = rows_in_dir(tmp)
+        rec = {
+            "lo": lo,
+            "hi": hi,
+            "rows": rows,
+            "stage": stage,
+            "input_fingerprint": input_fingerprint,
+        }
+        if extra_rec is not None:
+            rec.update(extra_rec(tmp))
+        os.replace(tmp, partition_dir(out_dir, pid))
+        commit_partition(out_dir, pid, rec)
+        completed += 1
+        rows_total += rows
+    return {"completed": completed, "skipped": len(skip), "rows": rows_total}
+
+
+def write_resumable(
+    ds,
+    out_dir: str,
+    *,
+    key: str = "doc_id",
+    n_partitions: int = 16,
+    stage: str = "stage",
+    input_fingerprint: str = "",
+    sample_limit: int = 200_000,
+) -> dict:
+    """Checkpointed partitioned parquet write of ANY Dataset — the
+    generic per-stage lineage sink (north_rule: every stage's output is
+    per-partition manifested so a killed job resumes). Resume/commit
+    semantics live in ``partitioned_write_pass``; this sink only
+    defines the parquet batch format. Tradeoff vs the per-partition
+    ``run_partitioned`` loop (still used by cutter/ingest): the single
+    pass is ~6x faster, but a kill mid-pass redoes the whole write.
+    """
+    import hashlib
+
+    import numpy as np
     import pyarrow as pa
 
-    def write_split(t):
+    def write_batch(t, pids, skip_mask, tmp_dir_for):
         import pyarrow.parquet as pq
 
-        if t.num_rows == 0:
-            return pa.table(
-                {"pid": pa.array([], pa.int64()), "rows": pa.array([], pa.int64())}
-            )
-        ids = t[key].to_numpy(zero_copy_only=False)
-        pid = np.searchsorted(bounds_arr, ids, side="right")
         # file names must be DETERMINISTIC in the batch CONTENT: a Ray
         # task retry re-writes the same file instead of adding a
         # duplicate (uuid names would double the rows of a partition
@@ -261,60 +318,38 @@ def write_resumable(
         # byte-identical in their ENTIRETY coalesce to one file — add a
         # row discriminator upstream if exact duplicate blocks must
         # survive this sink.
-        import hashlib
-
         h = hashlib.blake2b(digest_size=16)
         sink = pa.BufferOutputStream()
         with pa.ipc.new_stream(sink, t.schema) as w:
             w.write_table(t)
         h.update(sink.getvalue())
         batch_tag = h.hexdigest()
-        out_pids, out_rows = [], []
-        for p in np.unique(pid):
-            if skip_arr[p]:
+        for p in np.unique(pids):
+            if skip_mask[p]:
                 continue
-            sub = t.filter(pa.array(pid == p))
-            fn = os.path.join(
-                out_dir, f".tmp-{token}-{int(p):05d}", f"{batch_tag}.parquet"
-            )
-            pq.write_table(sub, fn)
-            out_pids.append(int(p))
-            out_rows.append(sub.num_rows)
-        return pa.table(
-            {"pid": pa.array(out_pids, pa.int64()), "rows": pa.array(out_rows, pa.int64())}
-        )
+            sub = t.filter(pa.array(pids == p))
+            pq.write_table(sub, os.path.join(tmp_dir_for(p), f"{batch_tag}.parquet"))
 
-    ds.map_batches(write_split, batch_format="pyarrow").materialize()
-    completed = 0
-    rows_total = sum(int(done[p].get("rows", 0)) for p in skip)
-    for pid, (lo, hi) in enumerate(partitions):
-        if pid in skip:
-            continue
-        tmp = os.path.join(out_dir, f".tmp-{token}-{pid:05d}")
-        final = partition_dir(out_dir, pid)
-        nbytes = sum(
-            os.path.getsize(os.path.join(tmp, f)) for f in os.listdir(tmp)
-        )
-        # count rows from the files actually on disk (parquet footers),
-        # not from writer-returned stats: the manifest must match disk
-        # truth even when a retried/coalesced batch wrote a file once
-        rows = sum(_parquet_rows(os.path.join(tmp, f)) for f in os.listdir(tmp))
-        os.replace(tmp, final)
-        commit_partition(
-            out_dir,
-            pid,
-            {
-                "lo": lo,
-                "hi": hi,
-                "rows": rows,
-                "bytes": nbytes,
-                "stage": stage,
-                "input_fingerprint": input_fingerprint,
-            },
-        )
-        completed += 1
-        rows_total += rows
-    return {"completed": completed, "skipped": len(skip), "rows": rows_total}
+    def rows_in_dir(tmp: str) -> int:
+        return sum(_parquet_rows(os.path.join(tmp, f)) for f in os.listdir(tmp))
+
+    def extra_rec(tmp: str) -> dict:
+        return {
+            "bytes": sum(os.path.getsize(os.path.join(tmp, f)) for f in os.listdir(tmp))
+        }
+
+    return partitioned_write_pass(
+        ds,
+        out_dir,
+        key=key,
+        n_partitions=n_partitions,
+        stage=stage,
+        input_fingerprint=input_fingerprint,
+        sample_limit=sample_limit,
+        write_batch=write_batch,
+        rows_in_dir=rows_in_dir,
+        extra_rec=extra_rec,
+    )
 
 
 def doc_id_ranges(n_partitions: int, *, prefix: str = "d", id_width: int = 8, max_id: int = 10**8) -> list[tuple[str, str]]:

@@ -285,3 +285,17 @@ def test_spans_to_page_xml_indexed_text_equivs():
     # words precede the TextEquivs in schema order
     kids = [ch.tag.split("}")[1] for ch in line]
     assert kids.index("Word") < kids.index("TextEquiv")
+
+
+def test_spans_to_page_xml_implicit_region_no_text_duplication():
+    """A bare line span (no preceding region) synthesizes an implicit
+    TextRegion whose TextEquiv is EMPTY: re-parsing must not fabricate a
+    region span duplicating the line's text."""
+    from ocrd_cis_ray.sources.page_xml import parse_page_xml, spans_to_page_xml
+
+    spans = [{"kind": "line", "text": "hello world", "media_ref": "", "offset": 0}]
+    payload = spans_to_page_xml("d1", spans)
+    kinds, texts, _, _ = parse_page_xml("d1", payload)
+    by_kind = dict(zip(kinds, texts))
+    assert by_kind["region"] == ""  # not "hello world"
+    assert by_kind["line"] == "hello world"
