@@ -464,7 +464,74 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32, ngram: int = 
 # near-dup clustering (connected components) + dedup decision
 
 
-def dup_clusters(pairs_ds, *, max_rounds: int = 30, num_buckets: int | None = None, strict: bool = True):
+def _label_state(labels_ds):
+    """Convergence fingerprint of a (node, label) Dataset: the exact
+    label sum when labels are numeric, else an order-independent sum of
+    64-bit label hashes (string doc_ids have no numeric sum; pandas
+    object-sum would CONCATENATE them)."""
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        vals = b["label"].to_numpy()
+        if vals.dtype == object:
+            c = pd.util.hash_array(np.asarray(vals, dtype=object)).sum(dtype=np.uint64)
+        else:
+            c = np.uint64(0) if not len(vals) else np.uint64(vals.astype(np.uint64).sum(dtype=np.uint64))
+        return pd.DataFrame({"c": np.array([c], np.uint64)})
+
+    parts = labels_ds.map_batches(part, batch_format="pandas").to_pandas()
+    return int(parts["c"].to_numpy(dtype=np.uint64).sum(dtype=np.uint64))
+
+
+def _dup_clusters_driver(edges_ds):
+    """Exact driver-side components for the small-side gate of
+    dup_clusters: factorize node ids, path-halving union-find over the
+    (already doubled) edge list, cluster = min doc_id per component —
+    identical output to the converged distributed propagation."""
+    import ray.data as rd
+
+    eb = edges_ds.to_pandas()
+    codes, uniq = pd.factorize(
+        pd.concat([eb["node"], eb["nbr"]], ignore_index=True)
+    )
+    n = len(uniq)
+    if n == 0:
+        return rd.from_pandas(pd.DataFrame({"doc_id": [], "cluster": []}))
+    a = codes[: len(eb)]
+    b = codes[len(eb):]
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for i in range(len(a)):
+        ra, rb = find(a[i]), find(b[i])
+        if ra != rb:
+            parent[rb] = ra
+    roots = np.fromiter((find(i) for i in range(n)), np.int64, n)
+    ids = np.asarray(uniq)
+    # min id per component: visit ids in ascending order, first hit wins
+    min_label: dict[int, object] = {}
+    for i in np.argsort(ids, kind="stable"):
+        r = roots[i]
+        if r not in min_label:
+            min_label[r] = ids[i]
+    out = pd.DataFrame(
+        {"doc_id": ids, "cluster": [min_label[r] for r in roots]}
+    )
+    return rd.from_pandas(out)
+
+
+def dup_clusters(
+    pairs_ds,
+    *,
+    max_rounds: int = 30,
+    num_buckets: int | None = None,
+    strict: bool = True,
+    small_limit: int = 2_000_000,
+):
     """Connected components over near-dup pairs via distributed
     min-label propagation WITH pointer doubling.
 
@@ -472,14 +539,24 @@ def dup_clusters(pairs_ds, *, max_rounds: int = 30, num_buckets: int | None = No
     is the min doc_id of the component — the canonical keeper, so
     dedup = drop rows where doc_id != cluster.
 
-    Each round combines (a) one-hop neighbour offers (edges ⋈ labels)
-    with (b) a pointer-doubling shortcut (labels ⋈ labels: each node
-    adopts its label's label), so the distance a min label travels
-    doubles per round — O(log diameter) rounds instead of O(diameter)
-    one-hop rounds (a chain of 1000 near-dups converges in ~11 rounds).
-    Convergence is detected via the monotone non-increasing label sum;
-    if the round budget is exhausted first, raises (``strict=True``,
-    default) or logs a warning — never a silent wrong answer.
+    Size-aware (the embedding_dups broadcast-vs-blocked pattern): the
+    pairs table is an operator OUTPUT, usually orders of magnitude
+    smaller than the corpus, and each distributed round costs two joins
+    plus an aggregate of mostly scheduling floor. At or below
+    ``small_limit`` directed edges the components are solved exactly on
+    the driver with a path-halving union-find (bounded memory:
+    small_limit × two ids); above it the pointer-doubling path keeps
+    the all-to-all bounded.
+
+    Distributed path: each round combines (a) one-hop neighbour offers
+    (edges ⋈ labels) with (b) a pointer-doubling shortcut (labels ⋈
+    labels: each node adopts its label's label), so the distance a min
+    label travels doubles per round — O(log diameter) rounds instead of
+    O(diameter) one-hop rounds (a chain of 1000 near-dups converges in
+    ~11 rounds). Convergence is detected via the monotone
+    non-increasing label sum; if the round budget is exhausted first,
+    raises (``strict=True``, default) or logs a warning — never a
+    silent wrong answer.
     """
     import logging
 
@@ -499,6 +576,10 @@ def dup_clusters(pairs_ds, *, max_rounds: int = 30, num_buckets: int | None = No
     # per round), then pin in the object store
     edges = pairs_ds.map_batches(to_edges, batch_format="pandas")
     edges = edges.repartition(nb).materialize()
+
+    if edges.count() <= small_limit:
+        return _dup_clusters_driver(edges)
+
     # labels: node -> current component label (min known)
     labels = bucketed_aggregate(edges, "node", {"label": ("nbr", "min")}, num_buckets=num_buckets)
 
@@ -545,8 +626,12 @@ def dup_clusters(pairs_ds, *, max_rounds: int = 30, num_buckets: int | None = No
         labels = bucketed_aggregate(
             both, "node", {"label": ("label", "min")}, num_buckets=num_buckets, combine=True
         ).repartition(nb).materialize()
-        # converged? label sum is monotone non-increasing
-        new_sum = int(labels.sum("label") or 0)
+        # converged? exact for numeric ids (label sum is monotone
+        # non-increasing); for string ids an order-independent 64-bit
+        # label checksum (same hash-identity convention as content-hash
+        # dedup — labels only move toward the component min, so a false
+        # stop needs same-round hash-delta cancellation mod 2^64)
+        new_sum = _label_state(labels)
         if new_sum == prev_sum:
             converged = True
             break

@@ -40,7 +40,7 @@ def test_dup_clusters_long_chain_pointer_doubling(ray_session):
     pairs = rd.from_pandas(
         pd.DataFrame({"id_a": np.arange(64), "id_b": np.arange(1, 65)})
     )
-    out = dup_clusters(pairs, num_buckets=8, max_rounds=9).to_pandas()
+    out = dup_clusters(pairs, num_buckets=8, max_rounds=9, small_limit=0).to_pandas()
     assert (out["cluster"] == 0).all()
     assert len(out) == 65
 
@@ -54,7 +54,7 @@ def test_dup_clusters_nonconvergence_raises(ray_session):
         pd.DataFrame({"id_a": np.arange(64), "id_b": np.arange(1, 65)})
     )
     with pytest.raises(RuntimeError, match="did not stabilize"):
-        dup_clusters(pairs, num_buckets=8, max_rounds=2, strict=True)
+        dup_clusters(pairs, num_buckets=8, max_rounds=2, strict=True, small_limit=0)
 
 
 def test_minhash_join_verify_matches_broadcast(ray_session, sf_dir):
@@ -183,3 +183,29 @@ def test_remove_dup_substrings_overlap_merge(ray_session):
     assert got.loc[1, "clean_text"] == "x y"
     assert got.loc[1, "n_removed"] == 11
     assert got.loc[0, "n_removed"] == 0
+
+
+def test_dup_clusters_small_gate_parity(ray_session):
+    """Driver union-find (small-side gate) and distributed pointer
+    doubling give identical (doc_id, cluster) maps — including string
+    ids, where cluster is the lexicographic min of the component."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.dedup import dup_clusters
+
+    pairs_df = pd.DataFrame(
+        {
+            "id_a": ["d07", "d03", "d99", "d42", "d11"],
+            "id_b": ["d03", "d01", "d98", "d42", "d07"],
+        }
+    )
+    small = (
+        dup_clusters(rd.from_pandas(pairs_df), num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    dist = (
+        dup_clusters(rd.from_pandas(pairs_df), num_buckets=4, small_limit=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(small, dist, check_dtype=False)
+    assert dict(zip(small["doc_id"], small["cluster"]))["d11"] == "d01"
