@@ -632,8 +632,11 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
 
         cer_raw = cer_raw_future.result()
     finally:
-        # never leak the executor (and its in-flight Dataset-job
-        # threads) into a later chain run if any stage raises
+        # on a raising stage, cancel PENDING futures and drop the
+        # executor so nothing new starts; an already-RUNNING Dataset
+        # job cannot be cancelled and drains in the background — its
+        # thread exits with the job, but a retry launched immediately
+        # after the exception may briefly share the scheduler with it
         _threads.shutdown(wait=False, cancel_futures=True)
     out = pd.concat([cer_raw, cer_fixed], ignore_index=True)[
         ["stage", "source", "char_errors", "gt_chars", "char_error_rate"]

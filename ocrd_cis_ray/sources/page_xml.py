@@ -319,8 +319,7 @@ def write_page_xml_corpus(
     """
     from ..state.manifest import partitioned_write_pass
 
-    def write_batch(t, pids, skip_mask, tmp_dir_for):
-        ids = [str(d) for d in t["doc_id"].to_pylist()]
+    def write_batch(t, pids, skip_mask, tmp_dir_for, ids):
         spans_col = t["spans"].to_pylist()
         for i, (did, spans) in enumerate(zip(ids, spans_col)):
             p = int(pids[i])

@@ -530,7 +530,7 @@ def dup_clusters(
     max_rounds: int = 30,
     num_buckets: int | None = None,
     strict: bool = True,
-    small_limit: int = 2_000_000,
+    small_limit: int = 500_000,
 ):
     """Connected components over near-dup pairs via distributed
     min-label propagation WITH pointer doubling.
@@ -544,9 +544,11 @@ def dup_clusters(
     smaller than the corpus, and each distributed round costs two joins
     plus an aggregate of mostly scheduling floor. At or below
     ``small_limit`` directed edges the components are solved exactly on
-    the driver with a path-halving union-find (bounded memory:
-    small_limit × two ids); above it the pointer-doubling path keeps
-    the all-to-all bounded.
+    the driver with a path-halving union-find — bounded but not free:
+    at the 500k-edge cap the driver holds ~1M Python-object ids
+    (~10^2 MB with object overhead) and the per-edge find loop runs
+    single-threaded for ~1 s. Above the cap the pointer-doubling path
+    keeps the all-to-all bounded and the work distributed.
 
     Distributed path: each round combines (a) one-hop neighbour offers
     (edges ⋈ labels) with (b) a pointer-doubling shortcut (labels ⋈

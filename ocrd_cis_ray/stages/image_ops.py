@@ -241,10 +241,10 @@ def remove_small_components(img: np.ndarray, *, minsize: int = 4) -> tuple[np.nd
     """Despeckle: paint foreground components smaller than ``minsize``
     pixels to background (remove_noise, common.py:1153-1169).
     Returns (cleaned, n_removed)."""
-    fg = img < 128
     if minsize <= 1:
         # sizes < minsize matches no component — no-op, same as slow path
         return img, 0
+    fg = img < 128
     if minsize == 2:
         # fast path: only size-1 components are removed — under the
         # 4-connectivity label_components uses, an isolated pixel is

@@ -167,8 +167,11 @@ def partitioned_write_pass(
     rename+commit loop. ``write_resumable`` (parquet) and the PAGE-XML
     corpus sink (one XML per row) parameterize only the file format:
 
-    - ``write_batch(table, pids, skip_mask, tmp_dir_for)`` writes the
-      non-skipped rows of one batch into ``tmp_dir_for(pid)``;
+    - ``write_batch(table, pids, skip_mask, tmp_dir_for, ids)`` writes
+      the non-skipped rows of one batch into ``tmp_dir_for(pid)``
+      (``ids`` is the batch's key column as computed for partitioning —
+      already stringified under ``stringify_key`` — so sinks that name
+      files by key never re-convert it);
     - ``rows_in_dir(tmp_dir)`` counts rows actually ON DISK (the
       manifest must match disk truth even when a retried batch
       coalesced to one file);
@@ -251,7 +254,7 @@ def partitioned_write_pass(
             else:
                 ids = t[key].to_numpy(zero_copy_only=False)
             pids = np.searchsorted(bounds_arr, ids, side="right")
-            write_batch(t, pids, skip_arr, tmp_for)
+            write_batch(t, pids, skip_arr, tmp_for, ids)
         # constant empty schema: the pass is executed for its side
         # effects only; rows are counted from disk at commit time
         return pa.table({"pid": pa.array([], pa.int64())})
@@ -303,7 +306,7 @@ def write_resumable(
     import numpy as np
     import pyarrow as pa
 
-    def write_batch(t, pids, skip_mask, tmp_dir_for):
+    def write_batch(t, pids, skip_mask, tmp_dir_for, _ids):
         import pyarrow.parquet as pq
 
         # file names must be DETERMINISTIC in the batch CONTENT: a Ray
