@@ -74,25 +74,22 @@ def align_pipeline(sf_dir: str, *, pages_per_doc: int = 1, seed: int = 42, sourc
 
 def evaluate_pipeline(sf_dir: str, *, pages_per_doc: int = 1, seed: int = 42, sources=("OCR-1", "OCR-2", "GT")):
     """Full chain ending in per-source CER of aligned line variants vs GT
-    (reference div/stats.py:31-91 semantics), FUSED: one bucketed
-    shuffle of the variant lines; inside each bucket the documents are
-    aligned, per-line OCR/GT pairs formed, and CER partial sums emitted
-    directly — the multi-million-row aligned intermediate never crosses
-    an exchange (at 10^12 docs that intermediate would dominate shuffle
-    bytes).
+    (reference div/stats.py:31-91 semantics), FUSED with ZERO shuffle:
+    variants are synthesized inside each doc's batch, so alignment,
+    per-line OCR/GT pairing and CER partial sums all happen batch-
+    locally and only tiny per-source partials reach the final
+    aggregate — neither the variant rows nor the aligned intermediate
+    ever cross an exchange (at 10^12 docs either would dominate
+    shuffle bytes).
     """
     docs = extract_pipeline(sf_dir, pages_per_doc=pages_per_doc, seed=seed)
     return _evaluate_from_docs(docs, seed=seed, sources=sources)
 
 
 def _evaluate_from_docs(docs, *, seed: int = 42, sources=("OCR-1", "OCR-2", "GT")):
-    from ..shuffle import bucketed_groupby
     from ..stages.align import NWayAligner
     from ..util import levenshtein
 
-    variants = docs.map_batches(
-        synth_variants_batch, batch_format="pyarrow", fn_kwargs={"sources": tuple(sources), "seed": seed}
-    )
     aligner = NWayAligner(list(sources))
     ocr_sources = [s for s in sources if s != "GT"]
 
@@ -124,7 +121,20 @@ def _evaluate_from_docs(docs, *, seed: int = 42, sources=("OCR-1", "OCR-2", "GT"
             }
         )
 
-    partials = bucketed_groupby(variants, "doc_id", align_and_eval, whole_bucket=True)
+    # ZERO-shuffle: synth_variants_batch derives every source's variant
+    # of a doc INSIDE the doc's batch, so whole-doc locality already
+    # holds per batch and the former bucketed_groupby(doc_id) exchange
+    # moved multi-million variant rows for nothing (the chain's wide
+    # path applies the same insight). Long-form inputs whose sources
+    # arrive as separate rows (external OCR importers, q60-q62) still
+    # go through align_variants' genuine exchange.
+    def synth_align_eval(t: pa.Table) -> pd.DataFrame:
+        bucket = synth_variants_batch(
+            t, sources=tuple(sources), seed=seed
+        ).to_pandas()
+        return align_and_eval(bucket)
+
+    partials = docs.map_batches(synth_align_eval, batch_format="pyarrow")
     from ray.data.aggregate import Sum
 
     out = partials.groupby("source").aggregate(
