@@ -35,13 +35,27 @@ def extract_pipeline(sf_dir: str, *, pages_per_doc: int = 1, seed: int = 42):
     )
 
 
-def materialize_corpus(sf_dir: str, out_dir: str, *, pages_per_doc: int = 1, seed: int = 42, files: int = 64) -> str:
+def materialize_corpus(sf_dir: str, out_dir: str, *, pages_per_doc: int = 1, seed: int = 42, files: int = 256) -> str:
     """Write the raw interleaved corpus to partitioned parquet once —
     the bench/production input layout (many files ⇒ the read itself
-    parallelizes, unlike on-the-fly synthesis from one source file)."""
-    import os
+    parallelizes, unlike on-the-fly synthesis from one source file).
 
-    if not os.path.isdir(out_dir) or not any(f.endswith(".parquet") for f in os.listdir(out_dir)):
+    256 files: single-row-group files cannot be split below file
+    granularity by the reader, so the file count IS the downstream
+    block count — 64 files gave the 32-cpu fused evaluate a 2-wave
+    straggler tail. A cached dir with a DIFFERENT file count is
+    regenerated (the count is the layout contract)."""
+    import os
+    import shutil
+
+    existing = (
+        [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+        if os.path.isdir(out_dir)
+        else []
+    )
+    if len(existing) != files:
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
         ds = raw_corpus(sf_dir, pages_per_doc=pages_per_doc, seed=seed)
         ds.repartition(files).write_parquet(out_dir)
     return out_dir
@@ -134,6 +148,10 @@ def _evaluate_from_docs(docs, *, seed: int = 42, sources=("OCR-1", "OCR-2", "GT"
         ).to_pandas()
         return align_and_eval(bucket)
 
+    # block granularity rides on the corpus file count (256 — see
+    # materialize_corpus): single-row-group parquet can't be split
+    # below file granularity, and a repartition here would reintroduce
+    # an exchange the fusion just removed
     partials = docs.map_batches(synth_align_eval, batch_format="pyarrow")
     from ray.data.aggregate import Sum
 
