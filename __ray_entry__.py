@@ -500,10 +500,10 @@ def q21_quality(sf_dir: str):
 
 
 def q22_langid(sf_dir: str):
-    from ocrd_cis_ray.stages.textops import LangIdStage
+    from ocrd_cis_ray.stages.textops import langid_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(LangIdStage, batch_format="pandas", concurrency=2)
+    return ds.map_batches(langid_batch, batch_format="pandas")
 
 
 def q23_lang_counts(sf_dir: str):

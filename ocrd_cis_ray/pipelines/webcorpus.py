@@ -43,11 +43,10 @@ def run_webcorpus(
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     html = docs.map_batches(synthesize_html_batch, batch_format="pyarrow")
-    # actor-pool content extraction -> (doc_id, content_text); pool max
-    # tracks the session width (the default (1, 8) cap starved 32-cpu
-    # runs)
-    width = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    content = extract_main_content(html, mode="content", concurrency=(1, width))
+    # task-based content extraction -> (doc_id, content_text): the
+    # parser build is ~1 µs, so tasks beat an actor pool (no process
+    # spawn, scales with the session automatically)
+    content = extract_main_content(html, mode="content")
 
     def repair(t: pa.Table) -> pa.Table:
         f = fix_text_batch(t, col="content_text")

@@ -193,6 +193,22 @@ class LangIdStage:
         return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": pred})
 
 
+_LANGID: LangIdStage | None = None
+
+
+def langid_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Task form of LangIdStage: the stage builds in ~0.2 ms (six
+    stopword sets -> one token->bitmask dict), so a process-global
+    lazy instance gives once-per-worker setup WITHOUT an actor pool —
+    tasks scale with the session and skip actor process spawn (an
+    actor pool was both slower to start and capped at its
+    ``concurrency``)."""
+    global _LANGID
+    if _LANGID is None:
+        _LANGID = LangIdStage()
+    return _LANGID(batch)
+
+
 FP_BASE = np.uint64(1099511628211)  # FNV-ish odd multiplier
 FP_OFFSET = np.uint64(1469598103934665603)
 

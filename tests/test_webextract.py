@@ -34,7 +34,7 @@ def _norm(s):
 
 
 def test_html_round_trip_exact():
-    from ocrd_cis_ray.stages.webextract import _ContentUDF, synthesize_html_batch
+    from ocrd_cis_ray.stages.webextract import _content_batch, synthesize_html_batch
 
     texts = [
         "The quick brown fox jumps over the lazy dog. " * 8,
@@ -44,7 +44,7 @@ def test_html_round_trip_exact():
         "one paragraph exactly, with punctuation; and <angle> & ampersand chars escaped properly in transit okay",
     ]
     t = _doc_table(texts)
-    out = _ContentUDF()(synthesize_html_batch(t))
+    out = _content_batch(synthesize_html_batch(t))
     got = out["content_text"].to_pylist()
     for want, have in zip(texts, got):
         assert have == _norm(want)
@@ -101,10 +101,10 @@ def test_html_spans_schema_and_images():
 
 
 def test_html_entities_unescaped():
-    from ocrd_cis_ray.stages.webextract import _ContentUDF, synthesize_html_batch
+    from ocrd_cis_ray.stages.webextract import _content_batch, synthesize_html_batch
 
     text = "salt &amp; pepper <tags> stay literal when round-tripped here"
-    out = _ContentUDF()(synthesize_html_batch(_doc_table([text], start_id=1)))
+    out = _content_batch(synthesize_html_batch(_doc_table([text], start_id=1)))
     assert out["content_text"].to_pylist() == [_norm(text)]
 
 
