@@ -188,17 +188,31 @@ def partitioned_write_pass(
     import pyarrow as pa
 
     ds = ds.materialize()
-    sample = (
-        ds.select_columns([key])
+
+    # key projection via a UDF, NOT ds.select_columns: Ray's map_groups
+    # emits schema-less EMPTY blocks for empty sort partitions, and the
+    # built-in Project operator raises KeyError on them (a UDF is simply
+    # not invoked for 0-row blocks, and pandas concat ignores fully
+    # column-less empties for dtype purposes — the key dtype survives).
+    def _key_only(df) -> "pd.DataFrame":
+        import pandas as pd
+
+        if key in df.columns:
+            return df[[key]]
+        if len(df) == 0:
+            return pd.DataFrame()
+        raise KeyError(f"write key {key!r} missing from a non-empty block")
+
+    sampled = (
+        ds.map_batches(_key_only, batch_format="pandas")
         .randomize_block_order(seed=42)
         .limit(sample_limit)
-        .to_pandas()[key]
-        .sort_values()
-        .to_numpy()
+        .to_pandas()
     )
     os.makedirs(out_dir, exist_ok=True)
-    if len(sample) == 0:
+    if len(sampled) == 0:  # all blocks empty (e.g. every doc filtered)
         return {"completed": 0, "skipped": 0, "rows": 0}
+    sample = sampled[key].sort_values().to_numpy()
     if stringify_key:
         sample = np.asarray(sorted(str(x) for x in sample), dtype=object)
     idx = [round(i * len(sample) / n_partitions) for i in range(1, n_partitions)]

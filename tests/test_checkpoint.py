@@ -172,3 +172,37 @@ def test_write_resumable_generic_dataset(ray_session, sf_dir, tmp_path):
                 if f.endswith(".parquet"):
                     n += pq.read_metadata(os.path.join(out, name, f)).num_rows
     assert n == 500
+
+
+def test_write_resumable_tolerates_schemaless_empty_blocks(ray_session, tmp_path):
+    """Ray's map_groups emits schema-less EMPTY pandas blocks for empty
+    sort partitions; the sink must survive them (mixed with real
+    blocks) and a dataset whose blocks are ALL empty must return a
+    zero-row result instead of raising (seen live: webcorpus with
+    default gopher thresholds drops every doc)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocrd_cis_ray.state.manifest import write_resumable
+
+    base = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(40), "grp": [i % 4 for i in range(40)],
+                      "text": ["x"] * 40})
+    ).repartition(8)
+
+    def keep_some(g: pd.DataFrame) -> pd.DataFrame:
+        # two of four groups vanish -> empty output partitions
+        return g[["doc_id", "text"]] if int(g["grp"].iloc[0]) < 2 else g.iloc[0:0][["doc_id", "text"]]
+
+    mixed = base.groupby("grp").map_groups(keep_some, batch_format="pandas")
+    out1 = str(tmp_path / "mixed")
+    r = write_resumable(mixed, out1, key="doc_id", n_partitions=4, stage="s", input_fingerprint="f")
+    assert r["rows"] == 20
+
+    def keep_none(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[0:0][["doc_id", "text"]]
+
+    empty = base.groupby("grp").map_groups(keep_none, batch_format="pandas")
+    out2 = str(tmp_path / "empty")
+    r = write_resumable(empty, out2, key="doc_id", n_partitions=4, stage="s", input_fingerprint="f")
+    assert r == {"completed": 0, "skipped": 0, "rows": 0}
