@@ -1472,64 +1472,71 @@ def q74_lstm_recognize(sf_dir: str):
     return finish(rec.sort_values("doc_id").reset_index(drop=True))
 
 
-def _eval_variant_lines(sf_dir: str):
-    """Variant lines with richer SQL-expressible corruptions for the
-    eval-report queries: OCR-1 = two substitution classes (e→c, o→0),
-    OCR-2 = two deletion classes (q and a removed). The engine runs
-    the REAL alignment (edit_ops DP backtrace) — the oracle exploits
-    the known corruption structure to recompute the counts in SQL.
+def _wide_variant_lines(sf_dir: str, corruptions):
+    """Wide (doc_id, line_no, <src>..., GT) variant frame built BATCH-
+    LOCALLY, zero shuffle: every variant of a line derives from the
+    same document row, so the (doc_id, line_no) pivot that
+    ``wide_lines`` pays an exchange for in the real chain (where OCR
+    text arrives per channel) is free here — the same fusion the
+    flagship evaluate pipeline uses. ``corruptions`` is an ordered
+    tuple of (source, corrupt_fn) applied to each clean 8-word line.
 
-    Each source is substitution-only or deletion-only ON PURPOSE: a
-    deletion adjacent to a substitution in the SAME source is cost-
-    ambiguous in the DP (delete x / sub y→z vs sub x→z / delete y are
-    both minimal), so per-class counts would depend on the backtrace
+    Eval-report corruption design (q78/q79): each source is
+    substitution-only or deletion-only ON PURPOSE — a deletion
+    adjacent to a substitution in the SAME source is cost-ambiguous in
+    the DP (delete x / sub y→z vs sub x→z / delete y are both
+    minimal), so per-class counts would depend on the backtrace
     tie-break and the oracle could not recompute them structurally.
     Substitution-only (with output chars disjoint from input chars)
     and deletion-only corruptions have a UNIQUE minimal class
     attribution, so any correct aligner matches the SQL."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    srcs = [s for s, _ in corruptions]
 
-    def explode(t: pa.Table) -> pa.Table:
+    def explode_wide(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
         texts = t["text"].to_pylist()
-        out = {"doc_id": [], "source": [], "line_no": [], "text": [], "conf": []}
+        out_id: list = []
+        out_ln: list = []
+        out_gt: list = []
+        out_src: dict = {s: [] for s in srcs}
         for did, text in zip(ids, texts):
             words = (text or "").split(" ")
             lines = [" ".join(words[k : k + 8]) for k in range(0, len(words), 8)]
             for ln, lt in enumerate(lines):
-                for src, variant, conf in (
-                    ("OCR-1", lt.replace("e", "c").replace("o", "0"), 0.8),
-                    ("OCR-2", lt.replace("q", "").replace("a", ""), 0.7),
-                    ("GT", lt, 1.0),
-                ):
-                    out["doc_id"].append(did)
-                    out["source"].append(src)
-                    out["line_no"].append(ln)
-                    out["text"].append(variant)
-                    out["conf"].append(conf)
-        return pa.table(
-            {
-                "doc_id": pa.array(out["doc_id"], pa.int64()),
-                "source": pa.array(out["source"], pa.string()),
-                "line_no": pa.array(out["line_no"], pa.int32()),
-                "text": pa.array(out["text"], pa.string()),
-                "conf": pa.array(out["conf"], pa.float32()),
-            }
-        )
+                out_id.append(did)
+                out_ln.append(ln)
+                out_gt.append(lt)
+                for s, fn in corruptions:
+                    out_src[s].append(fn(lt))
+        cols = {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "line_no": pa.array(out_ln, pa.int32()),
+        }
+        for s in srcs:
+            cols[s] = pa.array(out_src[s], pa.string())
+        cols["GT"] = pa.array(out_gt, pa.string())
+        return pa.table(cols)
 
-    return ds.map_batches(explode, batch_format="pyarrow")
+    return ds.map_batches(explode_wide, batch_format="pyarrow")
+
+
+_EVAL_CORRUPTIONS = (
+    ("OCR-1", lambda s: s.replace("e", "c").replace("o", "0")),  # two substitution classes
+    ("OCR-2", lambda s: s.replace("q", "").replace("a", "")),  # two deletion classes
+)
 
 
 def q78_eval_report(sf_dir: str):
     """Model-comparison eval report (reference div/eval.py:166-296:
     '#token errors made by models' — levenshtein mass, '#full words
     recognized' — GT-word membership in the prediction, '#accuracy'):
-    per OCR source vs GT over aligned variant lines. One wide pivot
-    (the ocr_chain exchange), per-block partial sums, driver reduce."""
-    from ocrd_cis_ray.pipelines.ocr_chain import wide_lines
+    per OCR source vs GT over aligned variant lines. Zero shuffle: the
+    wide frame is built batch-locally (_wide_variant_lines), per-block
+    partial sums, driver reduce."""
     from ocrd_cis_ray.stages.metrics import eval_report
 
-    wide = wide_lines(_eval_variant_lines(sf_dir), sources=tuple(_ALIGN_SOURCES))
+    wide = _wide_variant_lines(sf_dir, _EVAL_CORRUPTIONS)
     return eval_report(wide, sources=("OCR-1", "OCR-2"))
 
 
@@ -1539,25 +1546,28 @@ def q79_error_types(sf_dir: str):
     (source, gt_char, ocr_char) from the full DP alignment backtrace —
     substitutions (g,p), deletions (g,''), insertions ('',p). The SQL
     oracle recomputes the counts from the corruption structure; the
-    engine derives them from the generic alignment."""
-    from ocrd_cis_ray.pipelines.ocr_chain import wide_lines
+    engine derives them from the generic alignment. Zero shuffle: the
+    wide frame is built batch-locally (_wide_variant_lines)."""
     from ocrd_cis_ray.stages.metrics import error_type_counts
 
-    wide = wide_lines(_eval_variant_lines(sf_dir), sources=tuple(_ALIGN_SOURCES))
+    wide = _wide_variant_lines(sf_dir, _EVAL_CORRUPTIONS)
     return error_type_counts(wide, sources=("OCR-1", "OCR-2"))
 
 
 def q52_source_agreement(sf_dir: str):
     """Per-OCR-source agreement report vs GT over aligned variant lines
     — the reference's div/stats.py per-source match aggregation +
-    auswerter.py summary (exact-line matches, levenshtein mass): one
-    wide pivot (the ocr_chain shuffle), row-local compares, Sum-reduce."""
+    auswerter.py summary (exact-line matches, levenshtein mass): the
+    wide frame is built batch-locally (zero shuffle), row-local
+    compares, Sum-reduce."""
     from ray.data.aggregate import Sum
 
-    from ocrd_cis_ray.pipelines.ocr_chain import wide_lines
     from ocrd_cis_ray.util import levenshtein
 
-    wide = wide_lines(_variant_lines(sf_dir), sources=tuple(_ALIGN_SOURCES))
+    wide = _wide_variant_lines(
+        sf_dir,
+        (("OCR-1", lambda s: s.replace("e", "c")), ("OCR-2", lambda s: s.replace("t", "l"))),
+    )
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:
         rows = []
