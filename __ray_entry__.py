@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 79 queries, 64 oracle-checked; the driver
+driver's rows-only check. 80 queries, 65 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -1815,6 +1815,47 @@ def q70_preprocess_media(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q80_wav_roundtrip(sf_dir: str):
+    """REAL PCM-WAV audio path (stdlib wave codec), distributed: per
+    document synthesize a constant-amplitude mono WAV — amplitude
+    (doc_id % 97)/128, the dyadic denominator keeps amp·32767 exact in
+    float64 — push it through the multimodal decode kernel
+    (encode_wav → decode_audio), and emit integer-exact facts the
+    oracle recomputes structurally: n_samples, sample_rate, and
+    peak_q = floor(32767·amp + 0.5) recovered FROM THE DECODED float32
+    samples (float32 round-trip error on the int16 grid is ≤1e-3 ≪
+    0.5, so the quantized peak is bit-stable). The k=64 tie value
+    16383.5 rounds to 16384 under both numpy banker's rounding
+    (encode) and floor(x+0.5) (recovery), so no tie-break divergence.
+
+    Reference intent: opaque-binary media columns with typed metadata
+    processed per asset (SURVEY §2.1 image loader analog for audio)."""
+    from ocrd_cis_ray.sources.media import encode_wav
+    from ocrd_cis_ray.stages.multimodal import decode_audio
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_samples, peaks = [], []
+        for did in ids:
+            n = 160 + int(did) % 240
+            amp = (int(did) % 97) / 128.0
+            dec = decode_audio(encode_wav(np.full(n, amp), 16_000, sampwidth=2))
+            n_samples.append(len(dec))
+            peaks.append(int(np.floor(float(np.abs(dec).max()) * 32767.0 + 0.5)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_samples": pa.array(n_samples, pa.int64()),
+                "sample_rate": pa.array(np.full(len(ids), 16_000, np.int64)),
+                "peak_q": pa.array(peaks, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
 def q71_recognize(sf_dir: str):
     """Template-OCR recognition of clean rendered lines — exact
     round-trip, so the oracle is simply the source text (truncated to
@@ -1989,6 +2030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     a hash match and must not occupy window slots)."""
     return {
         # -- oracle-backed, highest verification priority ------------
+        "q80_wav_roundtrip": q80_wav_roundtrip,
         "q78_eval_report": q78_eval_report,
         "q79_error_types": q79_error_types,
         "q77_word_polygons": q77_word_polygons,
@@ -2039,10 +2081,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q66_webcorpus": q66_webcorpus,
         "q67_json_props_agg": q67_json_props_agg,
         "q68_moving_window": q68_moving_window,
-        "q69_grouped_median": q69_grouped_median,
         # ---------------- 50-query window boundary -------------------
         # -- oracle-backed, green in past rounds (parked past the
         #    window; their multi-round rows stand) --------------------
+        "q69_grouped_median": q69_grouped_median,
         "q12_covariance_sums": q12_covariance_sums,
         "q16_grouped_distinct": q16_grouped_distinct,
         "q05_sort_docs": q05_sort_docs,
@@ -3085,6 +3127,13 @@ WITH t AS (SELECT doc_id, rtrim(substring(text, 1, 40), ' ') AS s FROM documents
 SELECT doc_id, CAST(u.i - 1 AS INT) AS glyph_no, substring(s, u.i, 1) AS ch,
        CAST(10 + 8 * (u.i - 1) AS INT) AS x0, CAST(1.0 AS REAL) AS conf
 FROM t, UNNEST(generate_series(1, length(s))) AS u(i)
+""",
+        "q80_wav_roundtrip": """
+SELECT doc_id,
+       CAST(160 + doc_id % 240 AS BIGINT) AS n_samples,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(FLOOR(32767 * (doc_id % 97) / 128.0 + 0.5) AS BIGINT) AS peak_q
+FROM documents
 """,
         "q78_eval_report": variant_cte
         + """

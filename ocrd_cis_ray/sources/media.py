@@ -44,6 +44,70 @@ def decode_gray(buf: bytes) -> np.ndarray:
     return np.frombuffer(buf, dtype=np.uint8, offset=10).reshape(h, w)
 
 
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) codec — stdlib `wave`, no external audio library needed.
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16_000, *, sampwidth: int = 2
+) -> bytes:
+    """float32/float64 samples in [-1, 1] -> PCM WAV bytes.
+
+    ``samples`` is (n,) mono or (n, channels). ``sampwidth`` bytes per
+    sample: 1 (unsigned 8-bit), 2 (int16) or 4 (int32) — the PCM
+    subtypes the stdlib ``wave`` module writes."""
+    import io
+    import wave as _wave
+
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    a = np.clip(a, -1.0, 1.0)
+    if sampwidth == 1:
+        pcm = ((a * 127.0) + 128.0).round().astype(np.uint8)
+    elif sampwidth == 2:
+        pcm = (a * 32767.0).round().astype("<i2")
+    elif sampwidth == 4:
+        pcm = (a * 2147483647.0).round().astype("<i4")
+    else:
+        raise ValueError(f"unsupported sampwidth {sampwidth}")
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sample_rate)
+        w.writeframes(np.ascontiguousarray(pcm).tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes -> (float32 samples in [-1, 1], sample_rate).
+
+    Samples are (n,) for mono, (n, channels) otherwise. Supports the
+    8/16/32-bit PCM subtypes ``wave`` reads; raises ``wave.Error`` on
+    non-RIFF/compressed input (callers treat that as not-a-WAV)."""
+    import io
+    import wave as _wave
+
+    with _wave.open(io.BytesIO(payload), "rb") as w:
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        sr = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:
+        a = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 127.0
+    elif sw == 2:
+        a = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32767.0
+    elif sw == 4:
+        a = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483647.0
+    else:
+        raise ValueError(f"unsupported sampwidth {sw}")
+    if ch > 1:
+        a = a.reshape(-1, ch)
+    return a, sr
+
+
 from functools import lru_cache
 
 

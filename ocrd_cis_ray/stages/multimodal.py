@@ -10,13 +10,15 @@ Schema convention (one row per media asset or per document span):
     meta: string                 # JSON: {width,height} | {sample_rate,channels,duration_s} | {fps,frames,width,height}
 
 The image path is REAL end-to-end against the raw-gray codec
-(sources/media.py). Audio/video decoding has no library in this
-container, so ``decode_audio`` / ``decode_video`` are STUBS: by default
-they raise ``NotImplementedError`` with the production hint; with
-``fake=True`` they synthesize a deterministic payload-derived array so
-the Ray-side plumbing (schema, batch size, actor signature, output
-layout) is fully exercised and tested. Production swaps the stub body
-for soundfile/PyAV decode — nothing else changes.
+(sources/media.py), and the audio path is REAL for PCM WAV via the
+stdlib ``wave`` module (sources/media.encode_wav/decode_wav —
+8/16/32-bit, mono or multichannel). Compressed audio (mp3/flac) and
+video have no decode library in this container, so those paths raise
+``NotImplementedError`` with the production hint; with ``fake=True``
+they synthesize a deterministic payload-derived array so the Ray-side
+plumbing (schema, batch size, actor signature, output layout) is fully
+exercised and tested. Production swaps the stub body for
+soundfile/PyAV decode — nothing else changes.
 
 Batch sizing: media rows are wide; stages default to small batches
 (16-64) so batch x concurrency stays inside a worker heap, per the
@@ -42,19 +44,28 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 
 def decode_audio(payload: bytes, *, fake: bool = False) -> np.ndarray:
-    """STUB: audio decode (no soundfile/librosa in this container).
+    """Audio decode — REAL for PCM WAV (stdlib ``wave``: 8/16/32-bit,
+    any channel count, downmixed to mono for the feature kernels).
 
-    Production: replace body with e.g. ``soundfile.read(BytesIO(payload))``.
-    ``fake=True`` returns a deterministic float32 waveform derived from
-    the payload bytes so downstream stages are testable.
+    Non-WAV codecs (mp3/flac/ogg) still need an external library
+    (soundfile/librosa) and raise ``NotImplementedError`` with the
+    production hint. ``fake=True`` keeps the deterministic
+    payload-derived waveform for plumbing tests of the non-WAV path.
     """
-    if not fake:
-        raise NotImplementedError(
-            "audio decode requires an audio library (soundfile/librosa); "
-            "run with fake=True for plumbing tests"
-        )
-    b = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
-    return (b - 127.5) / 127.5  # [-1, 1] mono waveform
+    if fake:
+        b = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+        return (b - 127.5) / 127.5  # [-1, 1] mono waveform
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from ..sources.media import decode_wav
+
+        samples, _sr = decode_wav(payload)
+        if samples.ndim == 2:  # downmix: equal-weight channel mean
+            samples = samples.mean(axis=1).astype(np.float32)
+        return samples
+    raise NotImplementedError(
+        "non-WAV audio decode requires an audio library (soundfile/librosa); "
+        "PCM WAV decodes natively, or run with fake=True for plumbing tests"
+    )
 
 
 def decode_video_frames(payload: bytes, *, fake: bool = False, frame_shape=(8, 8)) -> np.ndarray:

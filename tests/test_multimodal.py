@@ -116,3 +116,63 @@ def test_thumbnailer(ray_session):
     t = decode_gray(out["thumb"][0])
     assert t.shape == (24, 24)
     assert json.loads(out["thumb_meta"][0])["width"] == 24
+
+
+def test_wav_round_trip_all_widths():
+    """encode_wav -> decode_wav parity at 8/16/32-bit, mono and stereo."""
+    from ocrd_cis_ray.sources.media import decode_wav, encode_wav
+
+    t = np.arange(800) / 8000.0
+    mono = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    for sw, tol in ((1, 1 / 120.0), (2, 1 / 30000.0), (4, 1e-7)):
+        got, sr = decode_wav(encode_wav(mono, 8000, sampwidth=sw))
+        assert sr == 8000 and got.shape == mono.shape
+        assert np.abs(got - mono).max() < tol
+    stereo = np.stack([mono, -mono], axis=1)
+    got, sr = decode_wav(encode_wav(stereo, 44100, sampwidth=2))
+    assert sr == 44100 and got.shape == stereo.shape
+    assert np.abs(got - stereo).max() < 1 / 30000.0
+
+
+def test_decode_audio_real_wav_and_downmix():
+    """decode_audio is REAL for PCM WAV (no fake flag needed); stereo
+    downmixes to mono; non-WAV still raises with the production hint."""
+    from ocrd_cis_ray.sources.media import encode_wav
+
+    t = np.arange(400) / 8000.0
+    mono = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    got = decode_audio(encode_wav(mono, 8000))
+    assert np.abs(got - mono).max() < 1 / 30000.0
+    stereo = np.stack([mono, np.zeros_like(mono)], axis=1)
+    mixed = decode_audio(encode_wav(stereo, 8000))
+    assert mixed.ndim == 1 and np.abs(mixed - mono / 2).max() < 1 / 15000.0
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x03not-a-wav-payload")
+
+
+def test_featurizer_real_wav_rows(ray_session):
+    """The audio modality runs the REAL path end-to-end when payloads
+    are WAV: ok=True, band-RMS features, no fake flag."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.sources.media import encode_wav
+
+    t = np.arange(1600) / 16000.0
+    rows = [
+        {
+            "doc_id": f"w{i}",
+            "media_ref": f"m/wav{i}",
+            "modality": "audio",
+            "payload": encode_wav(np.sin(2 * np.pi * f * t), 16000),
+            "meta": json.dumps({"sample_rate": 16000, "channels": 1, "duration_s": 0.1}),
+        }
+        for i, f in enumerate((220.0, 440.0))
+    ]
+    out = featurize_media(
+        rd.from_arrow(pa.Table.from_pylist(rows)), fake_decode=False, concurrency=1
+    ).to_pandas()
+    assert out["ok"].all()
+    feats = np.array(out["feature"].tolist())
+    assert feats.shape == (2, 8)
+    # pure sine: every band RMS ~ amplitude/sqrt(2)
+    assert np.abs(feats - 1 / np.sqrt(2)).max() < 0.02
