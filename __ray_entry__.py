@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 80 queries, 65 oracle-checked; the driver
+driver's rows-only check. 82 queries, 67 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -1856,6 +1856,79 @@ def q80_wav_roundtrip(sf_dir: str):
     return ds.map_batches(roundtrip, batch_format="pyarrow")
 
 
+def q81_png_roundtrip(sf_dir: str):
+    """REAL PNG image path (stdlib-zlib codec), distributed: per
+    document synthesize a deterministic gradient image
+    img[y, x] = (x + y + doc_id) % 256 with doc_id-derived dimensions,
+    push it through encode_png → decode_image, and emit integer-exact
+    facts (height, width, pixel sum) the oracle recomputes from the
+    same formula — PNG is lossless, so the decoded sum equals the
+    structural sum bit-for-bit."""
+    from ocrd_cis_ray.sources.media import encode_png
+    from ocrd_cis_ray.stages.multimodal import decode_image
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hs, ws, sums = [], [], []
+        for did in ids:
+            did = int(did)
+            h, w = 8 + did % 8, 8 + did % 16
+            img = ((np.arange(w)[None, :] + np.arange(h)[:, None] + did) % 256).astype(
+                np.uint8
+            )
+            dec = decode_image(encode_png(img))
+            hs.append(dec.shape[0])
+            ws.append(dec.shape[1])
+            sums.append(int(dec.sum(dtype=np.int64)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "pix_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
+def q82_y4m_roundtrip(sf_dir: str):
+    """REAL Y4M video path, distributed: per document synthesize
+    2 + doc_id % 6 constant-luma 8×16 frames (frame f has luma
+    (doc_id + f) % 256), push through encode_y4m → decode_video_frames
+    (C420 chroma parsed and skipped), and emit integer-exact facts the
+    oracle recomputes: n_frames and the total decoded luma sum
+    Σ_f ((doc_id + f) % 256) · 8 · 16."""
+    from ocrd_cis_ray.sources.media import encode_y4m
+    from ocrd_cis_ray.stages.multimodal import decode_video_frames
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nfr, sums = [], []
+        for did in ids:
+            did = int(did)
+            n = 2 + did % 6
+            frames = np.stack(
+                [np.full((8, 16), (did + f) % 256, np.uint8) for f in range(n)]
+            )
+            dec = decode_video_frames(encode_y4m(frames))
+            nfr.append(len(dec))
+            sums.append(int(dec.sum(dtype=np.int64)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_frames": pa.array(nfr, pa.int64()),
+                "luma_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
 def q71_recognize(sf_dir: str):
     """Template-OCR recognition of clean rendered lines — exact
     round-trip, so the oracle is simply the source text (truncated to
@@ -2031,6 +2104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- oracle-backed, highest verification priority ------------
         "q80_wav_roundtrip": q80_wav_roundtrip,
+        "q81_png_roundtrip": q81_png_roundtrip,
+        "q82_y4m_roundtrip": q82_y4m_roundtrip,
         "q78_eval_report": q78_eval_report,
         "q79_error_types": q79_error_types,
         "q77_word_polygons": q77_word_polygons,
@@ -2079,11 +2154,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q63_fix_text": q63_fix_text,
         "q65_bloom_membership": q65_bloom_membership,
         "q66_webcorpus": q66_webcorpus,
-        "q67_json_props_agg": q67_json_props_agg,
-        "q68_moving_window": q68_moving_window,
         # ---------------- 50-query window boundary -------------------
         # -- oracle-backed, green in past rounds (parked past the
         #    window; their multi-round rows stand) --------------------
+        "q67_json_props_agg": q67_json_props_agg,
+        "q68_moving_window": q68_moving_window,
         "q69_grouped_median": q69_grouped_median,
         "q12_covariance_sums": q12_covariance_sums,
         "q16_grouped_distinct": q16_grouped_distinct,
@@ -3134,6 +3209,24 @@ SELECT doc_id,
        CAST(16000 AS BIGINT) AS sample_rate,
        CAST(FLOOR(32767 * (doc_id % 97) / 128.0 + 0.5) AS BIGINT) AS peak_q
 FROM documents
+""",
+        "q81_png_roundtrip": """
+SELECT d.doc_id,
+       CAST(8 + d.doc_id % 8 AS BIGINT) AS height,
+       CAST(8 + d.doc_id % 16 AS BIGINT) AS width,
+       CAST(SUM((xx.x + yy.y + d.doc_id) % 256) AS BIGINT) AS pix_sum
+FROM documents d,
+     UNNEST(generate_series(0, CAST(8 + d.doc_id % 8 AS INT) - 1)) AS yy(y),
+     UNNEST(generate_series(0, CAST(8 + d.doc_id % 16 AS INT) - 1)) AS xx(x)
+GROUP BY d.doc_id
+""",
+        "q82_y4m_roundtrip": """
+SELECT d.doc_id,
+       CAST(2 + d.doc_id % 6 AS BIGINT) AS n_frames,
+       CAST(SUM(((d.doc_id + ff.f) % 256) * 8 * 16) AS BIGINT) AS luma_sum
+FROM documents d,
+     UNNEST(generate_series(0, CAST(2 + d.doc_id % 6 AS INT) - 1)) AS ff(f)
+GROUP BY d.doc_id
 """,
         "q78_eval_report": variant_cte
         + """

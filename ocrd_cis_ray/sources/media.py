@@ -195,3 +195,208 @@ def shear_vertical(img: np.ndarray, angle_deg: float) -> np.ndarray:
     ok = (src_rows >= 0) & (src_rows < h)
     cols = np.broadcast_to(np.arange(w), (h, w))
     return np.where(ok, img[np.clip(src_rows, 0, h - 1), cols], 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# PNG codec — stdlib zlib only. Supports the non-interlaced 8-bit-depth
+# subtypes that cover practically all ML-corpus PNGs: color type 0
+# (grayscale), 2 (RGB), 6 (RGBA). All five scanline filters (None/Sub/
+# Up/Average/Paeth) decode; the encoder defaults to filter 0 (rows are
+# a straight memcpy both ways — our round trips stay vectorized) but
+# can emit any filter so the decoder's unfilter path is testable
+# without an external PNG library.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """uint8 (h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA -> PNG bytes."""
+    import zlib
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color, ch = 0, 1
+        a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color, ch = 2, 3
+    elif a.ndim == 3 and a.shape[2] == 4:
+        color, ch = 6, 4
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w = a.shape[:2]
+    rows = a.reshape(h, w * ch).astype(np.int16)
+    prev = np.zeros(w * ch, dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        cur = rows[y]
+        left = np.concatenate([np.zeros(ch, np.int16), cur[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - ((left + prev) // 2)
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa_, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc), left, np.where(pb <= pc, prev, upleft))
+            filt = cur - pred
+        else:
+            raise ValueError(f"bad filter {filter_type}")
+        out.append(filter_type)
+        out += (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array: (h, w) for grayscale, (h, w, ch) else."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, bytearray(), None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG subtype not supported (depth={depth} color={color} "
+            f"interlace={interlace}); production: pillow/cv2"
+        )
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = lines[:, 0]
+    data = lines[:, 1:].astype(np.int16)
+    if not ftypes.any():  # all filter 0: pure reshape, the fast path
+        out = data.astype(np.uint8)
+    else:
+        out = np.zeros((h, stride), dtype=np.int16)
+        prev = np.zeros(stride, dtype=np.int16)
+        for y in range(h):
+            f = ftypes[y]
+            cur = data[y].copy()
+            if f == 0:
+                pass
+            elif f == 2:
+                cur = (cur + prev) & 0xFF
+            else:  # 1/3/4 have an in-row left dependency: walk pixel groups
+                for x in range(0, stride, ch):
+                    left = cur[x - ch : x] if x else np.zeros(ch, np.int16)
+                    up = prev[x : x + ch]
+                    upleft = prev[x - ch : x] if x else np.zeros(ch, np.int16)
+                    if f == 1:
+                        cur[x : x + ch] = (cur[x : x + ch] + left) & 0xFF
+                    elif f == 3:
+                        cur[x : x + ch] = (cur[x : x + ch] + (left + up) // 2) & 0xFF
+                    elif f == 4:
+                        p = left + up - upleft
+                        pa_, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                        pred = np.where(
+                            (pa_ <= pb) & (pa_ <= pc), left, np.where(pb <= pc, up, upleft)
+                        )
+                        cur[x : x + ch] = (cur[x : x + ch] + pred) & 0xFF
+                    else:
+                        raise ValueError(f"bad PNG filter {f}")
+            out[y] = cur
+            prev = out[y]
+        out = out.astype(np.uint8)
+    arr = out.reshape(h, w, ch)
+    return arr[:, :, 0] if ch == 1 else arr
+
+
+def rgb_to_gray(arr: np.ndarray) -> np.ndarray:
+    """ITU-R 601 integer luma; RGBA alpha is ignored."""
+    if arr.ndim == 2:
+        return arr
+    r, g, b = arr[:, :, 0].astype(np.uint32), arr[:, :, 1].astype(np.uint32), arr[:, :, 2].astype(np.uint32)
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) codec — plain-text header + raw frames, the
+# ffmpeg-interoperable uncompressed video container. Supports C420
+# (4:2:0, the default) and Cmono.
+
+
+def encode_y4m(frames: np.ndarray, *, fps: int = 25, mono: bool = False) -> bytes:
+    """uint8 (n, h, w) luma frames -> Y4M bytes (chroma neutral 128 for
+    C420; h and w must be even in 420 mode)."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = f.shape
+    colorspace = b"Cmono" if mono else b"C420jpeg"
+    head = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 %s\n" % (w, h, fps, colorspace)
+    out = bytearray(head)
+    chroma = b"" if mono else bytes([128]) * ((h // 2) * (w // 2)) * 2
+    for i in range(n):
+        out += b"FRAME\n" + f[i].tobytes() + chroma
+    return bytes(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
+    """Y4M bytes -> (uint8 (n, h, w) luma frames, fps). Chroma planes
+    (C420*) are parsed and skipped — features here are luma-based."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].split(b" ")
+    if head[0] != b"YUV4MPEG2":
+        raise ValueError("not a Y4M payload")
+    w = h = fps = 0
+    mono = False
+    for tok in head[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            fps = int(tok[1:].split(b":")[0])
+        elif tok[:1] == b"C":
+            mono = tok == b"Cmono"
+    per = h * w + (0 if mono else (h // 2) * (w // 2) * 2)
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fe = payload.index(b"\n", pos)  # FRAME line (may carry params)
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M frame marker")
+        pos = fe + 1
+        frames.append(
+            np.frombuffer(payload, dtype=np.uint8, offset=pos, count=h * w).reshape(h, w)
+        )
+        pos += per
+    return (np.stack(frames) if frames else np.zeros((0, h, w), np.uint8)), fps

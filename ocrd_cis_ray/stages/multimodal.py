@@ -9,16 +9,17 @@ Schema convention (one row per media asset or per document span):
     payload: large_binary        # encoded bytes (opaque)
     meta: string                 # JSON: {width,height} | {sample_rate,channels,duration_s} | {fps,frames,width,height}
 
-The image path is REAL end-to-end against the raw-gray codec
-(sources/media.py), and the audio path is REAL for PCM WAV via the
-stdlib ``wave`` module (sources/media.encode_wav/decode_wav —
-8/16/32-bit, mono or multichannel). Compressed audio (mp3/flac) and
-video have no decode library in this container, so those paths raise
-``NotImplementedError`` with the production hint; with ``fake=True``
-they synthesize a deterministic payload-derived array so the Ray-side
-plumbing (schema, batch size, actor signature, output layout) is fully
-exercised and tested. Production swaps the stub body for
-soundfile/PyAV decode — nothing else changes.
+All three modalities have a REAL decode path with no external
+library: image = PNG (stdlib-zlib codec, 8-bit gray/RGB/RGBA, all
+five scanline filters) plus the raw-gray codec; audio = PCM WAV via
+the stdlib ``wave`` module (8/16/32-bit, mono or multichannel); video
+= Y4M/YUV4MPEG2 (the ffmpeg-interoperable uncompressed container).
+COMPRESSED codecs (JPEG, mp3/flac, h264) still need
+pillow/soundfile/PyAV and raise ``NotImplementedError`` with the
+production hint; with ``fake=True`` the audio/video decoders
+synthesize a deterministic payload-derived array so the compressed
+path's plumbing (schema, batch size, actor signature, output layout)
+stays exercised and tested.
 
 Batch sizing: media rows are wide; stages default to small batches
 (16-64) so batch x concurrency stays inside a worker heap, per the
@@ -39,8 +40,20 @@ from ..sources.media import decode_gray, encode_gray
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image decode — REAL for the raw-gray codec (production: PNG/JPEG)."""
-    return decode_gray(payload)
+    """Image decode to uint8 grayscale — REAL for PNG (stdlib-zlib
+    codec: 8-bit gray/RGB/RGBA, all five scanline filters; color is
+    reduced to ITU-R 601 luma for the feature kernels) and for the
+    raw-gray codec. JPEG would need an external library."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..sources.media import decode_png, rgb_to_gray
+
+        return rgb_to_gray(decode_png(payload))
+    if payload[:2] == b"G8":
+        return decode_gray(payload)
+    raise NotImplementedError(
+        "image decode: PNG and raw-gray decode natively; other codecs "
+        "(JPEG/TIFF) need pillow/cv2"
+    )
 
 
 def decode_audio(payload: bytes, *, fake: bool = False) -> np.ndarray:
@@ -69,20 +82,29 @@ def decode_audio(payload: bytes, *, fake: bool = False) -> np.ndarray:
 
 
 def decode_video_frames(payload: bytes, *, fake: bool = False, frame_shape=(8, 8)) -> np.ndarray:
-    """STUB: video decode to frames (no PyAV/ffmpeg in this container).
+    """Video decode to (n_frames, h, w) uint8 luma frames — REAL for
+    Y4M/YUV4MPEG2 (the ffmpeg-interoperable uncompressed container;
+    C420 chroma parsed and skipped, Cmono native).
 
-    Production: replace body with PyAV frame iteration. ``fake=True``
-    reshapes payload bytes into (n_frames, h, w) uint8 frames.
+    Compressed video (h264/vp9/...) still needs PyAV/ffmpeg and raises
+    ``NotImplementedError``. ``fake=True`` keeps the deterministic
+    payload-reshape for plumbing tests of the compressed path.
     """
-    if not fake:
-        raise NotImplementedError(
-            "video decode requires PyAV/ffmpeg; run with fake=True for plumbing tests"
-        )
-    h, w = frame_shape
-    per = h * w
-    b = np.frombuffer(payload, dtype=np.uint8)
-    n = len(b) // per
-    return b[: n * per].reshape(n, h, w)
+    if fake:
+        h, w = frame_shape
+        per = h * w
+        b = np.frombuffer(payload, dtype=np.uint8)
+        n = len(b) // per
+        return b[: n * per].reshape(n, h, w)
+    if payload[:9] == b"YUV4MPEG2":
+        from ..sources.media import decode_y4m
+
+        frames, _fps = decode_y4m(payload)
+        return frames
+    raise NotImplementedError(
+        "compressed video decode requires PyAV/ffmpeg; Y4M decodes "
+        "natively, or run with fake=True for plumbing tests"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -176,3 +176,88 @@ def test_featurizer_real_wav_rows(ray_session):
     assert feats.shape == (2, 8)
     # pure sine: every band RMS ~ amplitude/sqrt(2)
     assert np.abs(feats - 1 / np.sqrt(2)).max() < 0.02
+
+
+def test_png_round_trip_all_filters_and_subtypes():
+    """encode_png/decode_png parity for gray/RGB/RGBA under every
+    scanline filter (the encoder can emit 1-4 so the decoder's
+    unfilter path is testable without an external PNG library)."""
+    from ocrd_cis_ray.sources.media import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    arrays = [
+        rng.integers(0, 256, (13, 17), dtype=np.uint8),
+        rng.integers(0, 256, (9, 7, 3), dtype=np.uint8),
+        rng.integers(0, 256, (5, 6, 4), dtype=np.uint8),
+    ]
+    for a in arrays:
+        for ft in range(5):
+            assert (decode_png(encode_png(a, filter_type=ft)) == a).all()
+
+
+def test_decode_image_png_and_luma():
+    from ocrd_cis_ray.sources.media import encode_png
+    from ocrd_cis_ray.stages.multimodal import decode_image
+
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert (decode_image(encode_png(g)) == g).all()
+    rgb = np.zeros((4, 4, 3), np.uint8)
+    rgb[:, :, 1] = 200  # pure green -> luma 587*200//1000 = 117
+    assert (decode_image(encode_png(rgb)) == 117).all()
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 not-actually-jpeg")
+
+
+def test_y4m_round_trip_and_real_video_features(ray_session):
+    """decode_video_frames is REAL for Y4M; the featurizer runs the
+    video modality end-to-end without the fake flag."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.sources.media import encode_y4m
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (6, 8, 10), dtype=np.uint8)
+    got = decode_video_frames(encode_y4m(frames, fps=30))
+    assert (got == frames).all()
+    got = decode_video_frames(encode_y4m(frames, mono=True))
+    assert (got == frames).all()
+    with pytest.raises(NotImplementedError):
+        decode_video_frames(b"\x00\x00\x00\x18ftypmp42 not-real-mp4")
+
+    rows = [
+        {
+            "doc_id": "v0",
+            "media_ref": "m/y4m0",
+            "modality": "video",
+            "payload": encode_y4m(frames),
+            "meta": json.dumps({"fps": 25, "frames": 6, "width": 10, "height": 8}),
+        }
+    ]
+    out = featurize_media(
+        rd.from_arrow(pa.Table.from_pylist(rows)), fake_decode=False, concurrency=1
+    ).to_pandas()
+    assert out["ok"].all()
+    feats = np.array(out["feature"][0])
+    assert feats.shape == (4,)  # k_frames sampled mean intensities
+    assert np.all(feats > 0)
+
+
+def test_featurizer_real_png_rows(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.sources.media import encode_png, render_line
+
+    img = render_line("png doc")
+    rows = [
+        {
+            "doc_id": "p0",
+            "media_ref": "m/png0",
+            "modality": "image",
+            "payload": encode_png(img),
+            "meta": json.dumps({"width": img.shape[1], "height": img.shape[0]}),
+        }
+    ]
+    out = featurize_media(
+        rd.from_arrow(pa.Table.from_pylist(rows)), fake_decode=False, concurrency=1
+    ).to_pandas()
+    assert out["ok"].all() and len(out["feature"][0]) == 64
