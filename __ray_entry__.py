@@ -1566,7 +1566,9 @@ def q52_source_agreement(sf_dir: str):
 
     wide = _wide_variant_lines(
         sf_dir,
-        (("OCR-1", lambda s: s.replace("e", "c")), ("OCR-2", lambda s: s.replace("t", "l"))),
+        tuple(
+            (src, lambda s, sub=sub: s.replace(*sub)) for src, sub, _ in _CHAIN_CORRUPTIONS
+        ),
     )
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:
@@ -1614,10 +1616,15 @@ def q52_source_agreement(sf_dir: str):
 
 _ALIGN_SOURCES = ["OCR-1", "OCR-2", "GT"]
 
+# ONE source of truth for the alignment-suite corruption contract
+# (q50/q51/q52/q60/q61/q62 engines AND their shared variant_cte oracle
+# all assume exactly these substitutions): (source, (find, repl), conf).
+_CHAIN_CORRUPTIONS = (("OCR-1", ("e", "c"), 0.8), ("OCR-2", ("t", "l"), 0.7))
+
 
 def _variant_lines(sf_dir: str):
     """Long-form variant lines from documents: 8-word lines, three sources
-    with SQL-expressible corruptions (OCR-1: e→c, OCR-2: t→l, GT: clean)."""
+    with SQL-expressible corruptions (_CHAIN_CORRUPTIONS + clean GT)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
@@ -1628,7 +1635,7 @@ def _variant_lines(sf_dir: str):
             words = (text or "").split(" ")
             lines = [" ".join(words[k : k + 8]) for k in range(0, len(words), 8)]
             for ln, lt in enumerate(lines):
-                for src, sub, conf in (("OCR-1", ("e", "c"), 0.8), ("OCR-2", ("t", "l"), 0.7), ("GT", None, 1.0)):
+                for src, sub, conf in (*_CHAIN_CORRUPTIONS, ("GT", None, 1.0)):
                     out["doc_id"].append(did)
                     out["source"].append(src)
                     out["line_no"].append(ln)

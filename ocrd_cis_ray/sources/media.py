@@ -99,10 +99,18 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         a = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 127.0
     elif sw == 2:
         a = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32767.0
+    elif sw == 3:  # 24-bit: widen 3-byte LE to int32 with sign extension
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        a = v.astype(np.float32) / 8388607.0
     elif sw == 4:
         a = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483647.0
     else:
-        raise ValueError(f"unsupported sampwidth {sw}")
+        raise NotImplementedError(
+            f"WAV sampwidth {sw} not supported (1/2/3/4-byte PCM decode "
+            "natively); production: soundfile/librosa"
+        )
     if ch > 1:
         a = a.reshape(-1, ch)
     return a, sr
@@ -314,16 +322,18 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur = data[y].copy()
             if f == 0:
                 pass
-            elif f == 2:
+            elif f == 2:  # Up: whole row vectorized
                 cur = (cur + prev) & 0xFF
-            else:  # 1/3/4 have an in-row left dependency: walk pixel groups
+            elif f == 1:  # Sub: prefix sum mod 256 per channel (vectorized)
+                cur = (
+                    np.cumsum(cur.reshape(-1, ch), axis=0, dtype=np.int64) & 0xFF
+                ).reshape(stride).astype(np.int16)
+            else:  # 3/4 carry a decoded-left dependency: walk pixel groups
                 for x in range(0, stride, ch):
                     left = cur[x - ch : x] if x else np.zeros(ch, np.int16)
                     up = prev[x : x + ch]
                     upleft = prev[x - ch : x] if x else np.zeros(ch, np.int16)
-                    if f == 1:
-                        cur[x : x + ch] = (cur[x : x + ch] + left) & 0xFF
-                    elif f == 3:
+                    if f == 3:
                         cur[x : x + ch] = (cur[x : x + ch] + (left + up) // 2) & 0xFF
                     elif f == 4:
                         p = left + up - upleft
@@ -357,9 +367,13 @@ def rgb_to_gray(arr: np.ndarray) -> np.ndarray:
 
 def encode_y4m(frames: np.ndarray, *, fps: int = 25, mono: bool = False) -> bytes:
     """uint8 (n, h, w) luma frames -> Y4M bytes (chroma neutral 128 for
-    C420; h and w must be even in 420 mode)."""
+    C420; h and w must be even in 420 mode — enforced, since odd dims
+    would need the ceil half-plane sizes real 4:2:0 uses and the file
+    would be silently unreadable by ffmpeg)."""
     f = np.ascontiguousarray(frames, dtype=np.uint8)
     n, h, w = f.shape
+    if not mono and (h % 2 or w % 2):
+        raise ValueError(f"C420 requires even frame dims, got {h}x{w}; use mono=True")
     colorspace = b"Cmono" if mono else b"C420jpeg"
     head = b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 %s\n" % (w, h, fps, colorspace)
     out = bytearray(head)
@@ -370,8 +384,11 @@ def encode_y4m(frames: np.ndarray, *, fps: int = 25, mono: bool = False) -> byte
 
 
 def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
-    """Y4M bytes -> (uint8 (n, h, w) luma frames, fps). Chroma planes
-    (C420*) are parsed and skipped — features here are luma-based."""
+    """Y4M bytes -> (uint8 (n, h, w) luma frames, fps rounded to int —
+    NTSC 30000:1001 reports 30). Chroma planes (C420*) are parsed and
+    skipped — features here are luma-based. Colorspaces other than
+    C420*/Cmono (C422, C444) have different plane sizes and raise
+    ``NotImplementedError`` up front instead of failing mid-stream."""
     nl = payload.index(b"\n")
     head = payload[:nl].split(b" ")
     if head[0] != b"YUV4MPEG2":
@@ -384,9 +401,16 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
         elif tok[:1] == b"H":
             h = int(tok[1:])
         elif tok[:1] == b"F":
-            fps = int(tok[1:].split(b":")[0])
+            num, _, den = tok[1:].partition(b":")
+            fps = round(int(num) / max(1, int(den or b"1")))
         elif tok[:1] == b"C":
-            mono = tok == b"Cmono"
+            if tok == b"Cmono":
+                mono = True
+            elif not tok.startswith(b"C420"):
+                raise NotImplementedError(
+                    f"Y4M colorspace {tok.decode()} not supported (C420*/Cmono "
+                    "decode natively); production: PyAV/ffmpeg"
+                )
     per = h * w + (0 if mono else (h // 2) * (w // 2) * 2)
     frames = []
     pos = nl + 1

@@ -261,3 +261,42 @@ def test_featurizer_real_png_rows(ray_session):
         rd.from_arrow(pa.Table.from_pylist(rows)), fake_decode=False, concurrency=1
     ).to_pandas()
     assert out["ok"].all() and len(out["feature"][0]) == 64
+
+
+def test_wav_24bit_decode():
+    """24-bit PCM (pro-audio subtype; stdlib wave writes raw 3-byte
+    frames) decodes with sign extension."""
+    import io
+    import wave
+
+    from ocrd_cis_ray.sources.media import decode_wav
+
+    vals = np.array([0, 8388607, -8388608, -1, 4194304], dtype=np.int64)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(48000)
+        w.writeframes(raw)
+    got, sr = decode_wav(buf.getvalue())
+    assert sr == 48000
+    want = vals / 8388607.0
+    assert np.abs(got - want).max() < 1e-6
+
+
+def test_y4m_guards_and_rational_fps():
+    from ocrd_cis_ray.sources.media import decode_y4m, encode_y4m
+
+    # unsupported colorspace rejected up front, not mid-stream
+    bad = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C444\nFRAME\n" + bytes(48)
+    with pytest.raises(NotImplementedError):
+        decode_y4m(bad)
+    # NTSC rational frame rate rounds instead of truncating to numerator
+    ntsc = b"YUV4MPEG2 W2 H2 F30000:1001 Ip A1:1 Cmono\nFRAME\n" + bytes(4)
+    frames, fps = decode_y4m(ntsc)
+    assert fps == 30 and frames.shape == (1, 2, 2)
+    # odd dims in C420 mode raise instead of writing a corrupt file
+    with pytest.raises(ValueError):
+        encode_y4m(np.zeros((1, 3, 4), np.uint8))
+    encode_y4m(np.zeros((1, 3, 4), np.uint8), mono=True)  # mono ok
