@@ -279,10 +279,16 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     else:
         result = run_bench()
-        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-        try:
-            with open(detail_path, "w") as f:
-                json.dump(result, f, indent=1)
-        except OSError:
-            pass
+        # headline-only runs (the --scaling legs re-enter here via
+        # subprocess with GRAFT_HEADLINE_ONLY=1) must NOT clobber the
+        # full-run sidecar — that erased the 34-entry detail twice
+        if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+            detail_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+            )
+            try:
+                with open(detail_path, "w") as f:
+                    json.dump(result, f, indent=1)
+            except OSError:
+                pass
         print(json.dumps(_compact(result)))

@@ -102,6 +102,11 @@ class BPEEncoder:
     n_tokens). Merge ranks parsed once per actor; word->len memo
     persists across batches."""
 
+    # memo ceiling: word->len entries are ~100 B each, so 2M entries is
+    # ~200 MB per worker — beyond that, stop inserting (Zipf: the hot
+    # head is long cached by then; the cold tail is computed inline)
+    MEMO_CAP = 2_000_000
+
     def __init__(self, merges: pd.DataFrame):
         self.ranks = {
             (r.left, r.right): int(r.rank) for r in merges.itertuples()
@@ -112,7 +117,8 @@ class BPEEncoder:
         n = self.memo.get(word)
         if n is None:
             n = len(encode_word(word, self.ranks))
-            self.memo[word] = n
+            if len(self.memo) < self.MEMO_CAP:
+                self.memo[word] = n
         return n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -149,6 +155,8 @@ _ENCODERS: dict = {}
 def _encoder_for(merge_rows: tuple) -> "BPEEncoder":
     enc = _ENCODERS.get(merge_rows)
     if enc is None:
+        if len(_ENCODERS) >= 4:  # bound worker memory: evict oldest corpus
+            _ENCODERS.pop(next(iter(_ENCODERS)))
         enc = BPEEncoder(
             pd.DataFrame(list(merge_rows), columns=["left", "right", "rank"])
         )
