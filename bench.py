@@ -169,6 +169,9 @@ def run_bench() -> dict:
         "q51_cer_by_source",
         "q78_eval_report",
         "q79_error_types",
+        "q80_wav_roundtrip",
+        "q81_png_roundtrip",
+        "q82_y4m_roundtrip",
     ):
         fn = Q[name]
 
