@@ -1143,6 +1143,23 @@ def q45_layout_reconstruct(sf_dir: str):
     return reconstruct_reading_order(synthesize_layout(ds))
 
 
+def q83_pdf_extract(sf_dir: str):
+    """REAL PDF container path (stdlib-only codec, sources/pdf.py):
+    each document is laid out into the same deterministic 2-column
+    multi-page fragment geometry as q45 and written as a VALID PDF 1.4
+    file (page tree, FlateDecode content streams, xref, trailer); the
+    extraction stage then truly parses the PDF back — object scan,
+    /Root→/Pages→/Kids walk, zlib stream decode, content-stream text
+    interpretation (Tm/Tj) — and reconstructs reading order
+    geometrically. Oracle = exact inversion of the normalized text,
+    identical to q45's, so the oracle covers BOTH the container codec
+    and the geometric reconstruction end-to-end."""
+    from ocrd_cis_ray.stages.layout import extract_pdf_text, synthesize_pdfs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return extract_pdf_text(synthesize_pdfs(ds))
+
+
 # ---------------------------------------------------------------------------
 # decontamination / duplicate n-gram hygiene (stages/contamination.py)
 
@@ -2110,6 +2127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     a hash match and must not occupy window slots)."""
     return {
         # -- oracle-backed, highest verification priority ------------
+        "q83_pdf_extract": q83_pdf_extract,
         "q80_wav_roundtrip": q80_wav_roundtrip,
         "q81_png_roundtrip": q81_png_roundtrip,
         "q82_y4m_roundtrip": q82_y4m_roundtrip,
@@ -2139,7 +2157,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q20_token_count": q20_token_count,
         "q21_quality": q21_quality,
         "q22_langid": q22_langid,
-        "q23_lang_counts": q23_lang_counts,
         "q25_bpe_token_count": q25_bpe_token_count,
         "q26_token_freq_quality": q26_token_freq_quality,
         "q27_redact": q27_redact,
@@ -2164,6 +2181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- 50-query window boundary -------------------
         # -- oracle-backed, green in past rounds (parked past the
         #    window; their multi-round rows stand) --------------------
+        "q23_lang_counts": q23_lang_counts,
         "q67_json_props_agg": q67_json_props_agg,
         "q68_moving_window": q68_moving_window,
         "q69_grouped_median": q69_grouped_median,
@@ -2973,6 +2991,10 @@ SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text
 FROM documents
 """,
         "q45_layout_reconstruct": """
+SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text
+FROM documents
+""",
+        "q83_pdf_extract": """
 SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text
 FROM documents
 """,

@@ -215,3 +215,61 @@ def reconstruct_batch(batch: pa.Table) -> pa.Table:
 def reconstruct_reading_order(ds):
     """(doc_id, frags) -> (doc_id, content_text); row-local, no shuffle."""
     return ds.map_batches(reconstruct_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# real PDF container path (sources/pdf.py codec)
+
+
+def synthesize_pdf_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, text) -> (doc_id, pdf): each document laid out
+    with `_lay_out` (multi-page, 2-column, running headers, page-number
+    footers, hash-shuffled fragment order) and written as a REAL PDF
+    1.4 file with FlateDecode content streams."""
+    from ..sources.pdf import encode_pdf
+
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    pdfs = []
+    for i, t in zip(ids, texts):
+        frags = _lay_out(i, " ".join((t or "").split()))
+        n_pages = 1 + max((f["page"] for f in frags), default=0)
+        pages: list[list[dict]] = [[] for _ in range(n_pages)]
+        for f in frags:
+            pages[f["page"]].append(f)
+        pdfs.append(encode_pdf(pages))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, batch["doc_id"].type),
+            "pdf": pa.array(pdfs, pa.large_binary()),
+        }
+    )
+
+
+def extract_pdf_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, pdf) -> (doc_id, content_text): real PDF parse (object
+    scan, page-tree walk, FlateDecode, content-stream interpretation)
+    then the SAME geometric reading-order reconstruction the fragment
+    path uses — margin crop, running-header/page-number drop, column
+    detection, line clustering."""
+    from ..sources.pdf import parse_pdf
+
+    ids = batch["doc_id"].to_pylist()
+    payloads = batch["pdf"].to_pylist()
+    out = [_reconstruct_doc(parse_pdf(p)) if p else "" for p in payloads]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, batch["doc_id"].type),
+            "content_text": pa.array(out, pa.string()),
+        }
+    )
+
+
+def synthesize_pdfs(ds):
+    """documents(doc_id, text) -> (doc_id, pdf bytes); row-local."""
+    return ds.map_batches(synthesize_pdf_batch, batch_format="pyarrow")
+
+
+def extract_pdf_text(ds):
+    """(doc_id, pdf bytes) -> (doc_id, content_text); row-local."""
+    return ds.map_batches(extract_pdf_batch, batch_format="pyarrow")

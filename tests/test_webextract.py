@@ -197,3 +197,105 @@ def test_layout_reconstruct_handles_empty_and_unknown(ray_session):
     out = reconstruct_reading_order(synthesize_layout(ds)).to_pandas()
     out = out.sort_values("doc_id").reset_index(drop=True)
     assert list(out["content_text"]) == [_norm(t) for t in df["text"]]
+
+
+# ---------------------------------------------------------------------------
+# real PDF container codec (sources/pdf.py)
+
+
+def test_pdf_writer_emits_valid_structure():
+    from ocrd_cis_ray.sources.pdf import encode_pdf
+
+    pdf = encode_pdf([[{"x": 10, "y": 30, "text": "hello"}],
+                      [{"x": 10, "y": 30, "text": "world"}]])
+    assert pdf.startswith(b"%PDF-1.4") and pdf.rstrip().endswith(b"%%EOF")
+    assert b"/Type /Catalog" in pdf and b"/Count 2" in pdf
+    assert b"/FlateDecode" in pdf and b"xref" in pdf and b"startxref" in pdf
+    # xref offsets are byte-accurate: every listed offset lands on "N 0 obj"
+    import re
+    xref_at = int(pdf.rsplit(b"startxref", 1)[1].split()[0])
+    lines = pdf[xref_at:].split(b"\n")
+    n_objs = int(lines[1].split()[1])
+    for num, ln in enumerate(lines[3 : 2 + n_objs], start=1):
+        off = int(ln.split()[0])
+        assert re.match(rb"%d 0 obj" % num, pdf[off:off + 20])
+
+
+def test_pdf_round_trip_exact():
+    from ocrd_cis_ray.sources.pdf import encode_pdf, parse_pdf
+    from ocrd_cis_ray.stages.layout import _lay_out, _reconstruct_doc
+
+    texts = [
+        "",
+        "one",
+        "the quick brown fox jumps over the lazy dog " * 8,
+        "alpha beta gamma delta epsilon zeta " * 40,  # multi-page
+    ]
+    for did, text in enumerate(texts):
+        norm = _norm(text)
+        frags = _lay_out(did, norm)
+        n_pages = 1 + max((f["page"] for f in frags), default=0)
+        pages = [[] for _ in range(n_pages)]
+        for f in frags:
+            pages[f["page"]].append(f)
+        got = _reconstruct_doc(parse_pdf(encode_pdf(pages)))
+        assert got == norm
+
+
+def test_pdf_string_escaping_and_unicode():
+    from ocrd_cis_ray.sources.pdf import encode_pdf, parse_pdf
+
+    tricky = "par(en)s \\back\\slash\\ new\nline tab\t octal\x07 ümlaut €uro"
+    out = parse_pdf(encode_pdf([[{"x": 5, "y": 20, "text": tricky}]]))
+    assert [f["text"] for f in out] == [tricky]
+    assert out[0]["x"] == 5.0 and out[0]["y"] == 20.0  # y back in top-down
+
+
+def test_pdf_interpreter_foreign_operators():
+    """The parser must handle text operators our writer never emits:
+    relative moves (Td/TD/T*), leading (TL), quote shows, TJ kerning."""
+    from ocrd_cis_ray.sources.pdf import PAGE_H, _interpret_content
+
+    content = (b"BT /F1 12 Tf 20 TL 1 0 0 1 50 150 Tm (first) Tj "
+               b"10 -20 Td (second) Tj T* (third) Tj (fourth) ' "
+               b"[(kern) -500 (ed)] TJ ET")
+    frags = _interpret_content(content, 3)
+    assert [(f["text"], f["x"], f["y"]) for f in frags] == [
+        ("first", 50.0, PAGE_H - 150.0),
+        ("second", 60.0, PAGE_H - 130.0),
+        ("third", 60.0, PAGE_H - 110.0),
+        ("fourth", 60.0, PAGE_H - 90.0),
+        ("kern", 60.0, PAGE_H - 90.0),
+        # kern advance: -(-500)/1000 * 12pt = +6
+        ("ed", 66.0, PAGE_H - 90.0),
+    ]
+    assert all(f["page"] == 3 for f in frags)
+
+
+def test_pdf_parser_rejects_non_pdf_and_bad_filter():
+    import pytest as _pytest
+
+    from ocrd_cis_ray.sources.pdf import encode_pdf, parse_pdf
+
+    with _pytest.raises(ValueError):
+        parse_pdf(b"GIF89a not a pdf")
+    pdf = encode_pdf([[{"x": 1, "y": 1, "text": "x"}]])
+    with _pytest.raises(NotImplementedError):
+        parse_pdf(pdf.replace(b"/FlateDecode", b"/LZWDecode\x20\x20"))
+
+
+def test_pdf_ray_pipeline(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.layout import extract_pdf_text, synthesize_pdfs
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(24, dtype=np.int64),
+            "text": ["omega psi chi phi " * (i % 9) for i in range(24)],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(3)
+    out = extract_pdf_text(synthesize_pdfs(ds)).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert list(out["content_text"]) == [_norm(t) for t in df["text"]]
