@@ -1111,6 +1111,25 @@ def q69_grouped_median(sf_dir: str):
 # main-content extraction (stages/webextract.py, stages/layout.py)
 
 
+def q84_url_filter(sf_dir: str):
+    """URL curation gate (FineWeb §3.1 / C4): canonicalize messy
+    deterministic URLs (case-fold, www./default-port strip, duplicate
+    slash collapse, utm_* removal, fragment drop — ONE extract_regex
+    pass + RE2 kernel chain, zero per-row Python), flag blocklisted
+    domains (ray.put broadcast + pc.is_in), and mark the canonical
+    keeper (min doc_id) per canonical URL with ONE bucketed exchange.
+    Oracle recomputes the canonical form structurally from
+    (doc_id, source) and the keeper via a window MIN."""
+    from ocrd_cis_ray.stages.urlfilter import filter_urls, synthesize_urls
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    blocked = [
+        "src0-news.com", "m.src0-news.com",
+        "src5-news.com", "m.src5-news.com",
+    ]
+    return filter_urls(synthesize_urls(ds), blocked)
+
+
 def q44_html_extract(sf_dir: str):
     """HTML boilerplate strip (north_rule's main-content extraction):
     deterministic page synthesis (nav/aside/related-links/footer
@@ -2128,6 +2147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- oracle-backed, highest verification priority ------------
         "q83_pdf_extract": q83_pdf_extract,
+        "q84_url_filter": q84_url_filter,
         "q80_wav_roundtrip": q80_wav_roundtrip,
         "q81_png_roundtrip": q81_png_roundtrip,
         "q82_y4m_roundtrip": q82_y4m_roundtrip,
@@ -2153,7 +2173,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q40_ann_topk": q40_ann_topk,
         # -- oracle-backed, green in round 3 --------------------------
         "q10_extract_spans": q10_extract_spans,
-        "q11_span_stats": q11_span_stats,
         "q20_token_count": q20_token_count,
         "q21_quality": q21_quality,
         "q22_langid": q22_langid,
@@ -2181,6 +2200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- 50-query window boundary -------------------
         # -- oracle-backed, green in past rounds (parked past the
         #    window; their multi-round rows stand) --------------------
+        "q11_span_stats": q11_span_stats,
         "q23_lang_counts": q23_lang_counts,
         "q67_json_props_agg": q67_json_props_agg,
         "q68_moving_window": q68_moving_window,
@@ -2997,6 +3017,25 @@ FROM documents
         "q83_pdf_extract": """
 SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text
 FROM documents
+""",
+        "q84_url_filter": """
+WITH c AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END)
+      || '://'
+      || (CASE WHEN doc_id % 4 = 3 THEN 'm.' ELSE '' END)
+      || source || '-news.com'
+      || '/articles/item/' || CAST(doc_id % 50 AS VARCHAR)
+      || '?id=' || CAST(doc_id % 50 AS VARCHAR) AS url_canon,
+    (CASE WHEN doc_id % 4 = 3 THEN 'm.' ELSE '' END)
+      || source || '-news.com' AS domain
+  FROM documents
+)
+SELECT doc_id, url_canon, domain,
+       domain NOT IN ('src0-news.com','m.src0-news.com',
+                      'src5-news.com','m.src5-news.com') AS keep_url,
+       doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS is_canonical
+FROM c
 """,
         "q38_contamination": """
 WITH tok AS (

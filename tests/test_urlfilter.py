@@ -1,0 +1,94 @@
+"""URL canonicalization + blocklist + URL-dedup (stages/urlfilter.py).
+
+Pins each canonicalization rule individually (case-fold, www. strip,
+default-port drop vs explicit-port keep, duplicate-slash collapse,
+trailing-slash strip, utm_* removal with order-preserved survivors,
+fragment drop), the synthesizer/oracle structural contract, and the
+distributed operator end-to-end (blocklist + min-doc_id keeper)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ocrd_cis_ray.stages.urlfilter import (
+    canonicalize_urls,
+    synthesize_urls_batch,
+    url_domain,
+)
+
+
+def _canon(u: str) -> str:
+    return canonicalize_urls(pa.array([u])).to_pylist()[0]
+
+
+def test_canonicalize_rules():
+    assert _canon("HTTP://WWW.Example.COM/a") == "http://example.com/a"
+    assert _canon("http://example.com:80/a") == "http://example.com/a"
+    assert _canon("https://example.com:443/a") == "https://example.com/a"
+    # non-default ports survive
+    assert _canon("https://example.com:8443/a") == "https://example.com:8443/a"
+    # http's default is not https's
+    assert _canon("https://example.com:80/a") == "https://example.com:80/a"
+    assert _canon("http://example.com//a///b/") == "http://example.com/a/b"
+    assert _canon("https://example.com/") == "https://example.com"
+    assert (
+        _canon("https://example.com/a?utm_source=x&id=1&utm_b=2&z=3#frag")
+        == "https://example.com/a?id=1&z=3"
+    )
+    # all-tracking query vanishes entirely (no dangling '?')
+    assert _canon("https://example.com/a?utm_a=1&utm_b=2") == "https://example.com/a"
+    # m. subdomain is NOT stripped (only www.)
+    assert _canon("https://m.example.com/a") == "https://m.example.com/a"
+
+
+def test_url_domain():
+    canon = canonicalize_urls(
+        pa.array(["https://a.example.com:8443/x?q=1", "http://b.org"])
+    )
+    assert url_domain(canon).to_pylist() == ["a.example.com", "b.org"]
+
+
+def test_synthesizer_matches_structural_canon():
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(120, dtype=np.int64)),
+            "source": pa.array([f"src{i % 6}" for i in range(120)]),
+        }
+    )
+    s = synthesize_urls_batch(t)
+    canon = canonicalize_urls(s["url"]).to_pylist()
+    for did, c in zip(range(120), canon):
+        scheme = "http" if did % 3 == 0 else "https"
+        host = ("m." if did % 4 == 3 else "") + f"src{did % 6}-news.com"
+        page = did % 50
+        assert c == f"{scheme}://{host}/articles/item/{page}?id={page}"
+
+
+def test_filter_urls_ray(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.urlfilter import filter_urls, synthesize_urls
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "source": [f"src{i % 3}" for i in range(200)],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    out = (
+        filter_urls(synthesize_urls(ds), ["src1-news.com", "m.src1-news.com"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 200
+    # blocklist: every src1 doc flagged, others kept
+    assert (out["keep_url"] == ~out["domain"].str.contains("src1")).all()
+    # keeper flag: exactly min doc_id per canonical URL
+    want_first = out.groupby("url_canon")["doc_id"].transform("min")
+    assert (out["is_canonical"] == (out["doc_id"] == want_first)).all()
+    # canonical URLs genuinely collide (the dedup has real work)
+    assert (~out["is_canonical"]).sum() > 0
