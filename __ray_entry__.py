@@ -1130,6 +1130,20 @@ def q84_url_filter(sf_dir: str):
     return filter_urls(synthesize_urls(ds), blocked)
 
 
+def q85_quality_model(sf_dir: str):
+    """Model-based quality scoring (CCNet / FineWeb-Edu stage): train a
+    linear classifier on the corpus's own weak labels (lang == 'en')
+    with bit-deterministic integer sufficient statistics (ONE pass +
+    ONE bounded exchange + a 257×257 driver solve), broadcast the
+    weights, score every document in one streamed pass. Rows-only: the
+    ridge solve is not SQL-expressible; pytest pins brute-force parity
+    and layout invariance."""
+    from ocrd_cis_ray.stages.quality_clf import quality_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return quality_pipeline(ds, label_col="lang", label_value="en")
+
+
 def q44_html_extract(sf_dir: str):
     """HTML boilerplate strip (north_rule's main-content extraction):
     deterministic page synthesis (nav/aside/related-links/footer
@@ -2235,6 +2249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q72_postcorrect": q72_postcorrect,
         "q73_ocr_chain": q73_ocr_chain,
         "q74_lstm_recognize": q74_lstm_recognize,
+        "q85_quality_model": q85_quality_model,
     }
 
 

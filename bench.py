@@ -172,6 +172,8 @@ def run_bench() -> dict:
         "q80_wav_roundtrip",
         "q81_png_roundtrip",
         "q82_y4m_roundtrip",
+        "q83_pdf_extract",
+        "q84_url_filter",
     ):
         fn = Q[name]
 
