@@ -1130,6 +1130,32 @@ def q84_url_filter(sf_dir: str):
     return filter_urls(synthesize_urls(ds), blocked)
 
 
+def q86_warc_extract(sf_dir: str):
+    """WARC container ingestion (Common Crawl layout): pack each block's
+    synthesized HTML pages into a real WARC/1.0 shard (warcinfo record +
+    one gzip member per response record, HTTP/1.1 envelopes), split the
+    containers back into per-page records batch-locally, and run the
+    main-content extraction on the recovered HTML. Oracle = the q44
+    inversion (normalized source text) plus the structural record URL —
+    so the WARC writer, the gzip-member splitter, the HTTP framing AND
+    the DOM extraction are all on the hash path."""
+    from ocrd_cis_ray.sources.warc import records_from_warc, warc_shards_from_html
+    from ocrd_cis_ray.stages.webextract import _content_batch, synthesize_html
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    shards = synthesize_html(ds).map_batches(
+        warc_shards_from_html, batch_format="pyarrow"
+    )
+    pages = shards.map_batches(records_from_warc, batch_format="pyarrow")
+
+    def extract_with_url(t: pa.Table) -> pa.Table:
+        # _content_batch is row-aligned, so the url column rides along
+        # batch-locally — zero shuffle end to end
+        return _content_batch(t).append_column("url", t["url"])
+
+    return pages.map_batches(extract_with_url, batch_format="pyarrow")
+
+
 def q85_quality_model(sf_dir: str):
     """Model-based quality scoring (CCNet / FineWeb-Edu stage): train a
     linear classifier on the corpus's own weak labels (lang == 'en')
@@ -2162,6 +2188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- oracle-backed, highest verification priority ------------
         "q83_pdf_extract": q83_pdf_extract,
         "q84_url_filter": q84_url_filter,
+        "q86_warc_extract": q86_warc_extract,
         "q80_wav_roundtrip": q80_wav_roundtrip,
         "q81_png_roundtrip": q81_png_roundtrip,
         "q82_y4m_roundtrip": q82_y4m_roundtrip,
@@ -2187,7 +2214,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q40_ann_topk": q40_ann_topk,
         # -- oracle-backed, green in round 3 --------------------------
         "q10_extract_spans": q10_extract_spans,
-        "q20_token_count": q20_token_count,
         "q21_quality": q21_quality,
         "q22_langid": q22_langid,
         "q25_bpe_token_count": q25_bpe_token_count,
@@ -2215,6 +2241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- oracle-backed, green in past rounds (parked past the
         #    window; their multi-round rows stand) --------------------
         "q11_span_stats": q11_span_stats,
+        "q20_token_count": q20_token_count,
         "q23_lang_counts": q23_lang_counts,
         "q67_json_props_agg": q67_json_props_agg,
         "q68_moving_window": q68_moving_window,
@@ -3031,6 +3058,12 @@ FROM documents
 """,
         "q83_pdf_extract": """
 SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text
+FROM documents
+""",
+        "q86_warc_extract": """
+SELECT doc_id,
+       regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text,
+       'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url
 FROM documents
 """,
         "q84_url_filter": """
