@@ -1156,6 +1156,37 @@ def q86_warc_extract(sf_dir: str):
     return pages.map_batches(extract_with_url, batch_format="pyarrow")
 
 
+def q87_pagerank(sf_dir: str):
+    """Link-graph PageRank (web-corpus quality prior, Common Crawl
+    host-ranking analog): deterministic out-link set per document, two
+    power iterations in EXACT integer fixed-point (bit-reproducible
+    across block orders — float contributions would not be). Each
+    iteration = one partitioned rank⋈edge join + one map-side-combined
+    contribution aggregate + one left join onto the node set. Oracle
+    unrolls both iterations in SQL with the same integer-division
+    recurrence."""
+    from ocrd_cis_ray.stages.linkgraph import pagerank, synthesize_edges
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n = ds.count()
+
+    def as_nodes(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["doc_id"]})
+
+    nodes = ds.map_batches(as_nodes, batch_format="pyarrow")
+    edges = synthesize_edges(ds, n)
+    out = pagerank(edges, nodes, iters=2)
+
+    def project(df):
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {"doc_id": df["node"], "pagerank_q": df["rank_q"]}
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
 def q85_quality_model(sf_dir: str):
     """Model-based quality scoring (CCNet / FineWeb-Edu stage): train a
     linear classifier on the corpus's own weak labels (lang == 'en')
@@ -2189,6 +2220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q83_pdf_extract": q83_pdf_extract,
         "q84_url_filter": q84_url_filter,
         "q86_warc_extract": q86_warc_extract,
+        "q87_pagerank": q87_pagerank,
         "q80_wav_roundtrip": q80_wav_roundtrip,
         "q81_png_roundtrip": q81_png_roundtrip,
         "q82_y4m_roundtrip": q82_y4m_roundtrip,
@@ -2233,7 +2265,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q53_substring_dedup": q53_substring_dedup,
         "q56_curation": q56_curation,
         "q58_revenue_by_nation": q58_revenue_by_nation,
-        "q59_top_brands": q59_top_brands,
         "q63_fix_text": q63_fix_text,
         "q65_bloom_membership": q65_bloom_membership,
         "q66_webcorpus": q66_webcorpus,
@@ -2243,6 +2274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_span_stats": q11_span_stats,
         "q20_token_count": q20_token_count,
         "q23_lang_counts": q23_lang_counts,
+        "q59_top_brands": q59_top_brands,
         "q67_json_props_agg": q67_json_props_agg,
         "q68_moving_window": q68_moving_window,
         "q69_grouped_median": q69_grouped_median,
@@ -3059,6 +3091,34 @@ FROM documents
         "q83_pdf_extract": """
 SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text
 FROM documents
+""",
+        "q87_pagerank": """
+WITH e AS (
+  SELECT doc_id AS src,
+         (doc_id + 1 + 3 * j) % (SELECT COUNT(*) FROM documents) AS dst,
+         doc_id % 4 + 1 AS outdeg
+  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 4)) AS j
+        FROM documents)
+),
+r1 AS (
+  SELECT v.doc_id AS node,
+         150000000000 + 85 * COALESCE(s.c, 0) // 100 AS r
+  FROM documents v
+  LEFT JOIN (
+    SELECT dst, CAST(SUM(1000000000000 // outdeg) AS BIGINT) AS c
+    FROM e GROUP BY dst
+  ) s ON v.doc_id = s.dst
+),
+r2 AS (
+  SELECT v.doc_id AS node,
+         150000000000 + 85 * COALESCE(s.c, 0) // 100 AS r
+  FROM documents v
+  LEFT JOIN (
+    SELECT e.dst, CAST(SUM(r1.r // e.outdeg) AS BIGINT) AS c
+    FROM e JOIN r1 ON e.src = r1.node GROUP BY e.dst
+  ) s ON v.doc_id = s.dst
+)
+SELECT node AS doc_id, CAST(r AS BIGINT) AS pagerank_q FROM r2
 """,
         "q86_warc_extract": """
 SELECT doc_id,
