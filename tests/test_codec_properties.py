@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for the container codecs.
+
+The PDF/WARC writers and parsers and the URL canonicalizer all process
+adversarial string/byte content; fuzzing the round trips catches
+escaping and framing bugs the example-based tests miss."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+# printable-ish unicode incl. specials the codecs must escape; excludes
+# lone surrogates (not encodable)
+_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),
+    max_size=80,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts=st.lists(_TEXT, min_size=1, max_size=6))
+def test_pdf_fragment_text_round_trips(texts):
+    from ocrd_cis_ray.sources.pdf import encode_pdf, parse_pdf
+
+    frags = [
+        {"x": round(5.0 + 3.25 * i, 2), "y": round(10.0 + 7.5 * i, 2), "text": t}
+        for i, t in enumerate(texts)
+    ]
+    out = parse_pdf(encode_pdf([frags]))
+    assert [f["text"] for f in out] == texts
+    # positions survive to the writer's 2-decimal precision
+    for got, want in zip(out, frags):
+        assert abs(got["x"] - want["x"]) < 0.005
+        assert abs(got["y"] - want["y"]) < 0.005
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    payloads=st.lists(_TEXT, min_size=1, max_size=5),
+    gz=st.booleans(),
+)
+def test_warc_record_round_trips(payloads, gz):
+    from ocrd_cis_ray.sources.warc import parse_warc, write_warc
+
+    recs = [
+        {
+            "warc_type": "response",
+            "url": f"https://h/{i}",
+            "record_id": f"urn:x:{i}",
+            "payload": p,
+        }
+        for i, p in enumerate(payloads)
+    ]
+    out = parse_warc(write_warc(recs, gzip_per_record=gz))
+    assert [r["body"] for r in out] == payloads
+    assert [r["url"] for r in out] == [f"https://h/{i}" for i in range(len(payloads))]
+
+
+_HOST = st.from_regex(r"[a-z][a-z0-9-]{0,10}(\.[a-z]{2,5}){1,2}", fullmatch=True)
+_PATHSEG = st.from_regex(r"[A-Za-z0-9._~-]{0,8}", fullmatch=True)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    scheme=st.sampled_from(["http", "https", "HTTP", "Https"]),
+    www=st.booleans(),
+    host=_HOST,
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    segs=st.lists(_PATHSEG, max_size=4),
+    extra_slash=st.booleans(),
+    params=st.lists(
+        st.tuples(
+            st.sampled_from(["id", "q", "utm_source", "utm_x", "page"]),
+            st.from_regex(r"[A-Za-z0-9]{0,6}", fullmatch=True),
+        ),
+        max_size=4,
+    ),
+    frag=st.sampled_from(["", "#top", "#a-b"]),
+)
+def test_url_canonicalization_is_idempotent(
+    scheme, www, host, port, segs, extra_slash, params, frag
+):
+    import pyarrow as pa
+
+    from ocrd_cis_ray.stages.urlfilter import canonicalize_urls
+
+    path = "/" + "/".join(segs)
+    if extra_slash:
+        path = path.replace("/", "//", 1)
+    query = "&".join(f"{k}={v}" for k, v in params)
+    url = f"{scheme}://{'www.' if www else ''}{host}{port}{path}"
+    if query:
+        url += f"?{query}"
+    url += frag
+    once = canonicalize_urls(pa.array([url])).to_pylist()[0]
+    twice = canonicalize_urls(pa.array([once])).to_pylist()[0]
+    assert twice == once
+    # canonical form never carries fragments or tracking params
+    assert "#" not in once and "utm_" not in once
