@@ -1187,6 +1187,70 @@ def q87_pagerank(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+def q88_webcorpus_gates(sf_dir: str):
+    """The FULL FineWeb gate chain in pipeline order: URL gate
+    (canonicalize + blocklist + canonical-URL dedup) composed with the
+    q56 curation compose (Gopher A1.1 + A1.2 + content dedup). Every
+    gate's flag is computed independently (audit mode, the q56
+    convention); keep = all gates pass; drop_stage = the FIRST failing
+    gate (url_blocked → url_duplicate → gopher → repetition →
+    duplicate → kept). One extra doc_id join over q56 — flags only,
+    documents never move twice. The oracle embeds the entire q56 SQL
+    as a CTE and adds the structural URL gate around it."""
+    import pandas as _pd
+
+    from ocrd_cis_ray.shuffle import hash_join
+    from ocrd_cis_ray.stages.curation import curate_corpus
+    from ocrd_cis_ray.stages.urlfilter import filter_urls, synthesize_urls
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    blocked = [
+        "src0-news.com", "m.src0-news.com",
+        "src5-news.com", "m.src5-news.com",
+    ]
+    urls = filter_urls(synthesize_urls(docs.drop_columns(["text"])), blocked)
+
+    def url_flags(df: _pd.DataFrame) -> _pd.DataFrame:
+        return _pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "keep_url": df["keep_url"].astype("int32"),
+                "url_canonical": df["is_canonical"].astype("int32"),
+            }
+        )
+
+    cur = curate_corpus(
+        docs.drop_columns(["source"]), gopher_kwargs={"min_stop_distinct": 1}
+    )
+    joined = hash_join(
+        urls.map_batches(url_flags, batch_format="pandas"), cur, on="doc_id"
+    )
+
+    def decide(df: _pd.DataFrame) -> _pd.DataFrame:
+        ku = df["keep_url"].to_numpy()
+        uc = df["url_canonical"].to_numpy()
+        keep = ((ku == 1) & (uc == 1) & (df["keep"].to_numpy() == 1)).astype("int32")
+        stage = np.where(
+            ku == 0,
+            "url_blocked",
+            np.where(uc == 0, "url_duplicate", df["drop_stage"].to_numpy()),
+        )
+        return _pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "keep_url": ku,
+                "url_canonical": uc,
+                "pass_gopher": df["pass_gopher"],
+                "pass_repetition": df["pass_repetition"],
+                "text_canonical": df["is_canonical"],
+                "keep": keep,
+                "drop_stage": stage,
+            }
+        )
+
+    return joined.map_batches(decide, batch_format="pandas")
+
+
 def q85_quality_model(sf_dir: str):
     """Model-based quality scoring (CCNet / FineWeb-Edu stage): train a
     linear classifier on the corpus's own weak labels (lang == 'en')
@@ -2221,6 +2285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q84_url_filter": q84_url_filter,
         "q86_warc_extract": q86_warc_extract,
         "q87_pagerank": q87_pagerank,
+        "q88_webcorpus_gates": q88_webcorpus_gates,
         "q80_wav_roundtrip": q80_wav_roundtrip,
         "q81_png_roundtrip": q81_png_roundtrip,
         "q82_y4m_roundtrip": q82_y4m_roundtrip,
@@ -2252,7 +2317,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q26_token_freq_quality": q26_token_freq_quality,
         "q27_redact": q27_redact,
         "q28_stratified_sample": q28_stratified_sample,
-        "q29_sample_per_group": q29_sample_per_group,
         "q37_dup_ngram_stats": q37_dup_ngram_stats,
         "q38_contamination": q38_contamination,
         "q39_chunk_documents": q39_chunk_documents,
@@ -2274,6 +2338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_span_stats": q11_span_stats,
         "q20_token_count": q20_token_count,
         "q23_lang_counts": q23_lang_counts,
+        "q29_sample_per_group": q29_sample_per_group,
         "q59_top_brands": q59_top_brands,
         "q67_json_props_agg": q67_json_props_agg,
         "q68_moving_window": q68_moving_window,
@@ -2361,7 +2426,7 @@ lines AS (
   FROM tok GROUP BY doc_id, wi // 8
 )
 """
-    return {
+    d = {
         "q01_lineitem_agg": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -3473,3 +3538,39 @@ UNION ALL
 SELECT doc_id, line_no, CAST(2 AS INT), 'GT', ltext, CAST(1.0 AS REAL) FROM lines
 """,
     }
+    # q88 composes the ENTIRE q56 curation oracle as a CTE and adds the
+    # URL gate in pipeline order (url_blocked -> url_duplicate ->
+    # gopher -> repetition -> duplicate -> kept)
+    d["q88_webcorpus_gates"] = (
+        "WITH base AS (" + d["q56_curation"] + """),
+u AS (
+  WITH uc AS (
+    SELECT doc_id,
+      (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END) || '://'
+        || (CASE WHEN doc_id % 4 = 3 THEN 'm.' ELSE '' END)
+        || source || '-news.com'
+        || '/articles/item/' || CAST(doc_id % 50 AS VARCHAR)
+        || '?id=' || CAST(doc_id % 50 AS VARCHAR) AS url_canon,
+      (CASE WHEN doc_id % 4 = 3 THEN 'm.' ELSE '' END)
+        || source || '-news.com' AS domain
+    FROM documents)
+  SELECT doc_id,
+    CAST(domain NOT IN ('src0-news.com','m.src0-news.com',
+                        'src5-news.com','m.src5-news.com') AS INT) AS keep_url,
+    CAST(doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS INT)
+      AS url_canonical
+  FROM uc
+)
+SELECT b.doc_id, u.keep_url, u.url_canonical,
+       b.pass_gopher, b.pass_repetition,
+       b.is_canonical AS text_canonical,
+       CAST(CASE WHEN u.keep_url = 1 AND u.url_canonical = 1 AND b.keep = 1
+            THEN 1 ELSE 0 END AS INT) AS keep,
+       CASE WHEN u.keep_url = 0 THEN 'url_blocked'
+            WHEN u.url_canonical = 0 THEN 'url_duplicate'
+            WHEN b.drop_stage <> 'kept' THEN b.drop_stage
+            ELSE 'kept' END AS drop_stage
+FROM base b JOIN u USING (doc_id)
+"""
+    )
+    return d

@@ -174,6 +174,9 @@ def run_bench() -> dict:
         "q82_y4m_roundtrip",
         "q83_pdf_extract",
         "q84_url_filter",
+        "q85_quality_model",
+        "q86_warc_extract",
+        "q87_pagerank",
     ):
         fn = Q[name]
 

@@ -92,3 +92,30 @@ def test_filter_urls_ray(ray_session):
     assert (out["is_canonical"] == (out["doc_id"] == want_first)).all()
     # canonical URLs genuinely collide (the dedup has real work)
     assert (~out["is_canonical"]).sum() > 0
+
+
+def test_composed_gate_precedence(ray_session):
+    """q88 semantics: first failing gate names the drop_stage, URL
+    gates precede text gates (FineWeb pipeline order)."""
+    import __ray_entry__ as m
+
+    out = (
+        m.queries()["q88_webcorpus_gates"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert set(out["drop_stage"]) <= {
+        "url_blocked", "url_duplicate", "gopher", "repetition",
+        "duplicate", "kept",
+    }
+    blocked = out[out["keep_url"] == 0]
+    assert (blocked["drop_stage"] == "url_blocked").all()
+    dup_url = out[(out["keep_url"] == 1) & (out["url_canonical"] == 0)]
+    assert (dup_url["drop_stage"] == "url_duplicate").all()
+    kept = out[out["keep"] == 1]
+    assert (
+        (kept[["keep_url", "url_canonical", "pass_gopher",
+               "pass_repetition", "text_canonical"]] == 1)
+        .all()
+        .all()
+    )
