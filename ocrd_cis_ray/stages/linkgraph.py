@@ -68,10 +68,96 @@ def synthesize_edges(ds, n_docs: int):
     )
 
 
-def pagerank(edges, nodes, *, iters: int = 2, scale: int = SCALE):
+def pagerank(
+    edges,
+    nodes,
+    *,
+    iters: int = 2,
+    scale: int = SCALE,
+    strategy: str = "auto",
+    small_limit: int = 2_000_000,
+):
     """edges(src, dst, outdeg) × nodes(node) -> (node, rank_q) after
     ``iters`` exact fixed-point power iterations. All arithmetic is
-    int64; see module docstring for the recurrence and headroom."""
+    int64; see module docstring for the recurrence and headroom.
+
+    Size-aware (the repo's dedup/join convention): when the node set
+    fits comfortably in a worker heap (``n <= small_limit``, 8 B/node —
+    16 MB at the default limit), ``broadcast`` iterates with a dense
+    rank vector shipped once per iteration via ``ray.put`` and ONE
+    streamed edge pass emitting pre-reduced integer partials — zero
+    shuffle. Above the limit, ``join`` runs the fully distributed
+    3-exchange iteration. Both paths produce bit-identical ranks."""
+    if strategy == "auto":
+        strategy = "broadcast" if nodes.count() <= small_limit else "join"
+    if strategy == "broadcast":
+        return _pagerank_broadcast(edges, nodes, iters=iters, scale=scale)
+    return _pagerank_join(edges, nodes, iters=iters, scale=scale)
+
+
+def _pagerank_broadcast(edges, nodes, *, iters: int, scale: int):
+    """Broadcast-vector iteration: rank state lives in one dense int64
+    array (node ids sorted, positions via searchsorted); each iteration
+    is one streamed ``map_batches`` over the edges producing per-block
+    (position, contribution) integer partials, reduced driver-side.
+    Driver memory is O(n); exact integer arithmetic throughout."""
+    import ray
+
+    base = (DAMP_DEN - DAMP_NUM) * scale // DAMP_DEN
+
+    def node_col(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["node"]]
+
+    ids = np.sort(
+        nodes.map_batches(node_col, batch_format="pandas")
+        .to_pandas()["node"]
+        .to_numpy(np.int64)
+    )
+    n = len(ids)
+    ranks = np.full(n, np.int64(scale))
+
+    for _ in range(iters):
+        state_ref = ray.put((ids, ranks))
+
+        def contribs(df: pd.DataFrame, state_ref=state_ref) -> pd.DataFrame:
+            ids_, r_ = ray.get(state_ref)
+            m = len(ids_)
+            src = df["src"].to_numpy(np.int64)
+            dst = df["dst"].to_numpy(np.int64)
+            src_pos = np.searchsorted(ids_, src)
+            dst_pos = np.searchsorted(ids_, dst)
+            # drop edges referencing unknown nodes (join-path parity:
+            # unknown src = inner-join miss, unknown dst = left-join drop)
+            ok = (
+                (src_pos < m) & (dst_pos < m)
+                & (ids_[np.minimum(src_pos, m - 1)] == src)
+                & (ids_[np.minimum(dst_pos, m - 1)] == dst)
+            )
+            c = r_[src_pos[ok]] // df["outdeg"].to_numpy(np.int64)[ok]
+            # pre-reduce inside the block: int64-exact (np.add.at)
+            part = np.zeros(m, np.int64)
+            np.add.at(part, dst_pos[ok], c)
+            nz = np.flatnonzero(part)
+            return pd.DataFrame({"pos": nz, "c": part[nz]})
+
+        parts = edges.map_batches(contribs, batch_format="pandas").to_pandas()
+        sums = np.zeros(n, np.int64)
+        if len(parts):
+            np.add.at(
+                sums, parts["pos"].to_numpy(np.int64), parts["c"].to_numpy(np.int64)
+            )
+        ranks = base + DAMP_NUM * sums // DAMP_DEN
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"node": pa.array(ids), "rank_q": pa.array(ranks)}))
+
+
+def _pagerank_join(edges, nodes, *, iters: int, scale: int):
+    """Fully distributed iteration for graphs whose rank vector cannot
+    be broadcast: per iteration one partitioned rank⋈edge hash join,
+    one map-side-combined contribution aggregate keyed on dst, and one
+    left join back onto the node set."""
     from ..shuffle import bucketed_aggregate, hash_join
 
     base = (DAMP_DEN - DAMP_NUM) * scale // DAMP_DEN

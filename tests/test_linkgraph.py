@@ -45,18 +45,18 @@ def test_pagerank_matches_brute_force_bitwise(ray_session):
         pa.table({"doc_id": pa.array(ids["doc_id"])}), n_docs=n
     ).to_pandas()
     want = _brute_pagerank(edges_pd, np.arange(n), iters=2)
-    for parts in (1, 4):
+    for parts, strategy in ((1, "broadcast"), (4, "broadcast"), (4, "join")):
         ds = rd.from_pandas(ids).repartition(parts)
         nodes = ds.map_batches(
             lambda t: pa.table({"node": t["doc_id"]}), batch_format="pyarrow"
         )
         out = (
-            pagerank(synthesize_edges(ds, n), nodes, iters=2)
+            pagerank(synthesize_edges(ds, n), nodes, iters=2, strategy=strategy)
             .to_pandas()
             .sort_values("node")
         )
         got = dict(zip(out["node"].astype(int), out["rank_q"].astype(int)))
-        assert got == want  # bit-exact, any layout
+        assert got == want  # bit-exact: any layout, BOTH strategies
 
 
 def test_no_inlink_node_gets_base_rank(ray_session):
