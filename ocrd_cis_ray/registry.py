@@ -215,3 +215,53 @@ def _dedup_exact(ds, **p):
     from .stages.dedup import dedup_exact
 
     return dedup_exact(ds, **p)
+
+
+@register_stage(
+    "urlfilter",
+    defaults={"blocked_domains": []},
+    description="URL canonicalize + domain blocklist + canonical-URL dedup flags",
+)
+def _urlfilter(ds, **p):
+    from .stages.urlfilter import filter_urls
+
+    return filter_urls(ds, p["blocked_domains"])
+
+
+@register_stage(
+    "quality_score",
+    defaults={"d": 256, "label_col": "lang", "label_value": "en",
+              "ridge": 1.0, "threshold": 0.5},
+    description="train + apply the closed-form linear quality classifier",
+)
+def _quality_score(ds, **p):
+    from .stages.quality_clf import quality_pipeline
+
+    return quality_pipeline(ds, **p)
+
+
+@register_stage(
+    "pagerank",
+    defaults={"iters": 2, "strategy": "auto"},
+    description="exact fixed-point PageRank over an edge dataset (src, dst, outdeg); nodes = distinct endpoints",
+)
+def _pagerank(ds, **p):
+    """Stage form: input is the EDGE dataset; the node set is derived
+    as the distinct endpoints (one bucketed exchange). Isolated nodes
+    (no edges at all) aren't representable in this form — use
+    ``stages.linkgraph.pagerank(edges, nodes)`` directly to rank them."""
+    import pandas as pd
+
+    from .shuffle import bucketed_groupby
+    from .stages.linkgraph import pagerank
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.concat([df["src"], df["dst"]]).unique()}
+        )
+
+    partial = ds.map_batches(endpoints, batch_format="pandas")
+    nodes = bucketed_groupby(
+        partial, "node", lambda df: df.drop_duplicates("node"), whole_bucket=True
+    )
+    return pagerank(ds, nodes, **p)

@@ -108,3 +108,41 @@ def test_cli_ocr_chain_subcommand(ray_session):
     rows = _json.loads(buf.getvalue().strip().splitlines()[-1])
     stages = {(r["stage"], r["source"]) for r in rows}
     assert ("raw", "OCR-1") in stages and ("postcorrected", "OCR-2") in stages
+
+
+def test_round4_stages_via_build_pipeline(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ocrd_cis_ray.registry import build_pipeline
+
+    # urlfilter stage
+    urls = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "url": [
+                    "https://WWW.keep.com/a?utm_x=1",
+                    "https://bad.com/a",
+                    "https://keep.com/a",
+                ],
+            }
+        )
+    )
+    out = build_pipeline(
+        urls, [{"stage": "urlfilter", "params": {"blocked_domains": ["bad.com"]}}]
+    ).to_pandas().sort_values("doc_id")
+    assert list(out["keep_url"]) == [True, False, True]
+    assert list(out["is_canonical"]) == [True, True, False]  # 0 beats 2
+
+    # pagerank stage (nodes derived from edge endpoints)
+    edges = rd.from_pandas(
+        pd.DataFrame({"src": [1, 2], "dst": [0, 0], "outdeg": [1, 1]})
+    )
+    pr = build_pipeline(
+        edges, [{"stage": "pagerank", "params": {"iters": 1}}]
+    ).to_pandas().set_index("node")["rank_q"]
+    from ocrd_cis_ray.stages.linkgraph import SCALE
+
+    assert int(pr.loc[0]) == 15 * SCALE // 100 + 85 * (2 * SCALE) // 100
+    assert int(pr.loc[1]) == 15 * SCALE // 100
