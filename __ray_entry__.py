@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 82 queries, 67 oracle-checked; the driver
+driver's rows-only check. 88 queries, 72 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).

@@ -232,31 +232,86 @@ def _parse_value(data: bytes, i: int):
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 
 
+def _parse_object_at(data: bytes, m: re.Match) -> tuple[int, object, bytes | None]:
+    """Parse one `N G obj` body starting at match ``m``."""
+    num = int(m.group(1))
+    val, i = _parse_value(data, m.end())
+    stream = None
+    j = i
+    while j < len(data) and data[j] in b" \t\r\n":
+        j += 1
+    if data[j : j + 6] == b"stream":
+        j += 6
+        if data[j : j + 2] == b"\r\n":
+            j += 2
+        elif data[j : j + 1] == b"\n":
+            j += 1
+        length = val.get("/Length") if isinstance(val, dict) else None
+        # a /Length given as an indirect reference is resolved by the
+        # endstream fallback below (two-pass resolution not needed)
+        if isinstance(length, int):
+            stream = data[j : j + length]
+        else:  # fall back to scanning for endstream
+            end = data.index(b"endstream", j)
+            stream = data[j:end].rstrip(b"\r\n")
+    return num, val, stream
+
+
+_XREF_ENTRY = re.compile(rb"(\d{10}) (\d{5}) ([nf])")
+
+
+def _objects_via_xref(data: bytes) -> dict[int, tuple[object, bytes | None]]:
+    """Spec path: startxref -> xref table -> parse each in-use offset.
+    Raises on any inconsistency (caller falls back to a raw scan)."""
+    tail = data.rfind(b"startxref")
+    if tail < 0:
+        raise ValueError("no startxref")
+    xref_at = int(data[tail + 9 :].split()[0])
+    if not data.startswith(b"xref", xref_at):
+        raise ValueError("startxref does not point at an xref table")
+    objs: dict[int, tuple[object, bytes | None]] = {}
+    # subsection header: "start count", then fixed 20-byte entries
+    i = data.index(b"\n", xref_at) + 1
+    while True:
+        line = data[i : data.index(b"\n", i)]
+        parts = line.split()
+        if len(parts) != 2 or not parts[0].isdigit():
+            break
+        start, count = int(parts[0]), int(parts[1])
+        i = data.index(b"\n", i) + 1
+        for k in range(count):
+            e = _XREF_ENTRY.match(data, i)
+            if not e:
+                raise ValueError("malformed xref entry")
+            if e.group(3) == b"n":
+                off = int(e.group(1))
+                m = _OBJ_RE.match(data, off)
+                if not m or int(m.group(1)) != start + k:
+                    raise ValueError("xref offset does not land on its object")
+                num, val, stream = _parse_object_at(data, m)
+                objs[num] = (val, stream)
+            i += 20
+    if not objs:
+        raise ValueError("empty xref")
+    return objs
+
+
 def _scan_objects(data: bytes) -> dict[int, tuple[object, bytes | None]]:
-    """num -> (value, stream bytes or None). Scans `N G obj` headers
-    directly (tolerant of xref damage, like production extractors)."""
+    """num -> (value, stream bytes or None). Prefers the xref table
+    (byte-exact offsets, immune to `N 0 obj` byte patterns occurring
+    inside compressed streams); falls back to a tolerant full scan
+    that SKIPS unparseable matches (xref-damaged files, the production
+    extractor behavior)."""
+    try:
+        return _objects_via_xref(data)
+    except (ValueError, IndexError):
+        pass
     objs: dict[int, tuple[object, bytes | None]] = {}
     for m in _OBJ_RE.finditer(data):
-        num = int(m.group(1))
-        val, i = _parse_value(data, m.end())
-        stream = None
-        j = i
-        while j < len(data) and data[j] in b" \t\r\n":
-            j += 1
-        if data[j : j + 6] == b"stream":
-            j += 6
-            if data[j : j + 2] == b"\r\n":
-                j += 2
-            elif data[j : j + 1] == b"\n":
-                j += 1
-            length = val.get("/Length") if isinstance(val, dict) else None
-            # a /Length given as an indirect reference is resolved by the
-            # endstream fallback below (two-pass resolution not needed)
-            if isinstance(length, int):
-                stream = data[j : j + length]
-            else:  # fall back to scanning for endstream
-                end = data.index(b"endstream", j)
-                stream = data[j:end].rstrip(b"\r\n")
+        try:
+            num, val, stream = _parse_object_at(data, m)
+        except (ValueError, IndexError):
+            continue  # spurious match inside stream bytes
         objs[num] = (val, stream)
     return objs
 

@@ -299,3 +299,19 @@ def test_pdf_ray_pipeline(ray_session):
     out = extract_pdf_text(synthesize_pdfs(ds)).to_pandas()
     out = out.sort_values("doc_id").reset_index(drop=True)
     assert list(out["content_text"]) == [_norm(t) for t in df["text"]]
+
+
+def test_pdf_parser_xref_path_and_damage_fallback():
+    from ocrd_cis_ray.sources.pdf import _objects_via_xref, encode_pdf, parse_pdf
+
+    pdf = encode_pdf([[{"x": 10, "y": 30, "text": "hello"}],
+                      [{"x": 10, "y": 30, "text": "world"}]])
+    # primary path: the byte-accurate xref resolves every object
+    assert sorted(_objects_via_xref(pdf)) == [1, 2, 3, 4, 5, 6, 7]
+    assert [f["text"] for f in parse_pdf(pdf)] == ["hello", "world"]
+    # damaged startxref -> tolerant scan fallback still extracts
+    damaged = pdf.replace(b"startxref", b"startxrEf")
+    assert [f["text"] for f in parse_pdf(damaged)] == ["hello", "world"]
+    # spurious obj-header-looking bytes are skipped, not fatal
+    spurious = damaged.replace(b"%PDF-1.4\n", b"%PDF-1.4\n% 99 0 obj << /junk\n")
+    assert [f["text"] for f in parse_pdf(spurious)] == ["hello", "world"]
