@@ -1167,7 +1167,9 @@ def q87_pagerank(sf_dir: str):
     recurrence."""
     from ocrd_cis_ray.stages.linkgraph import pagerank, synthesize_edges
 
-    ds = _read(sf_dir, "documents", ["doc_id"])
+    # one-column read, materialized once: count(), the node projection
+    # and the edge synthesis all consume it (lazy would re-read 3x)
+    ds = _read(sf_dir, "documents", ["doc_id"]).materialize()
     n = ds.count()
 
     def as_nodes(t: pa.Table) -> pa.Table:

@@ -154,9 +154,9 @@ def _parse_string(data: bytes, i: int) -> tuple[str, int]:
             elif nxt in (b"(", b")", b"\\"):
                 out += nxt
                 i += 2
-            elif nxt.isdigit():
+            elif nxt and nxt in b"01234567":  # octal escape: 1-3 OCTAL digits
                 j = i + 1
-                while j < min(i + 4, n) and data[j : j + 1].isdigit():
+                while j < min(i + 4, n) and data[j] in b"01234567":
                     j += 1
                 out.append(int(data[i + 1 : j], 8) & 0xFF)
                 i = j
@@ -232,28 +232,69 @@ def _parse_value(data: bytes, i: int):
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
 
 
-def _parse_object_at(data: bytes, m: re.Match) -> tuple[int, object, bytes | None]:
-    """Parse one `N G obj` body starting at match ``m``."""
+def _object_header(data: bytes, m: re.Match) -> tuple[int, object, int | None]:
+    """Parse one `N G obj` value starting at match ``m`` -> (num, value,
+    stream-data start offset or None). Stream bytes are NOT consumed —
+    the caller extracts them once every object value is known, so an
+    indirect /Length can be resolved (see ``_object_stream``)."""
     num = int(m.group(1))
     val, i = _parse_value(data, m.end())
-    stream = None
     j = i
     while j < len(data) and data[j] in b" \t\r\n":
         j += 1
-    if data[j : j + 6] == b"stream":
-        j += 6
-        if data[j : j + 2] == b"\r\n":
-            j += 2
-        elif data[j : j + 1] == b"\n":
-            j += 1
-        length = val.get("/Length") if isinstance(val, dict) else None
-        # a /Length given as an indirect reference is resolved by the
-        # endstream fallback below (two-pass resolution not needed)
-        if isinstance(length, int):
-            stream = data[j : j + length]
-        else:  # fall back to scanning for endstream
-            end = data.index(b"endstream", j)
-            stream = data[j:end].rstrip(b"\r\n")
+    if data[j : j + 6] != b"stream":
+        return num, val, None
+    j += 6
+    if data[j : j + 2] == b"\r\n":
+        j += 2
+    elif data[j : j + 1] == b"\n":
+        j += 1
+    return num, val, j
+
+
+def _object_stream(data: bytes, j: int, val, resolve=None) -> bytes:
+    """Extract the stream payload starting at ``j``. /Length given as an
+    indirect reference is resolved through ``resolve`` (num -> value).
+    Without a usable length, fall back to scanning for ``endstream`` —
+    stripping exactly ONE trailing EOL (the spec's pre-endstream EOL;
+    rstrip would eat payload bytes that happen to be 0x0a/0x0d) and,
+    for FlateDecode streams, validating candidates by decompression so
+    an ``endstream`` byte pattern INSIDE the compressed data does not
+    truncate the payload."""
+    length = val.get("/Length") if isinstance(val, dict) else None
+    if isinstance(length, _Ref) and resolve is not None:
+        length = resolve(length.num)
+    if isinstance(length, int):
+        return data[j : j + length]
+    filt = val.get("/Filter") if isinstance(val, dict) else None
+    flate = filt == "/FlateDecode" or (
+        isinstance(filt, list) and filt[:1] == ["/FlateDecode"]
+    )
+    end = data.index(b"endstream", j)  # ValueError -> caller skips
+    while True:
+        s = data[j:end]
+        if s.endswith(b"\r\n"):
+            s = s[:-2]
+        elif s.endswith(b"\n") or s.endswith(b"\r"):
+            s = s[:-1]
+        if not flate:
+            return s
+        try:
+            zlib.decompress(s)
+            return s
+        except zlib.error:
+            nxt = data.find(b"endstream", end + 9)
+            if nxt < 0:
+                return s  # no valid candidate; downstream skips the part
+            end = nxt
+
+
+def _parse_object_at(
+    data: bytes, m: re.Match, resolve=None
+) -> tuple[int, object, bytes | None]:
+    """Parse one `N G obj` body starting at match ``m``."""
+    num, val, j = _object_header(data, m)
+    stream = None if j is None else _object_stream(data, j, val, resolve)
     return num, val, stream
 
 
@@ -269,7 +310,9 @@ def _objects_via_xref(data: bytes) -> dict[int, tuple[object, bytes | None]]:
     xref_at = int(data[tail + 9 :].split()[0])
     if not data.startswith(b"xref", xref_at):
         raise ValueError("startxref does not point at an xref table")
-    objs: dict[int, tuple[object, bytes | None]] = {}
+    # pass 1: parse every in-use object's VALUE (streams deferred so an
+    # indirect /Length can be resolved against the full value map)
+    headers: dict[int, tuple[object, int | None]] = {}
     # subsection header: "start count", then fixed 20-byte entries
     i = data.index(b"\n", xref_at) + 1
     while True:
@@ -288,12 +331,20 @@ def _objects_via_xref(data: bytes) -> dict[int, tuple[object, bytes | None]]:
                 m = _OBJ_RE.match(data, off)
                 if not m or int(m.group(1)) != start + k:
                     raise ValueError("xref offset does not land on its object")
-                num, val, stream = _parse_object_at(data, m)
-                objs[num] = (val, stream)
+                num, val, j = _object_header(data, m)
+                headers[num] = (val, j)
             i += 20
-    if not objs:
+    if not headers:
         raise ValueError("empty xref")
-    return objs
+
+    def resolve(num: int):
+        return headers.get(num, (None, None))[0]
+
+    # pass 2: extract streams with the length references resolvable
+    return {
+        num: (val, None if j is None else _object_stream(data, j, val, resolve))
+        for num, (val, j) in headers.items()
+    }
 
 
 def _scan_objects(data: bytes) -> dict[int, tuple[object, bytes | None]]:
@@ -306,12 +357,23 @@ def _scan_objects(data: bytes) -> dict[int, tuple[object, bytes | None]]:
         return _objects_via_xref(data)
     except (ValueError, IndexError):
         pass
-    objs: dict[int, tuple[object, bytes | None]] = {}
+    headers: dict[int, tuple[object, int | None]] = {}
     for m in _OBJ_RE.finditer(data):
         try:
-            num, val, stream = _parse_object_at(data, m)
+            num, val, j = _object_header(data, m)
         except (ValueError, IndexError):
             continue  # spurious match inside stream bytes
+        headers[num] = (val, j)
+
+    def resolve(num: int):
+        return headers.get(num, (None, None))[0]
+
+    objs: dict[int, tuple[object, bytes | None]] = {}
+    for num, (val, j) in headers.items():
+        try:
+            stream = None if j is None else _object_stream(data, j, val, resolve)
+        except (ValueError, IndexError):
+            stream = None
         objs[num] = (val, stream)
     return objs
 
@@ -356,11 +418,16 @@ def _page_content(objs: dict, page_num: int) -> bytes:
             continue
         filt = val.get("/Filter") if isinstance(val, dict) else None
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
-        for f in filters:
-            if f == "/FlateDecode":
-                stream = zlib.decompress(stream)
-            else:
-                raise NotImplementedError(f"PDF stream filter {f} not supported")
+        try:
+            for f in filters:
+                if f == "/FlateDecode":
+                    stream = zlib.decompress(stream)
+                else:
+                    raise NotImplementedError(
+                        f"PDF stream filter {f} not supported"
+                    )
+        except zlib.error:
+            continue  # damaged/mis-framed stream: skip the part, keep the page
         parts.append(stream)
     return b"\n".join(parts)
 

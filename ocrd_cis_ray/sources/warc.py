@@ -206,18 +206,39 @@ def warc_shards_from_html(batch: pa.Table) -> pa.Table:
     )
 
 
+def _record_doc_id(rec: dict) -> int:
+    """Stable int64 doc_id for a response record. Shards written by
+    ``warc_shards_from_html`` end the Target-URI in the original doc_id
+    — recover it exactly (round-trip parity). Any other WARC (real
+    Common Crawl URLs, missing Target-URI) gets a deterministic 63-bit
+    hash of the record id / URL instead of a ValueError."""
+    import hashlib
+
+    url = rec.get("url")
+    if url:
+        tail = url.rsplit("/", 1)[-1]
+        if tail.isdigit():
+            return int(tail)
+    key = rec.get("record_id") or url or ""
+    return int.from_bytes(
+        hashlib.blake2b(key.encode("utf-8"), digest_size=8).digest(), "big"
+    ) >> 1
+
+
 def records_from_warc(batch: pa.Table) -> pa.Table:
     """(warc, ...) -> one row per contained response record:
-    (doc_id from the record URL, url, html). The container split is
-    batch-local; downstream extraction streams per page."""
+    (doc_id, url, html). doc_id comes from the record URL when it ends
+    in an integer (our shard writer's scheme), else a stable hash — see
+    ``_record_doc_id``. The container split is batch-local; downstream
+    extraction streams per page."""
     col = "warc" if "warc" in batch.column_names else "bytes"
     out_ids, out_urls, out_html = [], [], []
     for payload in batch[col].to_pylist():
         for rec in parse_warc(payload):
             if rec["warc_type"] != "response":
                 continue
-            out_ids.append(int(rec["url"].rsplit("/", 1)[-1]))
-            out_urls.append(rec["url"])
+            out_ids.append(_record_doc_id(rec))
+            out_urls.append(rec.get("url") or "")
             out_html.append(rec["body"])
     return pa.table(
         {

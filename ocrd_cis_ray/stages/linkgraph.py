@@ -23,10 +23,11 @@ implements the iterative wide op Ray-Data-first:
   graph state, no per-node Python.
 
 Scale notes: ranks and edges both stream; hot pages (huge in-degree)
-only skew their own bucket. int64 headroom: 85·Σ contribs ≤ 85·n·SCALE
-— at SCALE=10^12 that bounds n ≲ 10^5 per connected sink, so
-trillion-doc runs drop SCALE to 10^6 (still 6 significant digits of
-rank). A production deployment would co-partition ranks and edges once
+only skew their own bucket. int64 headroom: the damped product is
+computed via the exact split ``_damp`` (no 85·s intermediate), so the
+binding constraint is Σ contribs ≤ n·SCALE fitting int64 — n ≲ 9·10^6
+per connected sink at SCALE=10^12; trillion-doc runs drop SCALE to
+10^6 (still 6 significant digits of rank). A production deployment would co-partition ranks and edges once
 and iterate partition-aligned instead of re-joining; the join form
 keeps the semantics obvious and the exchanges bounded.
 """
@@ -41,11 +42,23 @@ SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100
 
 
+def _damp(s: np.ndarray) -> np.ndarray:
+    """Exact ``DAMP_NUM * s // DAMP_DEN`` without int64 overflow: the
+    naive product overflows for s > 2^63/85 ≈ 1.08e17, well inside the
+    representable rank range. Split s = 100·a + b: 85·s//100 =
+    85·a + 85·b//100 exactly, and 85·a ≤ 0.85·s never overflows when
+    the result fits int64."""
+    return DAMP_NUM * (s // DAMP_DEN) + DAMP_NUM * (s % DAMP_DEN) // DAMP_DEN
+
+
 def synthesize_edges_batch(batch: pa.Table, *, n_docs: int) -> pa.Table:
     """(doc_id) -> (src, dst, outdeg): doc d links to
     (d + 1 + 3j) % n for j = 0..d%4 (outdeg = 1 + d%4, all targets
     distinct and != d for n > 13). Vectorized."""
     ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(ids) == 0:
+        empty = pa.array(np.empty(0, np.int64))
+        return pa.table({"src": empty, "dst": empty, "outdeg": empty})
     deg = ids % 4 + 1
     src = np.repeat(ids, deg)
     starts = np.concatenate([[0], np.cumsum(deg[:-1])])
@@ -87,7 +100,15 @@ def pagerank(
     rank vector shipped once per iteration via ``ray.put`` and ONE
     streamed edge pass emitting pre-reduced integer partials — zero
     shuffle. Above the limit, ``join`` runs the fully distributed
-    3-exchange iteration. Both paths produce bit-identical ranks."""
+    3-exchange iteration. Both paths produce bit-identical ranks.
+
+    ``nodes`` is materialized up front: every path consumes it at least
+    twice (the auto count + the iteration state, or one left join per
+    iteration), and callers commonly derive it via a distinct-endpoint
+    shuffle that must not re-run per consumption. ``edges`` stays lazy —
+    it is re-executed once per iteration, which streams; callers with an
+    expensive edge derivation can pass ``edges.materialize()``."""
+    nodes = nodes.materialize()
     if strategy == "auto":
         strategy = "broadcast" if nodes.count() <= small_limit else "join"
     if strategy == "broadcast":
@@ -146,24 +167,48 @@ def _pagerank_broadcast(edges, nodes, *, iters: int, scale: int):
             np.add.at(
                 sums, parts["pos"].to_numpy(np.int64), parts["c"].to_numpy(np.int64)
             )
-        ranks = base + DAMP_NUM * sums // DAMP_DEN
+        ranks = base + _damp(sums)
 
     import ray.data as rd
 
     return rd.from_arrow(pa.table({"node": pa.array(ids), "rank_q": pa.array(ranks)}))
 
 
+_LO_BITS = 31
+_LO_MASK = (1 << _LO_BITS) - 1
+
+
+def _split64(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Split non-negative int64s into (hi, lo) halves that each fit a
+    float64 exactly (hi < 2^33 for v < 2^64, lo < 2^31 < 2^53).
+
+    Why: ``hash_join`` unions both sides to a superset schema, so a
+    joined int column transits a NULL-bearing Arrow→pandas conversion
+    and arrives float64 — values above 2^53 would silently round and
+    break the module's bit-exactness contract. The halves survive the
+    float64 transit losslessly for the full int64 range."""
+    return v >> _LO_BITS, v & _LO_MASK
+
+
+def _join64(hi: pd.Series, lo: pd.Series) -> np.ndarray:
+    h = hi.fillna(0).to_numpy(np.int64)
+    l = lo.fillna(0).to_numpy(np.int64)
+    return (h << _LO_BITS) | l
+
+
 def _pagerank_join(edges, nodes, *, iters: int, scale: int):
     """Fully distributed iteration for graphs whose rank vector cannot
     be broadcast: per iteration one partitioned rank⋈edge hash join,
     one map-side-combined contribution aggregate keyed on dst, and one
-    left join back onto the node set."""
+    left join back onto the node set. int64 values cross each join as
+    exact (hi, lo) halves — see ``_split64``."""
     from ..shuffle import bucketed_aggregate, hash_join
 
     base = (DAMP_DEN - DAMP_NUM) * scale // DAMP_DEN
 
     def init_ranks(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"src": df["node"], "rank_q": np.int64(scale)})
+        hi, lo = _split64(np.full(len(df), np.int64(scale)))
+        return pd.DataFrame({"src": df["node"], "rank_hi": hi, "rank_lo": lo})
 
     ranks = nodes.map_batches(init_ranks, batch_format="pandas")
 
@@ -171,11 +216,11 @@ def _pagerank_join(edges, nodes, *, iters: int, scale: int):
         joined = hash_join(edges, ranks, on="src")
 
         def contribs(df: pd.DataFrame) -> pd.DataFrame:
+            r = _join64(df["rank_hi"], df["rank_lo"])
             return pd.DataFrame(
                 {
                     "dst": df["dst"].to_numpy(np.int64),
-                    "c": df["rank_q"].to_numpy(np.int64)
-                    // df["outdeg"].to_numpy(np.int64),
+                    "c": r // df["outdeg"].to_numpy(np.int64),
                 }
             )
 
@@ -189,26 +234,34 @@ def _pagerank_join(edges, nodes, *, iters: int, scale: int):
         def renamed(df: pd.DataFrame) -> pd.DataFrame:
             return df.rename(columns={"node": "src"})
 
+        def split_sums(df: pd.DataFrame) -> pd.DataFrame:
+            hi, lo = _split64(df["c"].to_numpy(np.int64))
+            return pd.DataFrame({"src": df["dst"], "c_hi": hi, "c_lo": lo})
+
         def update(df: pd.DataFrame) -> pd.DataFrame:
-            s = df["c"].fillna(0).to_numpy(np.int64)
+            s = _join64(df["c_hi"], df["c_lo"])
+            hi, lo = _split64(base + _damp(s))
             return pd.DataFrame(
                 {
                     "src": df["src"].to_numpy(np.int64),
-                    "rank_q": base + DAMP_NUM * s // DAMP_DEN,
+                    "rank_hi": hi,
+                    "rank_lo": lo,
                 }
             )
 
         ranks = hash_join(
             nodes.map_batches(renamed, batch_format="pandas"),
-            sums.map_batches(
-                lambda df: df.rename(columns={"dst": "src"}),
-                batch_format="pandas",
-            ),
+            sums.map_batches(split_sums, batch_format="pandas"),
             on="src",
             how="left",
         ).map_batches(update, batch_format="pandas")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return df.rename(columns={"src": "node"})
+        return pd.DataFrame(
+            {
+                "node": df["src"].to_numpy(np.int64),
+                "rank_q": _join64(df["rank_hi"], df["rank_lo"]),
+            }
+        )
 
     return ranks.map_batches(finish, batch_format="pandas")

@@ -142,8 +142,10 @@ def score_quality(ds, model: dict, *, threshold: float = 0.5):
 def quality_pipeline(ds, *, d: int = 256, label_col: str = "lang", label_value="en", ridge: float = 1.0, threshold: float = 0.5):
     """Train on the corpus's own weak labels, then score every doc —
     the CCNet pattern (train on 'looks like target' labels, score all).
-    The input Dataset is consumed twice (train pass + score pass);
-    callers with an expensive upstream should materialize first."""
+    The input is consumed twice (train pass + score pass), so it is
+    materialized here once: lazy inputs would re-execute their whole
+    upstream (read + transforms) for the second pass."""
+    ds = ds.materialize()
     model = train_quality_clf(
         ds, d=d, label_col=label_col, label_value=label_value, ridge=ridge
     )

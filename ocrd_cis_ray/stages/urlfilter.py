@@ -27,10 +27,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# one-pass URL decomposition (RFC 3986 shape, authority without
-# userinfo — adequate for http(s) corpus URLs)
+# one-pass URL decomposition (RFC 3986 shape). Userinfo is matched and
+# discarded, and '@' is excluded from the host class — otherwise
+# "https://blocked.com@evil.com/x" would parse host="blocked.com@evil.com"
+# and slip past a domain blocklist that knows "evil.com".
 _URL_RE = (
-    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#:]+)"
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?(?P<host>[^/?#:@]+)"
     r"(?::(?P<port>[0-9]+))?(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$"
 )
 
@@ -163,7 +165,18 @@ def filter_urls(ds, blocked_domains: list[str], *, num_buckets: int | None = Non
         blocked = ray.get(blocked_ref)
         canon = canonicalize_urls(t["url"])
         dom = url_domain(canon)
-        keep = pc.invert(pc.is_in(dom, value_set=pa.array(blocked, pa.string())))
+        blocked_hit = pc.is_in(dom, value_set=pa.array(blocked, pa.string()))
+        # unparseable URLs (null canon) fail the gate explicitly as
+        # keep_url=False — a null canon would otherwise vanish from the
+        # dedup groupby and surface as a bogus "url_duplicate" drop.
+        # Their canon falls back to the raw string so every row keeps a
+        # non-null group key (identical raw strings still dedup).
+        keep = pc.and_(pc.is_valid(canon), pc.invert(blocked_hit))
+        keep = pc.fill_null(keep, False)
+        raw = t["url"]
+        if isinstance(raw, pa.ChunkedArray):
+            raw = raw.combine_chunks()
+        canon = pc.if_else(pc.is_valid(canon), canon, raw)
         return pa.table(
             {
                 "doc_id": t["doc_id"],

@@ -119,3 +119,41 @@ def test_composed_gate_precedence(ray_session):
         .all()
         .all()
     )
+
+
+def test_userinfo_cannot_mask_the_real_host():
+    # "blocked.com@evil.com" must parse host=evil.com (userinfo is
+    # discarded), or a blocklist knowing evil.com is bypassed
+    c = _canon("https://blocked.com@evil.com/x")
+    assert c == "https://evil.com/x"
+    assert url_domain(pa.array([c])).to_pylist() == ["evil.com"]
+    c2 = _canon("https://user:pw@site.com:443/a")
+    assert c2 == "https://site.com/a"
+
+
+def test_unparseable_urls_fail_the_gate_not_the_dedup(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.urlfilter import filter_urls
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "url": [
+                "https://ok.com/a",
+                "not-a-url",  # unparseable -> keep_url False, NOT a dup
+                "not-a-url",  # identical raw strings still dedup
+                "mailto:x@y.z",  # no authority -> unparseable here
+            ],
+        }
+    )
+    out = (
+        filter_urls(rd.from_pandas(df), ["blocked.com"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["keep_url"].tolist() == [True, False, False, False]
+    # raw string is the fallback group key: rows keep a non-null canon
+    assert out["url_canon"].notna().all()
+    assert out.loc[1, "is_canonical"] and not out.loc[2, "is_canonical"]

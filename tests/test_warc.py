@@ -103,3 +103,48 @@ def test_read_warc_files_via_ray(ray_session, tmp_path):
     out = read_warc(str(tmp_path)).to_pandas().sort_values("doc_id")
     assert list(out["doc_id"]) == list(range(40))
     assert out["html"].str.contains("<html").all()
+
+
+def test_records_from_warc_tolerates_real_world_urls():
+    # read_warc is the generic ingestion entry: URLs that don't end in
+    # an integer (every real crawl URL) and records without a
+    # Target-URI must yield stable hashed doc_ids, not a ValueError
+    import pyarrow as pa
+
+    from ocrd_cis_ray.sources.warc import records_from_warc, write_warc
+
+    shard = write_warc(
+        [
+            {
+                "warc_type": "response",
+                "url": "https://example.com/index.html",
+                "date": "2026-01-01T00:00:00Z",
+                "record_id": "urn:x:1",
+                "payload": "<html>a</html>",
+            },
+            {
+                "warc_type": "response",
+                "date": "2026-01-01T00:00:00Z",
+                "record_id": "urn:x:2",
+                "payload": "<html>b</html>",
+            },
+            {  # the synthetic scheme still round-trips exactly
+                "warc_type": "response",
+                "url": "https://corpus.example/doc/41",
+                "date": "2026-01-01T00:00:00Z",
+                "record_id": "urn:graft:doc:41",
+                "payload": "<html>c</html>",
+            },
+        ],
+        gzip_per_record=True,
+    )
+    out = records_from_warc(pa.table({"warc": pa.array([shard], pa.large_binary())}))
+    ids = out["doc_id"].to_pylist()
+    assert len(ids) == 3 and len(set(ids)) == 3
+    assert all(i >= 0 for i in ids)
+    assert ids[2] == 41
+    # determinism: same shard, same ids
+    again = records_from_warc(
+        pa.table({"warc": pa.array([shard], pa.large_binary())})
+    )
+    assert again["doc_id"].to_pylist() == ids

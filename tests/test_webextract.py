@@ -315,3 +315,64 @@ def test_pdf_parser_xref_path_and_damage_fallback():
     # spurious obj-header-looking bytes are skipped, not fatal
     spurious = damaged.replace(b"%PDF-1.4\n", b"%PDF-1.4\n% 99 0 obj << /junk\n")
     assert [f["text"] for f in parse_pdf(spurious)] == ["hello", "world"]
+
+
+def test_pdf_string_unknown_escapes_keep_the_char():
+    # per spec, '\' before a non-escape char is dropped and the char
+    # kept: '\8' -> '8' (8/9 are NOT octal digits; int(_, 8) used to
+    # raise ValueError and fail the whole document)
+    from ocrd_cis_ray.sources.pdf import _parse_string
+
+    assert _parse_string(rb"(a\8b)", 0)[0] == "a8b"
+    assert _parse_string(rb"(a\9)", 0)[0] == "a9"
+    # octal stops at the first non-octal digit: '\19' = \1 then '9'
+    assert _parse_string(rb"(\19)", 0)[0] == "\x019"
+    assert _parse_string(rb"(\101)", 0)[0] == "A"
+
+
+def test_pdf_indirect_length_is_resolved():
+    # /Length as an indirect reference (common in real writers): the
+    # two-pass scan resolves it through the object table instead of
+    # trusting an endstream scan
+    import re as _re
+
+    from ocrd_cis_ray.sources.pdf import encode_pdf, parse_pdf
+
+    pdf = encode_pdf([[{"x": 10, "y": 30, "text": "indirect"}]])
+    m = _re.search(rb"/Length (\d+)", pdf)
+    n = m.group(1)
+    # swap in a reference and append the length object; offsets shift,
+    # so the xref path fails and the tolerant scan (with resolution)
+    # must carry it
+    pdf2 = pdf[: m.start()] + b"/Length 99 0 R" + pdf[m.end():]
+    pdf2 = pdf2.replace(
+        b"%%EOF", b"99 0 obj\n" + n + b"\nendobj\n%%EOF"
+    )
+    frags = parse_pdf(pdf2)
+    assert [f["text"] for f in frags] == ["indirect"]
+
+
+def test_pdf_endstream_fallback_survives_payload_eol_and_inline_marker():
+    import zlib as _z
+
+    from ocrd_cis_ray.sources.pdf import _OBJ_RE, _object_header, _object_stream
+
+    # payload's own trailing \n must survive (strip exactly ONE EOL —
+    # the spec's pre-endstream EOL, not an rstrip of all CR/LF)
+    data = b"5 0 obj\n<< >>\nstream\nABC\n\nendstream\nendobj"
+    num, val, j = _object_header(data, _OBJ_RE.match(data))
+    assert _object_stream(data, j, val) == b"ABC\n"
+
+    # a literal 'endstream' INSIDE FlateDecode bytes (level-0 stored
+    # block embeds the raw payload) must not truncate: candidates are
+    # validated by decompression
+    msg = b"xx endstream yy"
+    comp = _z.compress(msg, 0)
+    assert b"endstream" in comp
+    data2 = (
+        b"6 0 obj\n<< /Filter /FlateDecode >>\nstream\n"
+        + comp
+        + b"\nendstream\nendobj"
+    )
+    num2, val2, j2 = _object_header(data2, _OBJ_RE.match(data2))
+    assert _z.decompress(_object_stream(data2, j2, val2)) == msg
