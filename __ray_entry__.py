@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 88 queries, 72 oracle-checked; the driver
+driver's rows-only check. 90 queries, 74 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -1156,6 +1156,73 @@ def q86_warc_extract(sf_dir: str):
     return pages.map_batches(extract_with_url, batch_format="pyarrow")
 
 
+def q89_cdx_index(sf_dir: str):
+    """CDX capture index over WARC shards (the Common Crawl
+    random-access tier): pack synthesized HTML into real
+    per-record-gzipped WARC shards, then index every response record
+    batch-locally — SURT urlkey, byte-exact (offset, length) of the
+    record's own gzip member, sha256 payload digest — and PROVE the
+    random-access contract per row: ``seek_ok`` re-reads the record
+    through its own (offset, length) with a single-member gunzip and
+    compares payload digests and URLs. Zero shuffle: shards index
+    independently. The oracle recomputes the SURT urlkey structurally
+    from the synthetic URL scheme and requires seek_ok uniformly true;
+    offset/length/digest are not SQL-expressible (gzip byte geometry)
+    and are pinned by tests/test_cdx.py instead."""
+    from ocrd_cis_ray.sources.cdx import cdx_index_batch
+    from ocrd_cis_ray.sources.warc import warc_shards_from_html
+    from ocrd_cis_ray.stages.webextract import synthesize_html
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    shards = synthesize_html(ds).map_batches(
+        warc_shards_from_html, batch_format="pyarrow"
+    )
+    idx = shards.map_batches(cdx_index_batch, batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "urlkey", "status", "mime", "seek_ok"])
+
+    return idx.map_batches(project, batch_format="pyarrow")
+
+
+def q90_host_stats(sf_dir: str):
+    """Per-domain curation rollup (the host-level signal FineWeb/CCNet
+    compute before per-doc gates: how much of a host survives the URL
+    gate, how much is duplicated): run the q84 URL gate, then ONE
+    map-side-combined bucketed aggregate keyed on domain — counts
+    move as per-block partials, never the rows. Oracle recomputes the
+    gate structurally and groups in SQL."""
+    from ocrd_cis_ray.shuffle import bucketed_aggregate
+    from ocrd_cis_ray.stages.urlfilter import filter_urls, synthesize_urls
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    blocked = [
+        "src0-news.com", "m.src0-news.com",
+        "src5-news.com", "m.src5-news.com",
+    ]
+    flags = filter_urls(synthesize_urls(ds), blocked)
+
+    def as_ints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "domain": t["domain"],
+                "kept": pc.cast(t["keep_url"], pa.int64()),
+                "canon": pc.cast(t["is_canonical"], pa.int64()),
+            }
+        )
+
+    return bucketed_aggregate(
+        flags.map_batches(as_ints, batch_format="pyarrow"),
+        "domain",
+        {
+            "n_docs": ("kept", "size"),
+            "n_kept": ("kept", "sum"),
+            "n_canonical": ("canon", "sum"),
+        },
+        combine=True,
+    )
+
+
 def q87_pagerank(sf_dir: str):
     """Link-graph PageRank (web-corpus quality prior, Common Crawl
     host-ranking analog): deterministic out-link set per document, two
@@ -2284,6 +2351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- oracle-backed, highest verification priority ------------
         "q83_pdf_extract": q83_pdf_extract,
+        "q89_cdx_index": q89_cdx_index,
+        "q90_host_stats": q90_host_stats,
         "q84_url_filter": q84_url_filter,
         "q86_warc_extract": q86_warc_extract,
         "q87_pagerank": q87_pagerank,
@@ -2323,7 +2392,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q38_contamination": q38_contamination,
         "q39_chunk_documents": q39_chunk_documents,
         "q44_html_extract": q44_html_extract,
-        "q45_layout_reconstruct": q45_layout_reconstruct,
         "q46_gopher_quality": q46_gopher_quality,
         "q47_line_dedup": q47_line_dedup,
         "q48_repetition_stats": q48_repetition_stats,
@@ -2331,12 +2399,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q53_substring_dedup": q53_substring_dedup,
         "q56_curation": q56_curation,
         "q58_revenue_by_nation": q58_revenue_by_nation,
-        "q63_fix_text": q63_fix_text,
         "q65_bloom_membership": q65_bloom_membership,
         "q66_webcorpus": q66_webcorpus,
         # ---------------- 50-query window boundary -------------------
         # -- oracle-backed, green in past rounds (parked past the
         #    window; their multi-round rows stand) --------------------
+        "q45_layout_reconstruct": q45_layout_reconstruct,
+        "q63_fix_text": q63_fix_text,
         "q11_span_stats": q11_span_stats,
         "q20_token_count": q20_token_count,
         "q23_lang_counts": q23_lang_counts,
@@ -3192,6 +3261,40 @@ SELECT doc_id,
        regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text,
        'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url
 FROM documents
+""",
+        "q89_cdx_index": """
+SELECT doc_id,
+       'example,corpus)/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+       CAST(200 AS INTEGER) AS status,
+       'text/html' AS mime,
+       true AS seek_ok
+FROM documents
+""",
+        "q90_host_stats": """
+WITH c AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END)
+      || '://'
+      || (CASE WHEN doc_id % 4 = 3 THEN 'm.' ELSE '' END)
+      || source || '-news.com'
+      || '/articles/item/' || CAST(doc_id % 50 AS VARCHAR)
+      || '?id=' || CAST(doc_id % 50 AS VARCHAR) AS url_canon,
+    (CASE WHEN doc_id % 4 = 3 THEN 'm.' ELSE '' END)
+      || source || '-news.com' AS domain
+  FROM documents
+),
+f AS (
+  SELECT doc_id, domain,
+         domain NOT IN ('src0-news.com','m.src0-news.com',
+                        'src5-news.com','m.src5-news.com') AS keep_url,
+         doc_id = MIN(doc_id) OVER (PARTITION BY url_canon) AS is_canonical
+  FROM c
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep_url THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical
+FROM f GROUP BY domain
 """,
         "q84_url_filter": """
 WITH c AS (

@@ -177,6 +177,9 @@ def run_bench() -> dict:
         "q85_quality_model",
         "q86_warc_extract",
         "q87_pagerank",
+        "q88_webcorpus_gates",
+        "q89_cdx_index",
+        "q90_host_stats",
     ):
         fn = Q[name]
 
