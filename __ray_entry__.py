@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 90 queries, 74 oracle-checked; the driver
+driver's rows-only check. 92 queries, 76 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -1223,6 +1223,87 @@ def q90_host_stats(sf_dir: str):
     )
 
 
+def q91_outlinks(sf_dir: str):
+    """WAT-tier outlink + anchor-text extraction (stages/weblinks.py):
+    synthesize each document's page (deterministic nav/sidebar/related
+    links + inline figure) and its canonical page URL, then REALLY
+    parse the HTML collecting every <a href> and <img src> in document
+    order with whitespace-normalized anchor text, resolving relative
+    hrefs against the page URL (RFC 3986 merge). Row-local, zero
+    shuffle. Oracle recomputes every link row structurally from
+    (doc_id, source) and the synthesizer's word table."""
+    from ocrd_cis_ray.stages.urlfilter import (
+        canonicalize_urls,
+        synthesize_urls_batch,
+    )
+    from ocrd_cis_ray.stages.webextract import synthesize_html_batch
+    from ocrd_cis_ray.stages.weblinks import extract_links
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def page_with_url(t: pa.Table) -> pa.Table:
+        u = synthesize_urls_batch(t.select(["doc_id", "source"]))
+        html = synthesize_html_batch(t.select(["doc_id", "text"]))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "url": canonicalize_urls(u["url"]),
+                "html": html["html"],
+            }
+        )
+
+    return extract_links(
+        ds.map_batches(page_with_url, batch_format="pyarrow")
+    )
+
+
+def q92_robots_gate(sf_dir: str):
+    """robots.txt compliance gate (stages/robots.py, RFC 9309): parse
+    per-host robots bodies ONCE (driver), broadcast the compiled rule
+    table via ray.put, and gate the page stream batch-locally with
+    longest-match / allow-wins-ties semantics — agent-specific group
+    selection (a CCBot group OVERRIDES *, a googlebot decoy must not
+    apply), mixed-case fields and CRLF exercised by the synthesizer.
+    Oracle recomputes the gate decision and the matched rule
+    structurally from the source ordinal."""
+    from ocrd_cis_ray.stages.robots import (
+        apply_robots,
+        distinct_domains,
+        synthesize_robots_txt,
+    )
+    from ocrd_cis_ray.stages.urlfilter import (
+        canonicalize_urls,
+        synthesize_urls_batch,
+        url_domain,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        u = synthesize_urls_batch(t)
+        return pa.table(
+            {"doc_id": t["doc_id"], "url": canonicalize_urls(u["url"])}
+        )
+
+    # materialized once: consumed by the domain partials AND the gate
+    pages = ds.map_batches(canon, batch_format="pyarrow").materialize()
+
+    def dom_col(t: pa.Table) -> pa.Table:
+        return pa.table({"domain": url_domain(t["url"])})
+
+    domains = distinct_domains(
+        pages.map_batches(dom_col, batch_format="pyarrow")
+    )
+    robots_map = {d: synthesize_robots_txt(d) for d in domains}
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "domain", "path", "allowed", "rule"])
+
+    return apply_robots(pages, robots_map).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+
 def q87_pagerank(sf_dir: str):
     """Link-graph PageRank (web-corpus quality prior, Common Crawl
     host-ranking analog): deterministic out-link set per document, two
@@ -2350,6 +2431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     a hash match and must not occupy window slots)."""
     return {
         # -- oracle-backed, highest verification priority ------------
+        "q91_outlinks": q91_outlinks,
+        "q92_robots_gate": q92_robots_gate,
         "q83_pdf_extract": q83_pdf_extract,
         "q89_cdx_index": q89_cdx_index,
         "q90_host_stats": q90_host_stats,
@@ -3295,6 +3378,69 @@ SELECT domain,
        CAST(SUM(CASE WHEN keep_url THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        CAST(SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical
 FROM f GROUP BY domain
+""",
+        "q91_outlinks": """
+WITH words(i, w) AS (VALUES
+  (0,'home'),(1,'about'),(2,'contact'),(3,'privacy'),(4,'terms'),
+  (5,'sitemap'),(6,'login'),(7,'search'),(8,'archive'),(9,'tags'),
+  (10,'news'),(11,'sports'),(12,'shop'),(13,'help'),(14,'faq'),
+  (15,'careers'),(16,'press'),(17,'blog'),(18,'forum'),(19,'media')),
+d AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END) || '://'
+      || (CASE WHEN doc_id % 4 = 3 THEN 'm.' ELSE '' END)
+      || source || '-news.com' AS origin,
+    doc_id % 3 = 0 AS has_img
+  FROM documents),
+nav AS (
+  SELECT d.doc_id, CAST(t.i AS INT) AS link_no, 'a' AS kind,
+         '/' || w.w AS href, d.origin || '/' || w.w AS url_target,
+         upper(substr(w.w, 1, 1)) || substr(w.w, 2) AS anchor
+  FROM d CROSS JOIN range(6) t(i)
+  JOIN words w ON w.i = (d.doc_id + t.i) % 20),
+side AS (
+  SELECT d.doc_id, CAST(6 + t.i AS INT) AS link_no, 'a' AS kind,
+         '/t/' || w.w AS href, d.origin || '/t/' || w.w AS url_target,
+         w.w AS anchor
+  FROM d CROSS JOIN range(5) t(i)
+  JOIN words w ON w.i = (d.doc_id * 3 + t.i) % 20),
+img AS (
+  SELECT doc_id, CAST(11 AS INT) AS link_no, 'img' AS kind,
+         'media://doc/' || CAST(doc_id AS VARCHAR) || '/fig0' AS href,
+         'media://doc/' || CAST(doc_id AS VARCHAR) || '/fig0' AS url_target,
+         'figure' AS anchor
+  FROM d WHERE has_img),
+rel AS (
+  SELECT d.doc_id,
+         CAST((CASE WHEN d.has_img THEN 12 ELSE 11 END) + t.i AS INT)
+           AS link_no,
+         'a' AS kind, '/r/' || w.w AS href,
+         d.origin || '/r/' || w.w AS url_target,
+         'read ' || w.w AS anchor
+  FROM d CROSS JOIN range(4) t(i)
+  JOIN words w ON w.i = (d.doc_id * 7 + t.i) % 20)
+SELECT * FROM nav UNION ALL SELECT * FROM side
+UNION ALL SELECT * FROM img UNION ALL SELECT * FROM rel
+""",
+        "q92_robots_gate": """
+WITH d AS (
+  SELECT doc_id,
+    CAST(substr(source, 4) AS INT) AS k,
+    (CASE WHEN doc_id % 4 = 3 THEN 'm.' ELSE '' END)
+      || source || '-news.com' AS domain,
+    '/articles/item/' || CAST(doc_id % 50 AS VARCHAR) AS path
+  FROM documents)
+SELECT doc_id, domain, path,
+  CASE WHEN k % 5 = 2 THEN FALSE
+       WHEN k % 4 = 1 AND k % 3 = 0 THEN TRUE
+       WHEN k % 4 = 1 THEN FALSE
+       ELSE TRUE END AS allowed,
+  CASE WHEN k % 5 = 2 THEN 'disallow:/'
+       WHEN k % 4 = 1 AND k % 3 = 0 THEN 'allow:/articles/item/'
+       WHEN k % 4 = 1 THEN 'disallow:/articles/item/'
+       WHEN k % 3 = 0 THEN 'allow:/articles/item/'
+       ELSE '' END AS rule
+FROM d
 """,
         "q84_url_filter": """
 WITH c AS (

@@ -180,6 +180,8 @@ def run_bench() -> dict:
         "q88_webcorpus_gates",
         "q89_cdx_index",
         "q90_host_stats",
+        "q91_outlinks",
+        "q92_robots_gate",
     ):
         fn = Q[name]
 
