@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 92 queries, 76 oracle-checked; the driver
+driver's rows-only check. 93 queries, 77 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -1257,6 +1257,65 @@ def q91_outlinks(sf_dir: str):
     )
 
 
+def q93_host_graph(sf_dir: str):
+    """Cross-host link graph from the WAT tier (the edge list a host
+    PageRank like q87 consumes): extract every outlink batch-locally
+    (q91 path), resolve src host from the page URL and dst host from
+    the resolved target (vectorized extract_regex), keep cross-host
+    <a> edges, and aggregate (src_host, dst_host) counts with a
+    MAP-SIDE COMBINER — the exchange moves per-batch host-pair
+    partials, never link rows. Oracle recomputes the edge list
+    structurally (related links are the only cross-host targets)."""
+    from ocrd_cis_ray.shuffle import bucketed_aggregate
+    from ocrd_cis_ray.stages.urlfilter import (
+        canonicalize_urls,
+        synthesize_urls_batch,
+        url_domain,
+    )
+    from ocrd_cis_ray.stages.webextract import synthesize_html_batch
+    from ocrd_cis_ray.stages.weblinks import extract_links_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    host_re = (
+        r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(?P<host>[^/?#:@]+)"
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        u = synthesize_urls_batch(t.select(["doc_id", "source"]))
+        html = synthesize_html_batch(t.select(["doc_id", "text"]))
+        page = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "url": canonicalize_urls(u["url"]),
+                "html": html["html"],
+            }
+        )
+        links = extract_links_batch(page)
+        # src host per link row: align link doc_ids to page rows
+        idx = pc.index_in(
+            links["doc_id"], value_set=page["doc_id"].combine_chunks()
+        )
+        src = pc.take(url_domain(page["url"]), idx)
+        dst = pc.struct_field(
+            pc.extract_regex(links["url_target"], host_re), "host"
+        )
+        keep = pc.and_(
+            pc.equal(links["kind"], "a"),
+            pc.and_(
+                pc.is_valid(dst),
+                pc.not_equal(pc.fill_null(dst, ""), pc.fill_null(src, "")),
+            ),
+        )
+        return pa.table({"src_host": src, "dst_host": dst}).filter(keep)
+
+    return bucketed_aggregate(
+        ds.map_batches(edges, batch_format="pyarrow"),
+        ["src_host", "dst_host"],
+        {"n_links": ("dst_host", "size")},
+        combine=True,
+    )
+
+
 def q92_robots_gate(sf_dir: str):
     """robots.txt compliance gate (stages/robots.py, RFC 9309): parse
     per-host robots bodies ONCE (driver), broadcast the compiled rule
@@ -2433,6 +2492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- oracle-backed, highest verification priority ------------
         "q91_outlinks": q91_outlinks,
         "q92_robots_gate": q92_robots_gate,
+        "q93_host_graph": q93_host_graph,
         "q83_pdf_extract": q83_pdf_extract,
         "q89_cdx_index": q89_cdx_index,
         "q90_host_stats": q90_host_stats,
@@ -3414,13 +3474,32 @@ rel AS (
   SELECT d.doc_id,
          CAST((CASE WHEN d.has_img THEN 12 ELSE 11 END) + t.i AS INT)
            AS link_no,
-         'a' AS kind, '/r/' || w.w AS href,
-         d.origin || '/r/' || w.w AS url_target,
+         'a' AS kind,
+         'https://' || w.w || '-hub.org/read/' || w.w AS href,
+         'https://' || w.w || '-hub.org/read/' || w.w AS url_target,
          'read ' || w.w AS anchor
   FROM d CROSS JOIN range(4) t(i)
   JOIN words w ON w.i = (d.doc_id * 7 + t.i) % 20)
 SELECT * FROM nav UNION ALL SELECT * FROM side
 UNION ALL SELECT * FROM img UNION ALL SELECT * FROM rel
+""",
+        "q93_host_graph": """
+WITH words(i, w) AS (VALUES
+  (0,'home'),(1,'about'),(2,'contact'),(3,'privacy'),(4,'terms'),
+  (5,'sitemap'),(6,'login'),(7,'search'),(8,'archive'),(9,'tags'),
+  (10,'news'),(11,'sports'),(12,'shop'),(13,'help'),(14,'faq'),
+  (15,'careers'),(16,'press'),(17,'blog'),(18,'forum'),(19,'media')),
+d AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 4 = 3 THEN 'm.' ELSE '' END)
+      || source || '-news.com' AS src_host
+  FROM documents),
+e AS (
+  SELECT d.src_host, w.w || '-hub.org' AS dst_host
+  FROM d CROSS JOIN range(4) t(i)
+  JOIN words w ON w.i = (d.doc_id * 7 + t.i) % 20)
+SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM e GROUP BY src_host, dst_host
 """,
         "q92_robots_gate": """
 WITH d AS (

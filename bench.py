@@ -182,6 +182,7 @@ def run_bench() -> dict:
         "q90_host_stats",
         "q91_outlinks",
         "q92_robots_gate",
+        "q93_host_graph",
     ):
         fn = Q[name]
 

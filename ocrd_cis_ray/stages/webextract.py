@@ -117,9 +117,14 @@ def _render_page(doc_id: int, text: str) -> str:
             # inline figure inside main content -> image span
             body.append(f'<img src="media://doc/{s}/fig0" alt="figure">')
     # related-links div: link-dense but NOT inside a bad ancestor —
-    # only the link-density heuristic can kill it.
+    # only the link-density heuristic can kill it. Targets are
+    # CROSS-HOST (word-derived hub hosts) so the WAT tier
+    # (stages/weblinks.py) yields a real host link graph, not
+    # self-loops; extraction output is unaffected (the div is
+    # boilerplate either way).
     related = " | ".join(
-        f'<a href="/r/{_bp_word(s * 7 + i)}">read {_bp_word(s * 7 + i)}</a>'
+        f'<a href="https://{_bp_word(s * 7 + i)}-hub.org/read/'
+        f'{_bp_word(s * 7 + i)}">read {_bp_word(s * 7 + i)}</a>'
         for i in range(4)
     )
     return (
