@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 93 queries, 77 oracle-checked; the driver
+driver's rows-only check. 94 queries, 78 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -1316,6 +1316,80 @@ def q93_host_graph(sf_dir: str):
     )
 
 
+def q94_host_pagerank(sf_dir: str):
+    """Host-level PageRank over the REAL extracted link graph — the
+    full Common Crawl host-ranking composition: WAT link extraction
+    (q91) -> cross-host edge aggregate (q93) -> exact int64 fixed-point
+    power iteration (stages/linkgraph.py, bit-reproducible across
+    block orders). Host strings get dense int ids by sorted order (the
+    host table is orders of magnitude smaller than the page stream —
+    bounded driver reduce + ray.put, the broadcast-side convention);
+    outdeg = distinct out-neighbour count via ONE map-side-combined
+    aggregate. Oracle unrolls both iterations in SQL joined on host
+    strings with the identical integer recurrence."""
+    import ray
+    import ray.data as rd
+
+    from ocrd_cis_ray.shuffle import bucketed_aggregate
+    from ocrd_cis_ray.stages.linkgraph import pagerank
+    from ocrd_cis_ray.stages.robots import distinct_domains
+
+    # distinct (src,dst) host pairs; consumed three times below
+    pairs = q93_host_graph(sf_dir).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        hs = pa.concat_arrays(
+            [
+                t["src_host"].combine_chunks().cast(pa.string()),
+                t["dst_host"].combine_chunks().cast(pa.string()),
+            ]
+        ).unique()
+        return pa.table({"domain": hs})
+
+    hosts = distinct_domains(
+        pairs.map_batches(endpoints, batch_format="pyarrow")
+    )  # sorted; dense id = position
+    id_of = {h: i for i, h in enumerate(hosts)}
+
+    # outdeg per src host: one map-side-combined exchange, output is
+    # one row per host -> bounded driver pull + broadcast
+    outd = bucketed_aggregate(
+        pairs, "src_host", {"outdeg": ("dst_host", "size")}, combine=True
+    ).to_pandas()
+    deg_of = dict(zip(outd["src_host"], outd["outdeg"].astype(int)))
+    maps_ref = ray.put((id_of, deg_of))
+
+    def to_int(t: pa.Table) -> pa.Table:
+        ids, degs = ray.get(maps_ref)
+        src = [ids[h] for h in t["src_host"].to_pylist()]
+        dst = [ids[h] for h in t["dst_host"].to_pylist()]
+        od = [degs[h] for h in t["src_host"].to_pylist()]
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "outdeg": pa.array(od, pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(to_int, batch_format="pyarrow")
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array(range(len(hosts)), pa.int64())})
+    )
+    out = pagerank(edges, nodes, iters=2)
+    hosts_arr = pa.array(hosts, pa.string())
+
+    def back(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": pc.take(hosts_arr, t["node"]),
+                "rank_q": t["rank_q"],
+            }
+        )
+
+    return out.map_batches(back, batch_format="pyarrow")
+
+
 def q92_robots_gate(sf_dir: str):
     """robots.txt compliance gate (stages/robots.py, RFC 9309): parse
     per-host robots bodies ONCE (driver), broadcast the compiled rule
@@ -2493,6 +2567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q91_outlinks": q91_outlinks,
         "q92_robots_gate": q92_robots_gate,
         "q93_host_graph": q93_host_graph,
+        "q94_host_pagerank": q94_host_pagerank,
         "q83_pdf_extract": q83_pdf_extract,
         "q89_cdx_index": q89_cdx_index,
         "q90_host_stats": q90_host_stats,
@@ -3500,6 +3575,48 @@ e AS (
   JOIN words w ON w.i = (d.doc_id * 7 + t.i) % 20)
 SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
 FROM e GROUP BY src_host, dst_host
+""",
+        "q94_host_pagerank": """
+WITH words(i, w) AS (VALUES
+  (0,'home'),(1,'about'),(2,'contact'),(3,'privacy'),(4,'terms'),
+  (5,'sitemap'),(6,'login'),(7,'search'),(8,'archive'),(9,'tags'),
+  (10,'news'),(11,'sports'),(12,'shop'),(13,'help'),(14,'faq'),
+  (15,'careers'),(16,'press'),(17,'blog'),(18,'forum'),(19,'media')),
+d AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 4 = 3 THEN 'm.' ELSE '' END)
+      || source || '-news.com' AS src_host
+  FROM documents),
+pairs AS (
+  SELECT DISTINCT d.src_host, w.w || '-hub.org' AS dst_host
+  FROM d CROSS JOIN range(4) t(i)
+  JOIN words w ON w.i = (d.doc_id * 7 + t.i) % 20),
+outd AS (
+  SELECT src_host, CAST(COUNT(*) AS BIGINT) AS outdeg
+  FROM pairs GROUP BY src_host),
+nodes AS (
+  SELECT src_host AS host FROM pairs
+  UNION SELECT dst_host FROM pairs),
+e AS (
+  SELECT p.src_host, p.dst_host, o.outdeg
+  FROM pairs p JOIN outd o USING (src_host)),
+r1 AS (
+  SELECT n.host,
+         150000000000 + 85 * COALESCE(s.c, 0) // 100 AS r
+  FROM nodes n
+  LEFT JOIN (
+    SELECT dst_host, CAST(SUM(1000000000000 // outdeg) AS BIGINT) AS c
+    FROM e GROUP BY dst_host
+  ) s ON n.host = s.dst_host),
+r2 AS (
+  SELECT n.host,
+         150000000000 + 85 * COALESCE(s.c, 0) // 100 AS r
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst_host, CAST(SUM(r1.r // e.outdeg) AS BIGINT) AS c
+    FROM e JOIN r1 ON e.src_host = r1.host GROUP BY e.dst_host
+  ) s ON n.host = s.dst_host)
+SELECT host, CAST(r AS BIGINT) AS rank_q FROM r2
 """,
         "q92_robots_gate": """
 WITH d AS (

@@ -183,6 +183,7 @@ def run_bench() -> dict:
         "q91_outlinks",
         "q92_robots_gate",
         "q93_host_graph",
+        "q94_host_pagerank",
     ):
         fn = Q[name]
 
