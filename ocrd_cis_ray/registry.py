@@ -265,3 +265,25 @@ def _pagerank(ds, **p):
         partial, "node", lambda df: df.drop_duplicates("node"), whole_bucket=True
     )
     return pagerank(ds, nodes, **p)
+
+
+@register_stage(
+    "extract_links",
+    description="WAT-tier outlink/anchor extraction: (doc_id, url, html) -> one row per link in document order",
+)
+def _extract_links(ds, **p):
+    from .stages.weblinks import extract_links
+
+    return extract_links(ds, **p)
+
+
+@register_stage(
+    "robots_gate",
+    defaults={"robots_map": {}, "agent": "ccbot", "url_column": "url"},
+    description="RFC 9309 robots.txt gate: broadcast per-host rules, longest-match/allow-wins-ties, adds (domain, path, allowed, rule)",
+)
+def _robots_gate(ds, **p):
+    from .stages.robots import apply_robots
+
+    robots_map = p.pop("robots_map")
+    return apply_robots(ds, robots_map, **p)
