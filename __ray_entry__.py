@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 94 queries, 78 oracle-checked; the driver
+driver's rows-only check. 95 queries, 79 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -1390,6 +1390,39 @@ def q94_host_pagerank(sf_dir: str):
     return out.map_batches(back, batch_format="pyarrow")
 
 
+def q95_wet_roundtrip(sf_dir: str):
+    """WET text-tier round trip — completes the Common Crawl artifact
+    triple (WARC q86, WAT q91/q93, CDX q89, WET here): pack synthesized
+    HTML into real WARC shards, split them, run main-content
+    extraction, pack the extracted text into spec-shaped WET shards
+    (warcinfo + per-record-gzipped conversion records with
+    WARC-Refers-To), then split the WET shards back into
+    (doc_id, url, text). Every hop is batch-local — zero shuffle
+    container->extract->container->reader. Oracle = the q86 inversion:
+    the text recovered THROUGH both containers equals the normalized
+    source text, with the structural record URL."""
+    from ocrd_cis_ray.sources.warc import (
+        records_from_warc,
+        warc_shards_from_html,
+    )
+    from ocrd_cis_ray.sources.wet import texts_from_wet, wet_shards_from_text
+    from ocrd_cis_ray.stages.webextract import _content_batch, synthesize_html
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    shards = synthesize_html(ds).map_batches(
+        warc_shards_from_html, batch_format="pyarrow"
+    )
+    pages = shards.map_batches(records_from_warc, batch_format="pyarrow")
+
+    def extract_with_url(t: pa.Table) -> pa.Table:
+        return _content_batch(t).append_column("url", t["url"])
+
+    wet = pages.map_batches(extract_with_url, batch_format="pyarrow").map_batches(
+        wet_shards_from_text, batch_format="pyarrow"
+    )
+    return wet.map_batches(texts_from_wet, batch_format="pyarrow")
+
+
 def q92_robots_gate(sf_dir: str):
     """robots.txt compliance gate (stages/robots.py, RFC 9309): parse
     per-host robots bodies ONCE (driver), broadcast the compiled rule
@@ -2568,6 +2601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q92_robots_gate": q92_robots_gate,
         "q93_host_graph": q93_host_graph,
         "q94_host_pagerank": q94_host_pagerank,
+        "q95_wet_roundtrip": q95_wet_roundtrip,
         "q83_pdf_extract": q83_pdf_extract,
         "q89_cdx_index": q89_cdx_index,
         "q90_host_stats": q90_host_stats,
@@ -3575,6 +3609,12 @@ e AS (
   JOIN words w ON w.i = (d.doc_id * 7 + t.i) % 20)
 SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
 FROM e GROUP BY src_host, dst_host
+""",
+        "q95_wet_roundtrip": """
+SELECT doc_id,
+       'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       regexp_replace(trim(text), '\\s+', ' ', 'g') AS text
+FROM documents
 """,
         "q94_host_pagerank": """
 WITH words(i, w) AS (VALUES

@@ -184,6 +184,7 @@ def run_bench() -> dict:
         "q92_robots_gate",
         "q93_host_graph",
         "q94_host_pagerank",
+        "q95_wet_roundtrip",
     ):
         fn = Q[name]
 

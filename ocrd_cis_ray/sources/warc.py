@@ -79,6 +79,10 @@ def write_warc(records: list[dict], *, gzip_per_record: bool = True) -> bytes:
         ]
         if rec.get("url"):
             headers.append(b"WARC-Target-URI: " + rec["url"].encode())
+        if rec.get("refers_to"):
+            headers.append(
+                b"WARC-Refers-To: <" + rec["refers_to"].encode() + b">"
+            )
         headers += [
             b"Content-Type: " + ctype,
             b"Content-Length: %d" % len(block),
@@ -154,6 +158,7 @@ def parse_warc(buf: bytes) -> list[dict]:
             "url": headers.get("warc-target-uri"),
             "date": headers.get("warc-date"),
             "record_id": headers.get("warc-record-id", "").strip("<>"),
+            "refers_to": headers.get("warc-refers-to", "").strip("<>"),
             "content_type": headers.get("content-type", ""),
         }
         if rec["warc_type"] == "response" and rec["content_type"].startswith(
