@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 95 queries, 79 oracle-checked; the driver
+driver's rows-only check. 96 queries, 80 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -1423,6 +1423,25 @@ def q95_wet_roundtrip(sf_dir: str):
     return wet.map_batches(texts_from_wet, batch_format="pyarrow")
 
 
+def q96_charset_detect(sf_dir: str):
+    """Charset sniff + decode (stages/charset.py, the CCNet
+    pre-extraction step): encode each document's text in a
+    doc_id-derived charset (UTF-8 BOM / UTF-16 BOM / Latin-1 with a
+    high byte / plain UTF-8), then REALLY sniff the raw bytes (BOM
+    precedence + strict-UTF-8 validation, the WHATWG order) and decode.
+    Batch-local, zero shuffle. Oracle recomputes the detected charset
+    and decoded text structurally from doc_id."""
+    from ocrd_cis_ray.stages.charset import (
+        detect_and_decode,
+        synthesize_encoded_batch,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return detect_and_decode(
+        ds.map_batches(synthesize_encoded_batch, batch_format="pyarrow")
+    )
+
+
 def q92_robots_gate(sf_dir: str):
     """robots.txt compliance gate (stages/robots.py, RFC 9309): parse
     per-host robots bodies ONCE (driver), broadcast the compiled rule
@@ -2602,6 +2621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q93_host_graph": q93_host_graph,
         "q94_host_pagerank": q94_host_pagerank,
         "q95_wet_roundtrip": q95_wet_roundtrip,
+        "q96_charset_detect": q96_charset_detect,
         "q83_pdf_extract": q83_pdf_extract,
         "q89_cdx_index": q89_cdx_index,
         "q90_host_stats": q90_host_stats,
@@ -3609,6 +3629,13 @@ e AS (
   JOIN words w ON w.i = (d.doc_id * 7 + t.i) % 20)
 SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
 FROM e GROUP BY src_host, dst_host
+""",
+        "q96_charset_detect": """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'utf-8-sig' WHEN 1 THEN 'utf-16'
+                       WHEN 2 THEN 'latin-1' ELSE 'utf-8' END AS charset,
+       text || ' é' AS text
+FROM documents
 """,
         "q95_wet_roundtrip": """
 SELECT doc_id,

@@ -185,6 +185,7 @@ def run_bench() -> dict:
         "q93_host_graph",
         "q94_host_pagerank",
         "q95_wet_roundtrip",
+        "q96_charset_detect",
     ):
         fn = Q[name]
 
