@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 96 queries, 80 oracle-checked; the driver
+driver's rows-only check. 97 queries, 81 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -1586,6 +1586,56 @@ def q88_webcorpus_gates(sf_dir: str):
     return joined.map_batches(decide, batch_format="pandas")
 
 
+def q97_compliance_chain(sf_dir: str):
+    """The COMPLETE compliant-crawl gate chain: robots.txt (RFC 9309,
+    q92) composed IN FRONT of the full FineWeb gate chain (q88 = URL
+    gate + Gopher + repetition + content dedup), in true pipeline
+    order — a compliant crawler consults robots before the fetch, so
+    robots_blocked precedes every curation stage in drop_stage
+    attribution. Flags-only doc_id join (documents never move twice).
+    Oracle wraps the ENTIRE q88 SQL as a CTE and adds the structural
+    robots decision around it."""
+    import pandas as _pd
+
+    from ocrd_cis_ray.shuffle import hash_join
+
+    def robots_flags(df: _pd.DataFrame) -> _pd.DataFrame:
+        return _pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "robots_allowed": df["allowed"].astype("int32"),
+            }
+        )
+
+    robots = q92_robots_gate(sf_dir).map_batches(
+        robots_flags, batch_format="pandas"
+    )
+    base = q88_webcorpus_gates(sf_dir)
+    joined = hash_join(robots, base, on="doc_id")
+
+    def decide(df: _pd.DataFrame) -> _pd.DataFrame:
+        ra = df["robots_allowed"].to_numpy()
+        keep = ((ra == 1) & (df["keep"].to_numpy() == 1)).astype("int32")
+        stage = np.where(
+            ra == 0, "robots_blocked", df["drop_stage"].to_numpy()
+        )
+        return _pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "robots_allowed": ra,
+                "keep_url": df["keep_url"],
+                "url_canonical": df["url_canonical"],
+                "pass_gopher": df["pass_gopher"],
+                "pass_repetition": df["pass_repetition"],
+                "text_canonical": df["text_canonical"],
+                "keep": keep,
+                "drop_stage": stage,
+            }
+        )
+
+    return joined.map_batches(decide, batch_format="pandas")
+
+
 def q85_quality_model(sf_dir: str):
     """Model-based quality scoring (CCNet / FineWeb-Edu stage): train a
     linear classifier on the corpus's own weak labels (lang == 'en')
@@ -2622,6 +2672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q94_host_pagerank": q94_host_pagerank,
         "q95_wet_roundtrip": q95_wet_roundtrip,
         "q96_charset_detect": q96_charset_detect,
+        "q97_compliance_chain": q97_compliance_chain,
         "q83_pdf_extract": q83_pdf_extract,
         "q89_cdx_index": q89_cdx_index,
         "q90_host_stats": q90_host_stats,
@@ -4085,6 +4136,28 @@ SELECT b.doc_id, u.keep_url, u.url_canonical,
             WHEN b.drop_stage <> 'kept' THEN b.drop_stage
             ELSE 'kept' END AS drop_stage
 FROM base b JOIN u USING (doc_id)
+"""
+    )
+    # q97 wraps the ENTIRE q88 oracle as a CTE and composes the
+    # structural robots decision in front (robots_blocked precedes
+    # every curation stage — a compliant crawler never fetches)
+    d["q97_compliance_chain"] = (
+        "WITH g AS (" + d["q88_webcorpus_gates"] + """),
+r AS (
+  SELECT doc_id,
+    CAST(CASE WHEN k % 5 = 2 THEN 0
+              WHEN k % 4 = 1 AND k % 3 = 0 THEN 1
+              WHEN k % 4 = 1 THEN 0
+              ELSE 1 END AS INT) AS robots_allowed
+  FROM (SELECT doc_id, CAST(substr(source, 4) AS INT) AS k
+        FROM documents))
+SELECT g.doc_id, r.robots_allowed, g.keep_url, g.url_canonical,
+       g.pass_gopher, g.pass_repetition, g.text_canonical,
+       CAST(CASE WHEN r.robots_allowed = 1 AND g.keep = 1
+            THEN 1 ELSE 0 END AS INT) AS keep,
+       CASE WHEN r.robots_allowed = 0 THEN 'robots_blocked'
+            ELSE g.drop_stage END AS drop_stage
+FROM g JOIN r USING (doc_id)
 """
     )
     return d

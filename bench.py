@@ -186,6 +186,7 @@ def run_bench() -> dict:
         "q94_host_pagerank",
         "q95_wet_roundtrip",
         "q96_charset_detect",
+        "q97_compliance_chain",
     ):
         fn = Q[name]
 
