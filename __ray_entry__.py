@@ -1275,10 +1275,9 @@ def q93_host_graph(sf_dir: str):
     from ocrd_cis_ray.stages.webextract import synthesize_html_batch
     from ocrd_cis_ray.stages.weblinks import extract_links_batch
 
+    from ocrd_cis_ray.stages.urlfilter import URL_RE
+
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
-    host_re = (
-        r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(?P<host>[^/?#:@]+)"
-    )
 
     def edges(t: pa.Table) -> pa.Table:
         u = synthesize_urls_batch(t.select(["doc_id", "source"]))
@@ -1297,15 +1296,20 @@ def q93_host_graph(sf_dir: str):
         )
         src = pc.take(url_domain(page["url"]), idx)
         dst = pc.struct_field(
-            pc.extract_regex(links["url_target"], host_re), "host"
+            pc.extract_regex(links["url_target"], URL_RE), "host"
         )
+        # BOTH endpoints must parse: a null src (unparseable page URL)
+        # must not produce a (null, dst) edge that later crashes the
+        # host-id assignment — unparseable URLs fail the gate
+        # explicitly, the repo-wide convention
         keep = pc.and_(
             pc.equal(links["kind"], "a"),
             pc.and_(
-                pc.is_valid(dst),
-                pc.not_equal(pc.fill_null(dst, ""), pc.fill_null(src, "")),
+                pc.and_(pc.is_valid(dst), pc.is_valid(src)),
+                pc.not_equal(dst, src),
             ),
         )
+        keep = pc.fill_null(keep, False)
         return pa.table({"src_host": src, "dst_host": dst}).filter(keep)
 
     return bucketed_aggregate(
@@ -3683,8 +3687,12 @@ FROM e GROUP BY src_host, dst_host
 """,
         "q96_charset_detect": """
 SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'utf-8-sig' WHEN 1 THEN 'utf-16'
-                       WHEN 2 THEN 'latin-1' ELSE 'utf-8' END AS charset,
+       CASE WHEN doc_id % 4 = 0 THEN 'utf-8-sig'
+            WHEN doc_id % 4 = 1 THEN 'utf-16'
+            WHEN doc_id % 4 = 2
+                 AND NOT regexp_matches(text, '[^\\x{00}-\\x{ff}]')
+              THEN 'latin-1'
+            ELSE 'utf-8' END AS charset,
        text || ' é' AS text
 FROM documents
 """,

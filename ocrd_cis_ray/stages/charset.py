@@ -53,13 +53,20 @@ def sniff_charset(b: bytes) -> str:
 
 def synthesize_encoded_batch(t: pa.Table) -> pa.Table:
     """(doc_id, text) -> (doc_id, payload): text + MARKER encoded in
-    the doc_id-derived charset (doc_id%4 indexes _CHARSETS)."""
+    the doc_id-derived charset (doc_id%4 indexes _CHARSETS). A text the
+    Latin-1 slot cannot carry (any codepoint > U+00FF — em dashes,
+    curly quotes, CJK) falls back to UTF-8, exactly as a real encoder
+    would pick a charset that fits; the q96 oracle mirrors the
+    fallback with a codepoint-range regex."""
     ids = t["doc_id"].to_pylist()
     texts = t["text"].to_pylist()
-    payloads = [
-        ((txt or "") + MARKER).encode(_CHARSETS[int(did) % 4])
-        for did, txt in zip(ids, texts)
-    ]
+    payloads = []
+    for did, txt in zip(ids, texts):
+        cs = _CHARSETS[int(did) % 4]
+        s = (txt or "") + MARKER
+        if cs == "latin-1" and any(ord(c) > 0xFF for c in s):
+            cs = "utf-8"
+        payloads.append(s.encode(cs))
     return pa.table(
         {
             "doc_id": t["doc_id"],

@@ -25,8 +25,9 @@ Matching semantics (RFC 9309 §2.2.2 + Google REP):
     token matches, the ``*`` group applies; with no ``*`` group
     everything is allowed.
   - within the group, the rule with the LONGEST pattern that matches
-    the URL path wins; equal-length ties go to ``allow`` (least
-    restrictive). Empty ``Disallow:`` is allow-all (ignored).
+    the URL path + optional '?query' (the §2.2.2 match unit) wins;
+    equal-length ties go to ``allow`` (least restrictive). Empty
+    ``Disallow:`` is allow-all (ignored).
   - ``*`` matches any char run, ``$`` anchors the pattern end.
 
 At 100 TB the robots table for the full web (~400 M hosts × ~1 KB) no
@@ -55,9 +56,16 @@ def parse_robots(text: str) -> dict[str, list[tuple[bool, str]]]:
     """robots.txt body -> {agent_token_lower: [(is_allow, pattern)]}.
 
     Consecutive ``User-agent`` lines share one group (RFC 9309 §2.2.1);
-    field names are case-insensitive; ``#`` starts a comment; unknown
-    fields are skipped; an empty ``Disallow:`` value is allow-all and
-    is dropped (no rule can match "")."""
+    field names are case-insensitive; ``#`` starts a comment; a UTF-8
+    BOM on the first line is stripped (§2.3 — BOM-prefixed robots.txt
+    is common in the wild and must not hide the first field); an empty
+    ``Disallow:`` value is allow-all and is dropped (no rule can match
+    ""). Unrecognized records (Sitemap, Crawl-delay, ...) are ignored
+    WITHOUT interrupting a user-agent run — per §2.2.4 / Google REP,
+    'User-agent: a / Sitemap: ... / User-agent: b / Disallow: /' is ONE
+    group disallowing both agents."""
+    if text.startswith("\ufeff"):
+        text = text[1:]
     groups: dict[str, list[tuple[bool, str]]] = {}
     current: list[str] = []
     rules_started = True  # a UA line after rules starts a NEW group
@@ -81,8 +89,8 @@ def parse_robots(text: str) -> dict[str, list[tuple[bool, str]]]:
                 continue  # rule before any UA line, or empty disallow
             for tok in current:
                 groups[tok].append((field == "allow", value))
-        else:
-            rules_started = True  # crawl-delay etc. end the UA run
+        # any other record (Sitemap, Crawl-delay, unknown): ignored,
+        # and it does NOT end the current user-agent run
     return groups
 
 
@@ -124,15 +132,17 @@ def _compile_rules(rules: list[tuple[bool, str]]):
 
 
 def evaluate_rules(compiled, paths: np.ndarray):
-    """Vectorized longest-match evaluation over a host's path array.
-    Returns (allowed: bool[n], rule: object[n] — 'allow:<pat>' /
-    'disallow:<pat>' / '' when nothing matched)."""
+    """Vectorized longest-match evaluation over a host's match-target
+    array (URL path + optional '?query' — the RFC 9309 §2.2.2 match
+    unit). Returns (allowed: bool[n], rule: object[n] —
+    'allow:<pat>' / 'disallow:<pat>' / '' when nothing matched)."""
     n = len(paths)
     allowed = np.ones(n, bool)
     rule = np.full(n, "", object)
+    spaths = paths.astype(str)  # one conversion, reused by every rule
     for is_allow, pat, rx in compiled:
         if rx is None:
-            mask = np.char.startswith(paths.astype(str), pat)
+            mask = np.char.startswith(spaths, pat)
         else:
             mask = np.fromiter(
                 (rx.match(p) is not None for p in paths), bool, n)
@@ -197,9 +207,14 @@ def apply_robots(ds, robots_map: dict[str, str], *,
     """Gate a page stream against per-host robots.txt.
 
     ``ds``: rows with ``url_column`` (absolute URLs). ``robots_map``:
-    {host: robots.txt body}. Output adds (domain, path, allowed,
-    rule). Hosts absent from the map are allowed (no robots = no
-    restriction, the crawl convention)."""
+    {host: robots.txt body} — host keys are case-folded (hostnames are
+    case-insensitive, RFC 3986 §3.2.2). Output adds (domain — the
+    lowercased host, path — the URL path, allowed, rule). Rules match
+    against path + optional '?query' (RFC 9309 §2.2.2: the match unit
+    includes the query, so 'Disallow: /*.pdf$' does NOT block
+    '/f.pdf?dl=1' and 'Disallow: /search?q=' works). Hosts absent from
+    the map are allowed (no robots = no restriction, the crawl
+    convention)."""
     import ray
 
     total = sum(len(k) + len(v) for k, v in robots_map.items())
@@ -211,31 +226,48 @@ def apply_robots(ds, robots_map: dict[str, str], *,
     compiled_map = {}
     for dom, txt in robots_map.items():
         grp = select_group(parse_robots(txt), agent)
-        compiled_map[dom] = _compile_rules(grp) if grp else []
+        compiled_map[dom.lower()] = _compile_rules(grp) if grp else []
     rules_ref = ray.put(compiled_map)
-
-    _url_parts = re.compile(
-        r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(?P<host>[^/?#:@]+)"
-        r"(?::[0-9]+)?(?P<path>[^?#]*)")
 
     def gate(t: pa.Table) -> pa.Table:
         rules = ray.get(rules_ref)
         import pyarrow.compute as pc
 
-        parts = pc.extract_regex(t[url_column], _url_parts.pattern)
-        host = pc.fill_null(pc.struct_field(parts, "host"), "")
+        # the shared one-pass URL decomposition (urlfilter._URL_RE)
+        # carries the userinfo-spoofing protection; don't restate it
+        from .urlfilter import URL_RE
+
+        parts = pc.extract_regex(t[url_column], URL_RE)
+        host = pc.utf8_lower(
+            pc.fill_null(pc.struct_field(parts, "host"), "")
+        )
         path = pc.fill_null(pc.struct_field(parts, "path"), "")
+        query = pc.fill_null(pc.struct_field(parts, "query"), "")
         hosts = np.asarray(host.to_pylist(), object)
         paths = np.asarray(path.to_pylist(), object)
         paths[paths == ""] = "/"
+        # match target = path[?query] (§2.2.2); the emitted `path`
+        # column stays the bare URL path
+        queries = np.asarray(query.to_pylist(), object)
+        targets = paths.copy()
+        has_q = queries != ""
+        if has_q.any():
+            targets[has_q] = np.char.add(
+                np.char.add(targets[has_q].astype(str), "?"),
+                queries[has_q].astype(str),
+            ).astype(object)
         allowed = np.ones(len(t), bool)
         rule = np.full(len(t), "", object)
-        for dom in np.unique(hosts):
+        # one sort-based grouping pass instead of a per-host scan
+        uniq, inv = np.unique(hosts, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
+        for u, dom in enumerate(uniq):
             compiled = rules.get(dom)
             if not compiled:
                 continue
-            idx = np.nonzero(hosts == dom)[0]
-            a, r = evaluate_rules(compiled, paths[idx])
+            idx = order[bounds[u]:bounds[u + 1]]
+            a, r = evaluate_rules(compiled, targets[idx])
             allowed[idx] = a
             rule[idx] = r
         return t.append_column(

@@ -35,6 +35,10 @@ _URL_RE = (
     r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?:[^/?#@]*@)?(?P<host>[^/?#:@]+)"
     r"(?::(?P<port>[0-9]+))?(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$"
 )
+#: public alias — the ONE URL decomposition other stages must reuse
+#: (robots gate, link-graph host derivation) so the userinfo-spoofing
+#: protection propagates everywhere from a single definition
+URL_RE = _URL_RE
 
 DEFAULT_PORTS = {"http": "80", "https": "443"}
 

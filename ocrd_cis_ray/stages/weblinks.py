@@ -41,6 +41,7 @@ _SKIP_TAGS = {"script", "style", "noscript", "template"}
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
 _BASE_RE = re.compile(
     r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<auth>[^/?#]*)(?P<path>[^?#]*)"
+    r"(?:\?(?P<query>[^#]*))?"
 )
 
 
@@ -81,7 +82,9 @@ def resolve_href(base: str, href: str) -> str:
     if ref.startswith("//"):
         return f"{scheme}:{ref}"
     if ref == "":
-        return f"{origin}{bpath}"  # self-link (pure fragment)
+        # same-document reference (§5.3): base URI incl. its query
+        bq = m.group("query")
+        return f"{origin}{bpath}" + (f"?{bq}" if bq is not None else "")
     if ref.startswith("/"):
         return origin + _remove_dot_segments(ref)
     if ref.startswith("?"):

@@ -62,10 +62,13 @@ def test_ray_e2e_roundtrip():
     assert list(out["text"]) == [f"doc {i} Ünïcode{MARKER}" for i in range(40)]
 
 
-def test_non_latin1_text_raises_at_encode():
-    # the synthesizer is honest: charset 2 can't carry CJK — a real
-    # corpus would pick a wider charset, the synthesizer must not
-    # silently mangle
-    t = pa.table({"doc_id": pa.array([2], pa.int64()), "text": ["漢字"]})
-    with pytest.raises(UnicodeEncodeError):
-        synthesize_encoded_batch(t)
+def test_non_latin1_text_falls_back_to_utf8():
+    # the Latin-1 slot can't carry CJK/em dashes — the synthesizer
+    # picks UTF-8 instead (as a real encoder would) and the sniff
+    # detects exactly that, text intact
+    t = pa.table({"doc_id": pa.array([2, 6], pa.int64()),
+                  "text": ["漢字 — test", "plain"]})
+    out = detect_decode_batch(synthesize_encoded_batch(t)).to_pylist()
+    assert out[0]["charset"] == "utf-8"
+    assert out[0]["text"] == "漢字 — test" + MARKER
+    assert out[1]["charset"] == "latin-1"  # still latin-1 when it fits

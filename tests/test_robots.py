@@ -59,6 +59,20 @@ def test_empty_disallow_is_allow_all():
     assert parse_robots("User-agent: *\nDisallow:\n")["*"] == []
 
 
+def test_utf8_bom_stripped():
+    g = parse_robots("\ufeffUser-agent: *\nDisallow: /\n")
+    assert g["*"] == [(False, "/")]
+
+
+def test_sitemap_does_not_interrupt_ua_run():
+    # RFC 9309 §2.2.4 / Google REP: non-group records must not split a
+    # user-agent run — 'a' and 'b' form ONE group here
+    txt = ("User-agent: a\nSitemap: https://e.com/s.xml\n"
+           "User-agent: b\nDisallow: /x\nCrawl-delay: 5\nDisallow: /y\n")
+    g = parse_robots(txt)
+    assert g["a"] == g["b"] == [(False, "/x"), (False, "/y")]
+
+
 # ---------------------------------------------------------------------------
 # group selection + matching
 
@@ -144,6 +158,39 @@ def test_apply_robots_ray_and_unknown_host_allowed():
     assert list(out["allowed"]) == [False, True, True, True]
     assert out.loc[0, "rule"] == "disallow:/x"
     assert out.loc[3, "domain"] == ""  # unparseable URL: host empty, allowed
+
+
+def test_apply_robots_matches_path_plus_query():
+    import ray.data
+
+    rows = [
+        # $-anchored rule must NOT block when a query follows (§2.2.2:
+        # the match unit is path + optional query)
+        {"doc_id": 0, "url": "https://a.com/f.pdf?dl=1"},
+        {"doc_id": 1, "url": "https://a.com/f.pdf"},
+        # query-targeted rules must be matchable
+        {"doc_id": 2, "url": "https://a.com/search?q=x"},
+        {"doc_id": 3, "url": "https://a.com/search"},
+    ]
+    robots = {
+        "a.com": "User-agent: *\nDisallow: /*.pdf$\nDisallow: /search?q=\n"
+    }
+    out = (
+        apply_robots(ray.data.from_items(rows), robots)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["allowed"]) == [True, False, False, True]
+    assert out.loc[2, "path"] == "/search"  # path column stays bare
+
+
+def test_apply_robots_host_lookup_case_insensitive():
+    import ray.data
+
+    rows = [{"doc_id": 0, "url": "https://A.Com/private/x"}]
+    robots = {"a.COM": "User-agent: *\nDisallow: /\n"}
+    out = apply_robots(ray.data.from_items(rows), robots).to_pandas()
+    assert not out.loc[0, "allowed"]
+    assert out.loc[0, "domain"] == "a.com"
 
 
 def test_apply_robots_broadcast_ceiling_raises():

@@ -33,7 +33,8 @@ BASE = "https://src3-news.com/articles/item/7?id=7"
         ("./here", "https://src3-news.com/articles/item/here"),
         ("?page=2", "https://src3-news.com/articles/item/7?page=2"),
         ("/a#frag", "https://src3-news.com/a"),  # fragment dropped
-        ("#sec", "https://src3-news.com/articles/item/7"),  # self-link
+        # same-document reference: base URI INCLUDING its query (§5.3)
+        ("#sec", "https://src3-news.com/articles/item/7?id=7"),
         ("/a/b/../../c", "https://src3-news.com/c"),
         ("/a/..", "https://src3-news.com/"),  # trailing .. keeps slash
     ],
