@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 97 queries, 81 oracle-checked; the driver
+driver's rows-only check. 98 queries, 82 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -1446,6 +1446,46 @@ def q96_charset_detect(sf_dir: str):
     )
 
 
+def q98_crawl_diff(sf_dir: str):
+    """Incremental crawl-snapshot diff (stages/crawldiff.py, the
+    recrawl-delta primitive): synthesize two crawl snapshots (docs
+    absent from A when doc_id%11==4 = 'new', absent from B when
+    doc_id%7==3 = 'gone', text revised in B when doc_id%5==0 =
+    'changed'), digest each side with REAL sha256, and diff by urlkey
+    in ONE bucketed exchange of (key, digest, side) tuples — payloads
+    never move. The oracle recomputes the status structurally; the
+    engine only ever compares digests."""
+    from ocrd_cis_ray.stages.crawldiff import sha256_digests, snapshot_diff
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def snapshot(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            texts = t["text"].to_pylist()
+            if side == "old":
+                mask = ids % 11 != 4
+                body = [x or "" for x in texts]
+            else:
+                mask = ids % 7 != 3
+                body = [
+                    (x or "") + (" v2" if i % 5 == 0 else "")
+                    for i, x in zip(ids, texts)
+                ]
+            keys = [f"example,corpus)/doc/{i}" for i in ids]
+            return pa.table(
+                {
+                    "urlkey": pa.array(keys, pa.string()),
+                    "digest": pa.array(sha256_digests(body), pa.string()),
+                }
+            ).filter(pa.array(mask))
+        return fn
+
+    old = docs.map_batches(snapshot("old"), batch_format="pyarrow")
+    new = docs.map_batches(snapshot("new"), batch_format="pyarrow")
+    return snapshot_diff(old, new)
+
+
 def q92_robots_gate(sf_dir: str):
     """robots.txt compliance gate (stages/robots.py, RFC 9309): parse
     per-host robots bodies ONCE (driver), broadcast the compiled rule
@@ -2677,6 +2717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q95_wet_roundtrip": q95_wet_roundtrip,
         "q96_charset_detect": q96_charset_detect,
         "q97_compliance_chain": q97_compliance_chain,
+        "q98_crawl_diff": q98_crawl_diff,
         "q83_pdf_extract": q83_pdf_extract,
         "q89_cdx_index": q89_cdx_index,
         "q90_host_stats": q90_host_stats,
@@ -3684,6 +3725,20 @@ e AS (
   JOIN words w ON w.i = (d.doc_id * 7 + t.i) % 20)
 SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
 FROM e GROUP BY src_host, dst_host
+""",
+        "q98_crawl_diff": """
+WITH s AS (
+  SELECT doc_id,
+         (doc_id % 11 <> 4) AS in_a,
+         (doc_id % 7 <> 3) AS in_b,
+         (doc_id % 5 = 0) AS revised
+  FROM documents)
+SELECT 'example,corpus)/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+       CASE WHEN in_a AND NOT in_b THEN 'gone'
+            WHEN in_b AND NOT in_a THEN 'new'
+            WHEN revised THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM s WHERE in_a OR in_b
 """,
         "q96_charset_detect": """
 SELECT doc_id,

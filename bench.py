@@ -187,6 +187,7 @@ def run_bench() -> dict:
         "q95_wet_roundtrip",
         "q96_charset_detect",
         "q97_compliance_chain",
+        "q98_crawl_diff",
     ):
         fn = Q[name]
 
