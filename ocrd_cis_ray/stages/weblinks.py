@@ -85,13 +85,17 @@ def resolve_href(base: str, href: str) -> str:
         # same-document reference (§5.3): base URI incl. its query
         bq = m.group("query")
         return f"{origin}{bpath}" + (f"?{bq}" if bq is not None else "")
-    if ref.startswith("/"):
-        return origin + _remove_dot_segments(ref)
-    if ref.startswith("?"):
-        return f"{origin}{bpath}{ref}"
+    # dot-segment removal applies to the PATH component only (§5.2.4)
+    # — split the reference's query off before merging
+    qpos = ref.find("?")
+    rpath, rquery = (ref[:qpos], ref[qpos:]) if qpos >= 0 else (ref, "")
+    if rpath == "":
+        return f"{origin}{bpath}{rquery}"  # query-only reference
+    if rpath.startswith("/"):
+        return origin + _remove_dot_segments(rpath) + rquery
     # relative path: merge with the base path's directory (§5.3)
     bdir = bpath[: bpath.rfind("/") + 1] if "/" in bpath else "/"
-    return origin + _remove_dot_segments(bdir + ref)
+    return origin + _remove_dot_segments(bdir + rpath) + rquery
 
 
 class _LinkParser(HTMLParser):

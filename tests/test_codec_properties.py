@@ -96,3 +96,57 @@ def test_url_canonicalization_is_idempotent(
     assert twice == once
     # canonical form never carries fragments or tracking params
     assert "#" not in once and "utm_" not in once
+
+
+# ---------------------------------------------------------------------------
+# href resolution vs the stdlib RFC 3986 reference
+
+
+_SEG = st.text(alphabet="abxy19._-", min_size=1, max_size=4)
+
+
+@st.composite
+def _bases(draw):
+    host = draw(st.sampled_from(["h.com", "a.b.org", "x1.net"]))
+    port = draw(st.sampled_from(["", ":8080"]))
+    segs = draw(st.lists(_SEG, min_size=0, max_size=3))
+    path = "/" + "/".join(segs) if segs else "/p"
+    q = draw(st.sampled_from(["", "?id=7", "?a=1&b=2"]))
+    return f"https://{host}{port}{path}{q}"
+
+
+@st.composite
+def _hrefs(draw):
+    kind = draw(st.integers(0, 6))
+    segs = draw(st.lists(st.sampled_from(["a", "b2", ".", ".."]),
+                         min_size=0, max_size=4))
+    rel = "/".join(segs)
+    frag = draw(st.sampled_from(["", "#f", "#s-2"]))
+    q = draw(st.sampled_from(["", "?x=1"]))
+    if kind == 0:
+        return f"http://other.net/{rel}{q}{frag}"
+    if kind == 1:
+        return f"//cdn.com/{rel}{q}{frag}"
+    if kind == 2:
+        return f"/{rel}{q}{frag}"
+    if kind == 3:
+        return f"{rel}{q}{frag}"
+    if kind == 4:
+        return f"?z=9{frag}"
+    if kind == 5:
+        return frag or "#x"
+    return "mailto:a@b.c"
+
+
+@settings(max_examples=300, deadline=None)
+@given(base=_bases(), href=_hrefs())
+def test_resolve_href_matches_stdlib_urljoin(base, href):
+    """resolve_href == urllib.parse.urljoin with the fragment dropped
+    (WAT targets are fragment-free) — the stdlib implements RFC 3986
+    §5 exactly, so any divergence is a resolver bug."""
+    from urllib.parse import urldefrag, urljoin
+
+    from ocrd_cis_ray.stages.weblinks import resolve_href
+
+    want = urldefrag(urljoin(base, href)).url
+    assert resolve_href(base, href) == want
