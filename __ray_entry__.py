@@ -1601,8 +1601,13 @@ def q88_webcorpus_gates(sf_dir: str):
     cur = curate_corpus(
         docs.drop_columns(["source"]), gopher_kwargs={"min_stop_distinct": 1}
     )
+    # both sides are shuffle-rooted: column hints keep hash_join from
+    # executing each side twice (schema() would run the full exchange)
     joined = hash_join(
-        urls.map_batches(url_flags, batch_format="pandas"), cur, on="doc_id"
+        urls.map_batches(url_flags, batch_format="pandas"), cur, on="doc_id",
+        left_cols=["doc_id", "keep_url", "url_canonical"],
+        right_cols=["doc_id", "pass_gopher", "pass_repetition",
+                    "is_canonical", "keep", "drop_stage"],
     )
 
     def decide(df: _pd.DataFrame) -> _pd.DataFrame:
@@ -1651,11 +1656,20 @@ def q97_compliance_chain(sf_dir: str):
             }
         )
 
+    # column hints: both sides are shuffle-rooted, so letting
+    # hash_join call .schema() would execute each side's whole
+    # exchange twice (measured 19.6 s vs ~11 s for this query)
     robots = q92_robots_gate(sf_dir).map_batches(
         robots_flags, batch_format="pandas"
     )
     base = q88_webcorpus_gates(sf_dir)
-    joined = hash_join(robots, base, on="doc_id")
+    joined = hash_join(
+        robots, base, on="doc_id",
+        left_cols=["doc_id", "robots_allowed"],
+        right_cols=["doc_id", "keep_url", "url_canonical", "pass_gopher",
+                    "pass_repetition", "text_canonical", "keep",
+                    "drop_stage"],
+    )
 
     def decide(df: _pd.DataFrame) -> _pd.DataFrame:
         ra = df["robots_allowed"].to_numpy()
@@ -1956,7 +1970,12 @@ def q36_dedup_keep(sf_dir: str):
 
     marks = dup_clusters(pairs).map_batches(drop_marks, batch_format="pandas")
     docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-    joined = hash_join(docs, marks, on="doc_id", how="left")
+    # marks is shuffle-rooted (dup_clusters iterates joins): the hint
+    # avoids a schema() call that would run the clustering twice
+    joined = hash_join(
+        docs, marks, on="doc_id", how="left",
+        left_cols=["doc_id", "n_chars"], right_cols=["doc_id", "__drop"],
+    )
 
     def keep(b: pd.DataFrame) -> pd.DataFrame:
         out = b[b["__drop"].isna()][["doc_id", "n_chars"]]

@@ -97,7 +97,7 @@ def _apply_whole(bucket_df: pd.DataFrame, fn) -> pd.DataFrame:
     return fn(bucket_df.drop(columns="__bucket"))
 
 
-def hash_join(left, right, *, on: str, how: str = "inner", num_buckets: int | None = None, suffixes=("_l", "_r")):
+def hash_join(left, right, *, on: str, how: str = "inner", num_buckets: int | None = None, suffixes=("_l", "_r"), left_cols=None, right_cols=None):
     """Partitioned hash join of two LARGE datasets (both sides shuffle).
 
     The portable pattern from the Ray guide: tag each side, align both
@@ -105,11 +105,18 @@ def hash_join(left, right, *, on: str, how: str = "inner", num_buckets: int | No
     shuffle on the key, then a vectorized pandas merge inside each
     bucket. Hot keys only affect their own bucket. For a SMALL side,
     don't use this — broadcast it (ray.put + lookup in map_batches).
+
+    ``left_cols``/``right_cols``: pass the column names when a side is
+    SHUFFLE-ROOTED (its plan contains a groupby/sort): ``.schema()`` on
+    such a dataset executes the entire upstream exchange just to learn
+    the names, and the join pass then re-executes it — the side runs
+    TWICE. With the hints the join runs each side exactly once
+    (measured: q88's flag join dropped ~40% wall).
     """
     import ray
 
-    lcols = [str(c) for c in left.schema().names]
-    rcols = [str(c) for c in right.schema().names]
+    lcols = [str(c) for c in (left_cols or left.schema().names)]
+    rcols = [str(c) for c in (right_cols or right.schema().names)]
     shared = (set(lcols) & set(rcols)) - {on}
 
     def tag(side: str, own: list[str], other: list[str]):

@@ -382,8 +382,18 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32, ngram: int = 
 
         sig_a = sigs.map_batches(as_bytes("id_a", "sig_a"), batch_format="pandas")
         sig_b = sigs.map_batches(as_bytes("id_b", "sig_b"), batch_format="pandas")
-        joined = hash_join(cand, sig_a, on="id_a")
-        joined = hash_join(joined, sig_b, on="id_b")
+        # column hints: cand (and the first join's output) are
+        # shuffle-rooted — without them hash_join's schema() call
+        # executes the whole candidate exchange a second time
+        joined = hash_join(
+            cand, sig_a, on="id_a",
+            left_cols=["id_a", "id_b"], right_cols=["id_a", "sig_a"],
+        )
+        joined = hash_join(
+            joined, sig_b, on="id_b",
+            left_cols=["id_a", "id_b", "sig_a"],
+            right_cols=["id_b", "sig_b"],
+        )
 
         def verify_joined(batch: pd.DataFrame) -> pd.DataFrame:
             est = [
@@ -610,15 +620,17 @@ def dup_clusters(
     converged = False
     for _ in range(max_rounds):
         # (a) one-hop: each node offers its label to all neighbours
-        offered = hash_join(edges, labels, on="node", num_buckets=num_buckets).map_batches(
-            offer, batch_format="pandas"
-        )
+        offered = hash_join(
+            edges, labels, on="node", num_buckets=num_buckets,
+            left_cols=["node", "nbr"], right_cols=["node", "label"],
+        ).map_batches(offer, batch_format="pandas")
         # (b) pointer doubling: node u adopts label(label(u))
         ptr = labels.map_batches(as_ptr, batch_format="pandas")
         mid = labels.map_batches(as_mid, batch_format="pandas")
-        shortcut = hash_join(ptr, mid, on="mid", num_buckets=num_buckets).map_batches(
-            shortcut_out, batch_format="pandas"
-        )
+        shortcut = hash_join(
+            ptr, mid, on="mid", num_buckets=num_buckets,
+            left_cols=["mid", "src"], right_cols=["mid", "mid_label"],
+        ).map_batches(shortcut_out, batch_format="pandas")
         both = offered.union(shortcut).union(labels.select_columns(["node", "label"]))
         # repartition to nb blocks each round: groupby output block count
         # tracks its INPUT block count, which would otherwise compound

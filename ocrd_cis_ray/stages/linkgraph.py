@@ -213,7 +213,13 @@ def _pagerank_join(edges, nodes, *, iters: int, scale: int):
     ranks = nodes.map_batches(init_ranks, batch_format="pandas")
 
     for _ in range(iters):
-        joined = hash_join(edges, ranks, on="src")
+        # hints: after iteration 1 `ranks` is shuffle-rooted, and
+        # schema() would re-run the previous iteration's exchanges
+        joined = hash_join(
+            edges, ranks, on="src",
+            left_cols=["src", "dst", "outdeg"],
+            right_cols=["src", "rank_hi", "rank_lo"],
+        )
 
         def contribs(df: pd.DataFrame) -> pd.DataFrame:
             r = _join64(df["rank_hi"], df["rank_lo"])
@@ -254,6 +260,8 @@ def _pagerank_join(edges, nodes, *, iters: int, scale: int):
             sums.map_batches(split_sums, batch_format="pandas"),
             on="src",
             how="left",
+            left_cols=["src"],
+            right_cols=["src", "c_hi", "c_lo"],
         ).map_batches(update, batch_format="pandas")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
