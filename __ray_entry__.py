@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 98 queries, 82 oracle-checked; the driver
+driver's rows-only check. 100 queries, 84 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -1486,6 +1486,58 @@ def q98_crawl_diff(sf_dir: str):
     return snapshot_diff(old, new)
 
 
+def q99_html_metadata(sf_dir: str):
+    """HTML head-metadata extraction (stages/webmeta.py): REALLY parse
+    each synthesized page's <title>, <meta name=author>, <link
+    rel=canonical> and OpenGraph type — first occurrence wins, the
+    browser rule. Batch-local, zero shuffle. Oracle recomputes every
+    field structurally from doc_id and the synthesizer word table."""
+    from ocrd_cis_ray.stages.webextract import synthesize_html
+    from ocrd_cis_ray.stages.webmeta import extract_metadata
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return extract_metadata(synthesize_html(ds))
+
+
+def q100_sitemap_roundtrip(sf_dir: str):
+    """Sitemap XML container round trip (sources/sitemap.py, the
+    crawl-discovery side of the robots contract): build spec-shaped
+    sitemaps.org urlset shards (XML-escaped locs, lastmod, priority)
+    batch-locally, then REALLY parse them back namespace-aware via
+    xml.etree and recover (doc_id, loc, lastmod, priority). Zero
+    shuffle. Oracle recomputes every field structurally."""
+    from ocrd_cis_ray.sources.sitemap import (
+        sitemap_shards_from_urls,
+        urls_from_sitemaps,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def entries(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "loc": pa.array(
+                    [f"https://corpus.example/doc/{i}" for i in ids],
+                    pa.string(),
+                ),
+                "lastmod": pa.array(
+                    ["2026-01-%02d" % (1 + i % 28) for i in ids],
+                    pa.string(),
+                ),
+                "priority": pa.array(
+                    [(5 + int(i) % 5) / 10 for i in ids], pa.float64()
+                ),
+            }
+        )
+
+    shards = ds.map_batches(entries, batch_format="pyarrow").map_batches(
+        sitemap_shards_from_urls, batch_format="pyarrow"
+    )
+    return shards.map_batches(urls_from_sitemaps, batch_format="pyarrow")
+
+
 def q92_robots_gate(sf_dir: str):
     """robots.txt compliance gate (stages/robots.py, RFC 9309): parse
     per-host robots bodies ONCE (driver), broadcast the compiled rule
@@ -2737,6 +2789,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q96_charset_detect": q96_charset_detect,
         "q97_compliance_chain": q97_compliance_chain,
         "q98_crawl_diff": q98_crawl_diff,
+        "q99_html_metadata": q99_html_metadata,
+        "q100_sitemap_roundtrip": q100_sitemap_roundtrip,
         "q83_pdf_extract": q83_pdf_extract,
         "q89_cdx_index": q89_cdx_index,
         "q90_host_stats": q90_host_stats,
@@ -3744,6 +3798,28 @@ e AS (
   JOIN words w ON w.i = (d.doc_id * 7 + t.i) % 20)
 SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
 FROM e GROUP BY src_host, dst_host
+""",
+        "q100_sitemap_roundtrip": """
+SELECT doc_id,
+       'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS loc,
+       '2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+         AS lastmod,
+       (5 + doc_id % 5) / 10.0 AS priority
+FROM documents
+""",
+        "q99_html_metadata": """
+WITH words(i, w) AS (VALUES
+  (0,'home'),(1,'about'),(2,'contact'),(3,'privacy'),(4,'terms'),
+  (5,'sitemap'),(6,'login'),(7,'search'),(8,'archive'),(9,'tags'),
+  (10,'news'),(11,'sports'),(12,'shop'),(13,'help'),(14,'faq'),
+  (15,'careers'),(16,'press'),(17,'blog'),(18,'forum'),(19,'media'))
+SELECT d.doc_id,
+       'Doc ' || CAST(d.doc_id AS VARCHAR) AS title,
+       upper(substr(w.w, 1, 1)) || substr(w.w, 2) AS author,
+       'https://corpus.example/doc/' || CAST(d.doc_id AS VARCHAR)
+         AS canonical,
+       'article' AS og_type
+FROM documents d JOIN words w ON w.i = (d.doc_id + 17) % 20
 """,
         "q98_crawl_diff": """
 WITH s AS (

@@ -188,6 +188,8 @@ def run_bench() -> dict:
         "q96_charset_detect",
         "q97_compliance_chain",
         "q98_crawl_diff",
+        "q99_html_metadata",
+        "q100_sitemap_roundtrip",
     ):
         fn = Q[name]
 

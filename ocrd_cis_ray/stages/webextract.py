@@ -129,6 +129,9 @@ def _render_page(doc_id: int, text: str) -> str:
     )
     return (
         "<html><head><title>Doc %d</title>"
+        '<meta name="author" content="%s">'
+        '<meta property="og:type" content="article">'
+        '<link rel="canonical" href="https://corpus.example/doc/%d">'
         "<script>var t=%d;</script><style>p{margin:0}</style></head>"
         "<body><header><h1>Site %s</h1><nav>%s</nav></header>"
         '<aside><ul>%s</ul></aside>'
@@ -137,8 +140,8 @@ def _render_page(doc_id: int, text: str) -> str:
         '<div class="related">%s</div>'
         "<footer>&copy; %d %s corp. All rights reserved.</footer>"
         "</body></html>"
-    ) % (s, s, _bp_word(s), nav, side, "".join(body), related,
-         2000 + s % 26, _bp_word(s + 13))
+    ) % (s, _bp_word(s + 17).title(), s, s, _bp_word(s), nav, side,
+         "".join(body), related, 2000 + s % 26, _bp_word(s + 13))
 
 
 def synthesize_html_batch(batch: pa.Table) -> pa.Table:
