@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 100 queries, 84 oracle-checked; the driver
+driver's rows-only check. 101 queries, 85 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -1538,6 +1538,62 @@ def q100_sitemap_roundtrip(sf_dir: str):
     return shards.map_batches(urls_from_sitemaps, batch_format="pyarrow")
 
 
+def q101_crawl_frontier(sf_dir: str):
+    """Crawl-frontier expansion — the discovery step a crawler runs
+    after every fetch round: aggregate the WAT outlink targets (q91)
+    into (url, n_refs) candidates with a map-side-combined exchange,
+    then distributed ANTI-JOIN against the already-crawled set (the
+    corpus's canonical page URLs). The synthesizer's same-host 'next'
+    links hit the crawled set exactly when the target page exists with
+    the same scheme, so the anti-join filters real positives and
+    passes real negatives. Oracle mirrors the whole composition in
+    SQL (targets GROUP BY minus the canonical set)."""
+    from ocrd_cis_ray.shuffle import bucketed_aggregate, hash_join
+    from ocrd_cis_ray.stages.urlfilter import (
+        canonicalize_urls,
+        synthesize_urls_batch,
+    )
+
+    links = q91_outlinks(sf_dir)
+
+    def tgt(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["kind"], "a")
+        return pa.table({"url": t["url_target"]}).filter(keep)
+
+    cand = bucketed_aggregate(
+        links.map_batches(tgt, batch_format="pyarrow"),
+        "url",
+        {"n_refs": ("url", "size")},
+        combine=True,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def seen(t: pa.Table) -> pa.Table:
+        u = synthesize_urls_batch(t)
+        return pa.table(
+            {
+                "url": canonicalize_urls(u["url"]),
+                "__seen": pa.array(np.ones(len(t), np.int8)),
+            }
+        )
+
+    joined = hash_join(
+        cand,
+        docs.map_batches(seen, batch_format="pyarrow"),
+        on="url",
+        how="left",
+        left_cols=["url", "n_refs"],
+        right_cols=["url", "__seen"],
+    )
+
+    def unseen(df):
+        out = df[df["__seen"].isna()][["url", "n_refs"]]
+        return out.astype({"n_refs": "int64"})
+
+    return joined.map_batches(unseen, batch_format="pandas")
+
+
 def q92_robots_gate(sf_dir: str):
     """robots.txt compliance gate (stages/robots.py, RFC 9309): parse
     per-host robots bodies ONCE (driver), broadcast the compiled rule
@@ -2791,6 +2847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q98_crawl_diff": q98_crawl_diff,
         "q99_html_metadata": q99_html_metadata,
         "q100_sitemap_roundtrip": q100_sitemap_roundtrip,
+        "q101_crawl_frontier": q101_crawl_frontier,
         "q83_pdf_extract": q83_pdf_extract,
         "q89_cdx_index": q89_cdx_index,
         "q90_host_stats": q90_host_stats,
@@ -3777,9 +3834,23 @@ rel AS (
          'https://' || w.w || '-hub.org/read/' || w.w AS url_target,
          'read ' || w.w AS anchor
   FROM d CROSS JOIN range(4) t(i)
-  JOIN words w ON w.i = (d.doc_id * 7 + t.i) % 20)
+  JOIN words w ON w.i = (d.doc_id * 7 + t.i) % 20),
+nxt AS (
+  SELECT d.doc_id,
+         CAST((CASE WHEN d.has_img THEN 16 ELSE 15 END) AS INT)
+           AS link_no,
+         'a' AS kind,
+         '/articles/item/' || CAST((d.doc_id + 10) % 50 AS VARCHAR)
+           || '?id=' || CAST((d.doc_id + 10) % 50 AS VARCHAR) AS href,
+         d.origin || '/articles/item/'
+           || CAST((d.doc_id + 10) % 50 AS VARCHAR)
+           || '?id=' || CAST((d.doc_id + 10) % 50 AS VARCHAR)
+           AS url_target,
+         'next' AS anchor
+  FROM d)
 SELECT * FROM nav UNION ALL SELECT * FROM side
 UNION ALL SELECT * FROM img UNION ALL SELECT * FROM rel
+UNION ALL SELECT * FROM nxt
 """,
         "q93_host_graph": """
 WITH words(i, w) AS (VALUES
@@ -3806,6 +3877,45 @@ SELECT doc_id,
          AS lastmod,
        (5 + doc_id % 5) / 10.0 AS priority
 FROM documents
+""",
+        "q101_crawl_frontier": """
+WITH words(i, w) AS (VALUES
+  (0,'home'),(1,'about'),(2,'contact'),(3,'privacy'),(4,'terms'),
+  (5,'sitemap'),(6,'login'),(7,'search'),(8,'archive'),(9,'tags'),
+  (10,'news'),(11,'sports'),(12,'shop'),(13,'help'),(14,'faq'),
+  (15,'careers'),(16,'press'),(17,'blog'),(18,'forum'),(19,'media')),
+d AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END) || '://'
+      || (CASE WHEN doc_id % 4 = 3 THEN 'm.' ELSE '' END)
+      || source || '-news.com' AS origin
+  FROM documents),
+t AS (
+  SELECT d.origin || '/' || w.w AS url
+  FROM d CROSS JOIN range(6) g(i)
+  JOIN words w ON w.i = (d.doc_id + g.i) % 20
+  UNION ALL
+  SELECT d.origin || '/t/' || w.w
+  FROM d CROSS JOIN range(5) g(i)
+  JOIN words w ON w.i = (d.doc_id * 3 + g.i) % 20
+  UNION ALL
+  SELECT 'https://' || w.w || '-hub.org/read/' || w.w
+  FROM d CROSS JOIN range(4) g(i)
+  JOIN words w ON w.i = (d.doc_id * 7 + g.i) % 20
+  UNION ALL
+  SELECT d.origin || '/articles/item/'
+         || CAST((d.doc_id + 10) % 50 AS VARCHAR)
+         || '?id=' || CAST((d.doc_id + 10) % 50 AS VARCHAR)
+  FROM d),
+agg AS (SELECT url, CAST(COUNT(*) AS BIGINT) AS n_refs FROM t GROUP BY url),
+seen AS (
+  SELECT DISTINCT origin || '/articles/item/'
+         || CAST(doc_id % 50 AS VARCHAR)
+         || '?id=' || CAST(doc_id % 50 AS VARCHAR) AS url
+  FROM d JOIN documents USING (doc_id))
+SELECT a.url, a.n_refs
+FROM agg a LEFT JOIN seen s USING (url)
+WHERE s.url IS NULL
 """,
         "q99_html_metadata": """
 WITH words(i, w) AS (VALUES

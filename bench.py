@@ -190,6 +190,7 @@ def run_bench() -> dict:
         "q98_crawl_diff",
         "q99_html_metadata",
         "q100_sitemap_roundtrip",
+        "q101_crawl_frontier",
     ):
         fn = Q[name]
 

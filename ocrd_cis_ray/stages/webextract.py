@@ -127,6 +127,11 @@ def _render_page(doc_id: int, text: str) -> str:
         f'{_bp_word(s * 7 + i)}">read {_bp_word(s * 7 + i)}</a>'
         for i in range(4)
     )
+    # same-host next-page link: its target IS another corpus page's
+    # canonical URL exactly when that page exists with the same scheme
+    # — gives the crawl-frontier anti-join (q101) real hits and misses
+    nxt = (s + 10) % 50
+    related += f' | <a href="/articles/item/{nxt}?id={nxt}">next</a>'
     return (
         "<html><head><title>Doc %d</title>"
         '<meta name="author" content="%s">'
