@@ -1571,10 +1571,15 @@ def q101_crawl_frontier(sf_dir: str):
 
     def seen(t: pa.Table) -> pa.Table:
         u = synthesize_urls_batch(t)
+        # batch-local unique: the canonical URL recurs across docs
+        # (mod-300 classes) and duplicate join keys would multiply
+        # matched rows inside every join bucket before the anti-filter
+        # drops them — dedup before the exchange, not after
+        uniq = canonicalize_urls(u["url"]).unique()
         return pa.table(
             {
-                "url": canonicalize_urls(u["url"]),
-                "__seen": pa.array(np.ones(len(t), np.int8)),
+                "url": uniq,
+                "__seen": pa.array(np.ones(len(uniq), np.int8)),
             }
         )
 

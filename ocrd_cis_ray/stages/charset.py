@@ -83,7 +83,12 @@ def detect_decode_batch(t: pa.Table) -> pa.Table:
     for payload in t["payload"].to_pylist():
         cs = sniff_charset(payload)
         out_cs.append(cs)
-        out_text.append(payload.decode(cs))
+        # errors='replace': a BOM can lie (truncated or mislabeled
+        # content after a valid BOM) — real crawl decoding never
+        # crashes the pipeline on one bad payload. Valid payloads are
+        # unaffected (the strict-UTF-8 branch was already validated by
+        # the sniff, latin-1 cannot fail).
+        out_text.append(payload.decode(cs, errors="replace"))
     return pa.table(
         {
             "doc_id": ids,

@@ -33,6 +33,8 @@ class _MetaParser(HTMLParser):
     def _init_doc(self):
         self.title_parts: list[str] = []
         self._in_title = False
+        self._title_done = False  # first <title> element wins (SVG
+        # <title>s later in the body must not append, the browser rule)
         self.meta: dict[str, str] = {}
 
     def feed_doc(self, html_text: str) -> dict[str, str]:
@@ -50,7 +52,8 @@ class _MetaParser(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         if tag == "title":
-            self._in_title = True
+            if not self._title_done:
+                self._in_title = True
             return
         a = dict(attrs)
         if tag == "meta":
@@ -67,10 +70,12 @@ class _MetaParser(HTMLParser):
         self.handle_starttag(tag, attrs)
         if tag == "title":
             self._in_title = False
+            self._title_done = True
 
     def handle_endtag(self, tag):
-        if tag == "title":
+        if tag == "title" and self._in_title:
             self._in_title = False
+            self._title_done = True
 
     def handle_data(self, data):
         if self._in_title:

@@ -52,6 +52,23 @@ def test_synthesize_detect_all_four_charsets():
     assert [r["text"] for r in out] == [c + MARKER for c in "abcd"]
 
 
+def test_lying_bom_never_crashes():
+    # a valid BOM followed by bytes invalid in that encoding (truncated
+    # or mislabeled crawl content) must decode with replacement, not
+    # kill the task
+    t = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         "payload": pa.array(
+             [b"\xef\xbb\xbf\xffabc", b"\xff\xfe\x41\x00\x42"],
+             pa.large_binary())}
+    )
+    out = detect_decode_batch(t).to_pylist()
+    assert out[0]["charset"] == "utf-8-sig"
+    assert "abc" in out[0]["text"] and "�" in out[0]["text"]
+    assert out[1]["charset"] == "utf-16"  # odd byte count: truncated
+    assert out[1]["text"].startswith("A")
+
+
 def test_ray_e2e_roundtrip():
     import ray.data as rd
 

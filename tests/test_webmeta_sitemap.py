@@ -45,6 +45,14 @@ def test_property_vs_name_and_case():
     assert m["og_type"] == "article"  # HTMLParser lowercases tags/attrs
 
 
+def test_first_title_element_wins():
+    # inline-SVG titles later in the body must not append (browser rule)
+    m = _meta("<title>Home</title><svg><title>menu icon</title></svg>")
+    assert m["title"] == "Home"
+    m2 = _meta("<title></title><title>second</title>")
+    assert m2["title"] == ""  # first element wins even when empty
+
+
 def test_missing_fields_empty():
     t = pa.table({"doc_id": pa.array([1], pa.int64()), "html": ["<p>x</p>"]})
     row = extract_metadata_batch(t).to_pylist()[0]
