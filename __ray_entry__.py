@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 101 queries, 85 oracle-checked; the driver
+driver's rows-only check. 102 queries, 86 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -1599,6 +1599,51 @@ def q101_crawl_frontier(sf_dir: str):
     return joined.map_batches(unseen, batch_format="pandas")
 
 
+def q102_anchor_index(sf_dir: str):
+    """Anchor-text index over the WAT tier — the relevance signal
+    search rankers build from the link graph (anchor text describes
+    the TARGET): per link target, total references, distinct anchor
+    texts and the dominant anchor (most frequent, ties to the
+    lexicographically smallest). Map-side (url, anchor) count partials
+    shrink the exchange; ONE bucketed groupby keyed on url computes
+    both aggregate levels bucket-locally. Oracle mirrors the two-level
+    aggregate with a QUALIFY window."""
+    import pandas as _pd
+
+    from ocrd_cis_ray.shuffle import bucketed_groupby
+
+    links = q91_outlinks(sf_dir)
+
+    def partials(df: _pd.DataFrame) -> _pd.DataFrame:
+        df = df[df["kind"] == "a"]
+        g = (
+            df.groupby(["url_target", "anchor"], sort=False)
+            .size().reset_index(name="c")
+        )
+        return _pd.DataFrame(
+            {"url": g["url_target"], "anchor": g["anchor"], "c": g["c"]}
+        )
+
+    tagged = links.map_batches(partials, batch_format="pandas")
+
+    def top(df: _pd.DataFrame) -> _pd.DataFrame:
+        cnt = (
+            df.groupby(["url", "anchor"], sort=False)["c"]
+            .sum().reset_index()
+        )
+        cnt = cnt.sort_values(
+            ["url", "c", "anchor"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        agg = cnt.groupby("url", sort=False).agg(
+            n_refs=("c", "sum"), n_anchors=("anchor", "size"),
+            top_anchor=("anchor", "first"),
+        ).reset_index()
+        return agg.astype({"n_refs": "int64", "n_anchors": "int64"})
+
+    return bucketed_groupby(tagged, "url", top, whole_bucket=True)
+
+
 def q92_robots_gate(sf_dir: str):
     """robots.txt compliance gate (stages/robots.py, RFC 9309): parse
     per-host robots bodies ONCE (driver), broadcast the compiled rule
@@ -2853,6 +2898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q99_html_metadata": q99_html_metadata,
         "q100_sitemap_roundtrip": q100_sitemap_roundtrip,
         "q101_crawl_frontier": q101_crawl_frontier,
+        "q102_anchor_index": q102_anchor_index,
         "q83_pdf_extract": q83_pdf_extract,
         "q89_cdx_index": q89_cdx_index,
         "q90_host_stats": q90_host_stats,
@@ -3882,6 +3928,50 @@ SELECT doc_id,
          AS lastmod,
        (5 + doc_id % 5) / 10.0 AS priority
 FROM documents
+""",
+        "q102_anchor_index": """
+WITH words(i, w) AS (VALUES
+  (0,'home'),(1,'about'),(2,'contact'),(3,'privacy'),(4,'terms'),
+  (5,'sitemap'),(6,'login'),(7,'search'),(8,'archive'),(9,'tags'),
+  (10,'news'),(11,'sports'),(12,'shop'),(13,'help'),(14,'faq'),
+  (15,'careers'),(16,'press'),(17,'blog'),(18,'forum'),(19,'media')),
+d AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END) || '://'
+      || (CASE WHEN doc_id % 4 = 3 THEN 'm.' ELSE '' END)
+      || source || '-news.com' AS origin
+  FROM documents),
+links AS (
+  SELECT d.origin || '/' || w.w AS url,
+         upper(substr(w.w, 1, 1)) || substr(w.w, 2) AS anchor
+  FROM d CROSS JOIN range(6) g(i)
+  JOIN words w ON w.i = (d.doc_id + g.i) % 20
+  UNION ALL
+  SELECT d.origin || '/t/' || w.w, w.w
+  FROM d CROSS JOIN range(5) g(i)
+  JOIN words w ON w.i = (d.doc_id * 3 + g.i) % 20
+  UNION ALL
+  SELECT 'https://' || w.w || '-hub.org/read/' || w.w, 'read ' || w.w
+  FROM d CROSS JOIN range(4) g(i)
+  JOIN words w ON w.i = (d.doc_id * 7 + g.i) % 20
+  UNION ALL
+  SELECT d.origin || '/articles/item/'
+         || CAST((d.doc_id + 10) % 50 AS VARCHAR)
+         || '?id=' || CAST((d.doc_id + 10) % 50 AS VARCHAR),
+         'next'
+  FROM d),
+cnt AS (
+  SELECT url, anchor, COUNT(*) AS c FROM links GROUP BY url, anchor),
+agg AS (
+  SELECT url, CAST(SUM(c) AS BIGINT) AS n_refs,
+         CAST(COUNT(*) AS BIGINT) AS n_anchors
+  FROM cnt GROUP BY url),
+top AS (
+  SELECT url, anchor AS top_anchor FROM cnt
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY url ORDER BY c DESC, anchor) = 1)
+SELECT a.url, a.n_refs, a.n_anchors, t.top_anchor
+FROM agg a JOIN top t USING (url)
 """,
         "q101_crawl_frontier": """
 WITH words(i, w) AS (VALUES

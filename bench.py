@@ -191,6 +191,7 @@ def run_bench() -> dict:
         "q99_html_metadata",
         "q100_sitemap_roundtrip",
         "q101_crawl_frontier",
+        "q102_anchor_index",
     ):
         fn = Q[name]
 
