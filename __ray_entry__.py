@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 102 queries, 86 oracle-checked; the driver
+driver's rows-only check. 103 queries, 86 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -804,6 +804,21 @@ def q57_lm_perplexity(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return lm_perplexity(ds, n=3)
+
+
+def q103_word_lm(sf_dir: str):
+    """Word-trigram LM with Stupid Backoff (Brants et al. 2007 — the
+    distributed-LM-at-scale recipe: raw counts, fixed 0.4 backoff, no
+    discounting): ONE corpus pass emits order-salted (gram, count)
+    partials for orders 1..3, one bucketed aggregate + per-order top-V
+    truncation builds the broadcast tables, scoring is zero-shuffle
+    with a vectorized backoff cascade (one numpy pass per order).
+    Rows-only (log10); pytest pins per-doc scores against a
+    brute-force dict-based reference to 1e-9."""
+    from ocrd_cis_ray.stages.wordlm import word_lm_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return word_lm_scores(ds, n=3)
 
 
 def q58_revenue_by_nation(sf_dir: str):
@@ -2994,6 +3009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q73_ocr_chain": q73_ocr_chain,
         "q74_lstm_recognize": q74_lstm_recognize,
         "q85_quality_model": q85_quality_model,
+        "q103_word_lm": q103_word_lm,
     }
 
 

@@ -192,6 +192,7 @@ def run_bench() -> dict:
         "q100_sitemap_roundtrip",
         "q101_crawl_frontier",
         "q102_anchor_index",
+        "q103_word_lm",
     ):
         fn = Q[name]
 
