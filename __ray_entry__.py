@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 103 queries, 86 oracle-checked; the driver
+driver's rows-only check. 104 queries, 87 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -819,6 +819,35 @@ def q103_word_lm(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return word_lm_scores(ds, n=3)
+
+
+def q104_quality_tiers(sf_dir: str):
+    """CCNet-style per-language quantile tiers (Wenzek et al. 2020
+    bucket documents into head/middle/tail thirds per language by an
+    LM score; this uses the deterministic token-count score so the
+    oracle is exact): ``NTILE(3) OVER (PARTITION BY lang ORDER BY
+    n_tokens, doc_id)`` computed WITHOUT a global sort — one
+    map-side-combined (lang, score, count) exchange, driver boundary
+    resolution against the per-language score CDF, a bounded
+    boundary-tie id collect, and a zero-shuffle broadcast-cutoff
+    scoring pass (`stages/sampling.grouped_ntile`)."""
+    from ocrd_cis_ray.stages.sampling import grouped_ntile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"]).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_tokens": pc.cast(
+                    pc.add(pc.count_substring(t["text"], " "), 1), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_ntile(
+        ds, n_tiles=3, group="lang", score_col="n_tokens", id_col="doc_id"
+    )
 
 
 def q58_revenue_by_nation(sf_dir: str):
@@ -2914,6 +2943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q100_sitemap_roundtrip": q100_sitemap_roundtrip,
         "q101_crawl_frontier": q101_crawl_frontier,
         "q102_anchor_index": q102_anchor_index,
+        "q104_quality_tiers": q104_quality_tiers,
         "q83_pdf_extract": q83_pdf_extract,
         "q89_cdx_index": q89_cdx_index,
         "q90_host_stats": q90_host_stats,
@@ -2952,6 +2982,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q26_token_freq_quality": q26_token_freq_quality,
         "q27_redact": q27_redact,
         "q28_stratified_sample": q28_stratified_sample,
+        # ---------------- 50-query window boundary -------------------
+        # -- oracle-backed, green in past rounds (parked past the
+        #    window; their multi-round rows stand) --------------------
         "q37_dup_ngram_stats": q37_dup_ngram_stats,
         "q38_contamination": q38_contamination,
         "q39_chunk_documents": q39_chunk_documents,
@@ -2965,9 +2998,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q58_revenue_by_nation": q58_revenue_by_nation,
         "q65_bloom_membership": q65_bloom_membership,
         "q66_webcorpus": q66_webcorpus,
-        # ---------------- 50-query window boundary -------------------
-        # -- oracle-backed, green in past rounds (parked past the
-        #    window; their multi-round rows stand) --------------------
         "q45_layout_reconstruct": q45_layout_reconstruct,
         "q63_fix_text": q63_fix_text,
         "q11_span_stats": q11_span_stats,
@@ -4517,6 +4547,15 @@ SELECT b.doc_id, u.keep_url, u.url_canonical,
 FROM base b JOIN u USING (doc_id)
 """
     )
+    d["q104_quality_tiers"] = """
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(NTILE(3) OVER (
+           PARTITION BY lang
+           ORDER BY len(string_split(text, ' ')), doc_id
+       ) AS BIGINT) AS tier
+FROM documents
+"""
     # q97 wraps the ENTIRE q88 oracle as a CTE and composes the
     # structural robots decision in front (robots_blocked precedes
     # every curation stage — a compliant crawler never fetches)

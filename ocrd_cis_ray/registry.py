@@ -307,3 +307,14 @@ def _charset_decode(ds, **p):
     from .stages.charset import detect_and_decode
 
     return detect_and_decode(ds, **p)
+
+
+@register_stage(
+    "quantile_tiers",
+    defaults={"n_tiles": 3, "group": "lang", "score_col": "score", "id_col": "doc_id"},
+    description="exact per-group NTILE(k) quantile tiers (CCNet head/middle/tail) without a global sort",
+)
+def _quantile_tiers(ds, **p):
+    from .stages.sampling import grouped_ntile
+
+    return grouped_ntile(ds, **p)

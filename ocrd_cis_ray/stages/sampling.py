@@ -21,6 +21,12 @@ Ray-Data-first:
   independently, so the stage stays shuffle-free and streams; the
   cost is at most one underfull trailing sequence per block, which at
   128 MB blocks is noise in the fill ratio (reported per batch).
+- `grouped_ntile`: EXACT per-group quantile bucketing (the CCNet
+  head/middle/tail split: bucket every document into one of k tiers
+  by a score, per language) with ANSI ``NTILE(k) OVER (PARTITION BY
+  group ORDER BY score, id)`` semantics — computed in three streaming
+  passes and ZERO data shuffle: only (group, score, count) partials
+  and boundary-tie ids ever leave the workers.
 """
 
 from __future__ import annotations
@@ -119,6 +125,178 @@ def sample_per_group(ds, k: int, *, group: str = "lang", id_col: str = "doc_id")
 
 def _final_topk(df: pd.DataFrame, *, group: str, k: int) -> pd.DataFrame:
     return _topk_per_group(df, group, k).drop(columns=["__h", "__id"])
+
+
+def _ntile_boundary_ranks(n: int, k: int) -> np.ndarray:
+    """1-based cumulative boundary ranks B_1..B_{k-1} of NTILE(k) over
+    n rows: the first n % k tiles hold ceil(n/k) rows (ANSI window
+    semantics). A row of rank r sits in tile 1 + #{t : B_t < r}."""
+    base, extra = divmod(n, k)
+    sizes = np.full(k, base, dtype=np.int64)
+    sizes[:extra] += 1
+    return np.cumsum(sizes)[:-1]
+
+
+def grouped_ntile(
+    ds,
+    *,
+    n_tiles: int,
+    group: str = "lang",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    out_col: str = "tier",
+    pairs_ceiling: int = 5_000_000,
+    ties_ceiling: int = 1_000_000,
+):
+    """Exact per-group quantile tiers — ``NTILE(n_tiles) OVER
+    (PARTITION BY group ORDER BY score, id)`` — without sorting or
+    shuffling the data.
+
+    The CCNet recipe buckets every document into head/middle/tail by
+    per-language LM perplexity; FineWeb-style curation uses the same
+    shape for score-tier sampling. At corpus scale a window function
+    over a global sort is an all-to-all exchange of every row; this
+    computes the identical assignment from aggregates:
+
+    1. ONE combined pass reduces the corpus to (group, score, count)
+       partials — a map-side combiner per batch, one bucketed exchange
+       of the tiny partials (`bucketed_aggregate(combine=True)`), and a
+       bounded driver collect (raises past ``pairs_ceiling`` distinct
+       pairs; scores must be integers, so cardinality is bounded by
+       the score range, not the corpus).
+    2. The driver locates each tile boundary inside the per-group score
+       CDF. Boundaries that fall BETWEEN score values are done; a
+       boundary inside a tied score needs the id order of just that
+       (group, score) — one filtered pass collects those ids (bounded
+       by boundary ties, raises past ``ties_ceiling``) and the sorted
+       position yields an exact id cutoff.
+    3. A stateless scoring pass assigns ``tier = 1 + #boundaries below
+       the row`` from the broadcast cutoff table — vectorized per
+       batch, zero shuffle, trivially resumable.
+
+    ``ds`` is consumed up to three times (Ray re-executes the lazy
+    plan per pass); feed it a column-pruned read or a materialized
+    intermediate, not an expensive derivation. Scores must be int64;
+    ids must be totally ordered (ints or strings).
+    """
+    from ocrd_cis_ray.shuffle import bucketed_aggregate
+
+    k = int(n_tiles)
+    if k < 1:
+        raise ValueError("n_tiles must be >= 1")
+
+    counts = bucketed_aggregate(
+        ds.map_batches(
+            lambda df: df[[group, score_col]], batch_format="pandas"
+        ),
+        [group, score_col],
+        {"n": (score_col, "size")},
+        combine=True,
+    ).to_pandas()
+    if len(counts) > pairs_ceiling:
+        raise ValueError(
+            f"grouped_ntile: {len(counts)} distinct (group, score) pairs "
+            f"exceed pairs_ceiling={pairs_ceiling}; quantize the score"
+        )
+    counts = counts.sort_values([group, score_col], kind="mergesort")
+
+    # Per-group boundary resolution against the score CDF. A boundary
+    # record is (group, tile_index, score_cut, need_m): rows strictly
+    # above the cut are in later tiles; need_m > 0 means the cut splits
+    # the tied score and the first need_m ids (ascending) stay below.
+    bounds: list[tuple] = []  # (group, score_cut, need_m) per boundary
+    dirty: dict[tuple, list] = {}  # (group, score) -> [(bound_idx, m)]
+    for g, sub in counts.groupby(group, sort=False):
+        scores = sub[score_col].to_numpy()
+        cum = np.cumsum(sub["n"].to_numpy())
+        total = int(cum[-1])
+        for b_rank in _ntile_boundary_ranks(total, k):
+            i = int(np.searchsorted(cum, b_rank, side="left"))
+            prev = int(cum[i - 1]) if i > 0 else 0
+            m = int(b_rank) - prev
+            idx = len(bounds)
+            if cum[i] == b_rank:  # clean cut: whole score below
+                bounds.append((g, scores[i], 0))
+            else:
+                bounds.append((g, scores[i], m))
+                dirty.setdefault((g, int(scores[i])), []).append((idx, m))
+
+    id_cuts: dict[int, object] = {}
+    if dirty:
+        dirty_df = pd.DataFrame(
+            {group: [g for g, _ in dirty], score_col: [s for _, s in dirty]}
+        ).assign(__d=True)
+
+        def tie_ids(df: pd.DataFrame) -> pd.DataFrame:
+            # vectorized membership: left merge preserves row order
+            m = (
+                df[[group, score_col]]
+                .merge(dirty_df, on=[group, score_col], how="left")["__d"]
+                .notna()
+                .to_numpy()
+            )
+            return df.loc[m, [group, score_col, id_col]]
+
+        ties = ds.map_batches(tie_ids, batch_format="pandas").to_pandas()
+        if len(ties) > ties_ceiling:
+            raise ValueError(
+                f"grouped_ntile: {len(ties)} boundary-tied rows exceed "
+                f"ties_ceiling={ties_ceiling}"
+            )
+        for (g, s), recs in dirty.items():
+            ids = np.sort(
+                ties.loc[
+                    (ties[group] == g) & (ties[score_col] == s), id_col
+                ].to_numpy()
+            )
+            for idx, m in recs:
+                id_cuts[idx] = ids[m - 1]
+
+    # Broadcastable cutoff table: one row per (group, boundary).
+    bt = pd.DataFrame(
+        {
+            group: [b[0] for b in bounds],
+            "__t": 0,
+            "__score_cut": np.asarray([b[1] for b in bounds], dtype=np.int64),
+            "__has_id": [i in id_cuts for i in range(len(bounds))],
+            "__id_cut": [id_cuts.get(i) for i in range(len(bounds))],
+        }
+    )
+    bt["__t"] = bt.groupby(group, sort=False).cumcount()
+    per_t = [
+        {
+            "score": sub.set_index(group)["__score_cut"],
+            "has_id": sub.set_index(group)["__has_id"],
+            "id": sub.set_index(group)["__id_cut"],
+        }
+        for _, sub in bt.groupby("__t", sort=True)
+    ]
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        tier = np.ones(len(df), dtype=np.int64)
+        s = df[score_col].to_numpy()
+        ids = df[id_col].to_numpy()
+        gvals = df[group]
+        for cut in per_t:
+            sc = gvals.map(cut["score"]).to_numpy()
+            present = ~pd.isna(sc)
+            above = np.zeros(len(df), dtype=bool)
+            above[present] = s[present] > sc[present]
+            tied = present & (s == sc)
+            if tied.any():
+                has = gvals.map(cut["has_id"]).to_numpy(dtype=object)
+                icut = gvals.map(cut["id"]).to_numpy(dtype=object)
+                tw = np.where(tied)[0]
+                hw = np.array([bool(has[j]) for j in tw])
+                if hw.any():
+                    jj = tw[hw]
+                    above[jj] = ids[jj] > np.array([icut[j] for j in jj], dtype=object)
+            tier += above.astype(np.int64)
+        out = df.copy()
+        out[out_col] = tier
+        return out
+
+    return ds.map_batches(assign, batch_format="pandas")
 
 
 def _token_counts(text_col) -> np.ndarray:

@@ -173,3 +173,84 @@ def test_pack_sequences_greedy_layout_single_block(ray_session):
     row = out[out["n_tokens"] == 7].iloc[0]
     assert row["n_pieces"] == 2 and row["n_docs"] == 2
     assert row["fill"] == pytest.approx(7 / 8)
+
+
+def _brute_ntile(df: pd.DataFrame, k: int, group="lang", score="score", idc="doc_id"):
+    """ANSI NTILE(k) OVER (PARTITION BY group ORDER BY score, id)."""
+    ref = df.sort_values([group, score, idc], kind="mergesort").copy()
+    tiers = []
+    for _, sub in ref.groupby(group, sort=False):
+        n = len(sub)
+        base, extra = divmod(n, k)
+        t = np.repeat(np.arange(1, k + 1), [base + 1] * extra + [base] * (k - extra))
+        tiers.append(pd.Series(t[:n], index=sub.index))
+    ref["tier"] = pd.concat(tiers)
+    return ref.sort_values(idc).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 7])
+def test_grouped_ntile_matches_window_semantics(ray_session, k):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.sampling import grouped_ntile
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": rng.choice(["de", "en", "fr", "la"], n, p=[0.5, 0.3, 0.15, 0.05]),
+            # heavy ties: every tile boundary lands inside a tied score
+            "score": rng.integers(0, 25, n).astype(np.int64),
+        }
+    )
+    got = (
+        grouped_ntile(
+            rd.from_pandas(df).repartition(13),
+            n_tiles=k,
+            group="lang",
+            score_col="score",
+            id_col="doc_id",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ref = _brute_ntile(df, k)
+    assert (got["tier"].to_numpy() == ref["tier"].to_numpy()).all()
+
+
+def test_grouped_ntile_small_groups_and_string_ids(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.sampling import grouped_ntile
+
+    # fewer rows than tiles: NTILE gives each row its own tile
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2], dtype=np.int64),
+            "lang": ["xx", "xx"],
+            "score": np.array([5, 5], dtype=np.int64),
+        }
+    )
+    got = (
+        grouped_ntile(rd.from_pandas(df), n_tiles=3, group="lang",
+                      score_col="score", id_col="doc_id")
+        .to_pandas().sort_values("doc_id")
+    )
+    assert got["tier"].tolist() == [1, 2]
+
+    # string ids order the all-tied group lexicographically
+    df2 = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:03d}" for i in range(9)],
+            "lang": ["en"] * 9,
+            "score": np.zeros(9, dtype=np.int64),
+        }
+    )
+    got2 = (
+        grouped_ntile(rd.from_pandas(df2).repartition(3), n_tiles=3, group="lang",
+                      score_col="score", id_col="doc_id")
+        .to_pandas().sort_values("doc_id")
+    )
+    assert got2["tier"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 3]
