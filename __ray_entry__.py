@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 104 queries, 87 oracle-checked; the driver
+driver's rows-only check. 105 queries, 88 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -848,6 +848,22 @@ def q104_quality_tiers(sf_dir: str):
     return grouped_ntile(
         ds, n_tiles=3, group="lang", score_col="n_tokens", id_col="doc_id"
     )
+
+
+def q105_interleaved_windows(sf_dir: str):
+    """Context-length sharding of the interleaved text+media span
+    stream (MMC4/Chameleon packing prep): each document's unit
+    sequence — 8-word text lines with a 4-token image slot after every
+    3rd line (the corpus synthesizer's interleave rule) — is cut into
+    fixed 32-token windows by cumulative offset. Fixed-stride (a unit
+    counts where it STARTS) so the assignment is a pure per-doc
+    prefix sum: one zero-shuffle vectorized ``map_batches``, identical
+    under any batch split. Oracle rebuilds the unit stream from the
+    line CTE and windows it with SUM OVER."""
+    from ocrd_cis_ray.stages.multimodal import window_interleaved_docs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return window_interleaved_docs(ds, window_tokens=32)
 
 
 def q58_revenue_by_nation(sf_dir: str):
@@ -2944,6 +2960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q101_crawl_frontier": q101_crawl_frontier,
         "q102_anchor_index": q102_anchor_index,
         "q104_quality_tiers": q104_quality_tiers,
+        "q105_interleaved_windows": q105_interleaved_windows,
         "q83_pdf_extract": q83_pdf_extract,
         "q89_cdx_index": q89_cdx_index,
         "q90_host_stats": q90_host_stats,
@@ -2981,10 +2998,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q25_bpe_token_count": q25_bpe_token_count,
         "q26_token_freq_quality": q26_token_freq_quality,
         "q27_redact": q27_redact,
-        "q28_stratified_sample": q28_stratified_sample,
         # ---------------- 50-query window boundary -------------------
         # -- oracle-backed, green in past rounds (parked past the
         #    window; their multi-round rows stand) --------------------
+        "q28_stratified_sample": q28_stratified_sample,
         "q37_dup_ngram_stats": q37_dup_ngram_stats,
         "q38_contamination": q38_contamination,
         "q39_chunk_documents": q39_chunk_documents,
@@ -4556,7 +4573,39 @@ SELECT doc_id, lang,
        ) AS BIGINT) AS tier
 FROM documents
 """
-    # q97 wraps the ENTIRE q88 oracle as a CTE and composes the
+    d["q105_interleaved_windows"] = """
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS wi
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, wi // 8 AS ln, COUNT(*) AS nw
+  FROM tok GROUP BY doc_id, wi // 8
+),
+units AS (
+  SELECT doc_id, 2 * ln AS ord, 'line' AS kind, CAST(nw AS BIGINT) AS cost
+  FROM lines
+  UNION ALL
+  SELECT doc_id, 2 * ln + 1, 'image', 4 FROM lines WHERE ln % 3 = 2
+),
+w AS (
+  SELECT doc_id, kind, cost,
+         (SUM(cost) OVER (PARTITION BY doc_id ORDER BY ord
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cost) // 32
+           AS window_id
+  FROM units
+)
+SELECT doc_id,
+       CAST(window_id AS BIGINT) AS window_id,
+       COUNT(*) AS n_units,
+       CAST(SUM(CASE WHEN kind = 'line' THEN cost ELSE 0 END) AS BIGINT)
+         AS n_text_tokens,
+       CAST(SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_media,
+       CAST(SUM(cost) AS BIGINT) AS n_tokens
+FROM w GROUP BY doc_id, window_id
+"""
+    # q97 wraps the ENTIRE q88 oracle and composes the
     # structural robots decision in front (robots_blocked precedes
     # every curation stage — a compliant crawler never fetches)
     d["q97_compliance_chain"] = (

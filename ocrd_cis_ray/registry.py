@@ -318,3 +318,14 @@ def _quantile_tiers(ds, **p):
     from .stages.sampling import grouped_ntile
 
     return grouped_ntile(ds, **p)
+
+
+@register_stage(
+    "interleaved_windows",
+    defaults={"window_tokens": 32, "line_words": 8, "media_every": 3, "media_cost": 4},
+    description="context-length sharding of interleaved text+media unit streams into fixed token windows (zero-shuffle)",
+)
+def _interleaved_windows(ds, **p):
+    from .stages.multimodal import window_interleaved_docs
+
+    return window_interleaved_docs(ds, **p)

@@ -243,3 +243,106 @@ class ImageThumbnailer:
         cols["thumb"] = pa.array(thumbs, pa.large_binary())
         cols["thumb_meta"] = pa.array(metas, pa.string())
         return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# interleaved context-window sharding
+
+
+def window_offsets(doc_idx: np.ndarray, costs: np.ndarray, window_tokens: int) -> np.ndarray:
+    """Fixed-stride window ids over an interleaved unit stream.
+
+    ``doc_idx`` marks each unit's document (units of one doc contiguous,
+    in order), ``costs`` its token cost (text tokens, or the slot cost of
+    a media unit). A unit belongs to ``floor(tokens_before_it_in_doc /
+    window_tokens)`` — the fixed-stride rule (a unit may straddle the
+    boundary; it is counted where it STARTS), which unlike greedy
+    repacking is a pure prefix-sum: one vectorized cumsum with per-doc
+    resets, no sequential state, identical under any batch split."""
+    cs = np.cumsum(costs)
+    before = cs - costs
+    # first unit position of each doc, broadcast back over its units
+    new_doc = np.empty(len(doc_idx), dtype=bool)
+    if len(doc_idx):
+        new_doc[0] = True
+        new_doc[1:] = doc_idx[1:] != doc_idx[:-1]
+    starts = np.where(new_doc, before, 0)
+    np.maximum.accumulate(starts, out=starts)
+    return (before - starts) // int(window_tokens)
+
+
+def window_interleaved_docs(
+    ds,
+    *,
+    window_tokens: int = 32,
+    line_words: int = 8,
+    media_every: int = 3,
+    media_cost: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Context-length sharding of an INTERLEAVED text+media span stream
+    (the MMC4/Chameleon-style packing prep): each document's unit
+    sequence — text lines of ``line_words`` words, with an image slot of
+    ``media_cost`` tokens after every ``media_every``-th line (the
+    corpus synthesizer's interleave rule) — is cut into fixed
+    ``window_tokens`` windows by cumulative token offset.
+
+    One zero-shuffle ``map_batches``: every unit of a document derives
+    from that document's single input row, so the whole stage is
+    batch-local and streams at any scale. Output: one row per
+    (doc, window) with unit/text-token/media counts.
+    """
+    W, LW, ME, MC = int(window_tokens), int(line_words), int(media_every), int(media_cost)
+
+    def shard(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        n_words = (
+            pc.add(pc.count_substring(t[text_col], " "), 1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_lines = -(-n_words // LW)
+        last_cost = n_words - LW * (n_lines - 1)
+        n_img = n_lines // ME
+        n_units = n_lines + n_img
+        total = int(n_units.sum())
+        doc_idx = np.repeat(np.arange(len(n_words)), n_units)
+        u = np.arange(total) - np.repeat(np.cumsum(n_units) - n_units, n_units)
+        # unit pattern per doc: ME lines then 1 image, repeating
+        q, r = np.divmod(u, ME + 1)
+        is_img = r == ME
+        ln = q * ME + np.minimum(r, ME - 1)
+        costs = np.where(
+            is_img,
+            MC,
+            np.where(ln == (n_lines[doc_idx] - 1), last_cost[doc_idx], LW),
+        )
+        win = window_offsets(doc_idx, costs, W)
+        g = pd.DataFrame(
+            {
+                "__d": doc_idx,
+                "window_id": win,
+                "n_units": 1,
+                "n_text_tokens": np.where(is_img, 0, costs),
+                "n_media": is_img.astype(np.int64),
+                "n_tokens": costs,
+            }
+        ).groupby(["__d", "window_id"], sort=False, as_index=False).sum()
+        ids = t[id_col].take(pa.array(g["__d"].to_numpy()))
+        return pa.table(
+            {
+                id_col: ids,
+                "window_id": pa.array(g["window_id"].to_numpy().astype(np.int64)),
+                "n_units": pa.array(g["n_units"].to_numpy().astype(np.int64)),
+                "n_text_tokens": pa.array(
+                    g["n_text_tokens"].to_numpy().astype(np.int64)
+                ),
+                "n_media": pa.array(g["n_media"].to_numpy().astype(np.int64)),
+                "n_tokens": pa.array(g["n_tokens"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(shard, batch_format="pyarrow")

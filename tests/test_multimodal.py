@@ -300,3 +300,60 @@ def test_y4m_guards_and_rational_fps():
     with pytest.raises(ValueError):
         encode_y4m(np.zeros((1, 3, 4), np.uint8))
     encode_y4m(np.zeros((1, 3, 4), np.uint8), mono=True)  # mono ok
+
+
+def test_window_offsets_matches_sequential_reference():
+    import numpy as np
+
+    from ocrd_cis_ray.stages.multimodal import window_offsets
+
+    rng = np.random.default_rng(3)
+    doc_idx = np.repeat(np.arange(40), rng.integers(1, 12, 40))
+    costs = rng.integers(1, 9, len(doc_idx)).astype(np.int64)
+    got = window_offsets(doc_idx, costs, 16)
+    # sequential reference: running offset, reset per doc
+    ref, off, prev = [], 0, None
+    for d, c in zip(doc_idx, costs):
+        if d != prev:
+            off, prev = 0, d
+        ref.append(off // 16)
+        off += c
+    assert got.tolist() == ref
+
+
+def test_window_interleaved_docs_units_and_conservation(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.multimodal import window_interleaved_docs
+
+    # doc 0: 20 words -> lines of 8,8,4; image after line 2 (cost 4).
+    # stream costs: 8,8,8(img? no) -> units: L8,L8,L4,IMG4; windows at 32:
+    # offsets 0,8,16,20 -> all window 0.
+    # doc 1: 70 words -> 9 lines (8x8+6), images after ln 2,5,8 -> 12 units
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1], dtype=np.int64),
+            "text": [" ".join(["w"] * 20), " ".join(["v"] * 70)],
+        }
+    )
+    out = (
+        window_interleaved_docs(rd.from_pandas(df), window_tokens=32)
+        .to_pandas()
+        .sort_values(["doc_id", "window_id"])
+        .reset_index(drop=True)
+    )
+    d0 = out[out["doc_id"] == 0]
+    assert d0["window_id"].tolist() == [0]
+    assert d0.iloc[0][["n_units", "n_text_tokens", "n_media", "n_tokens"]].tolist() == [4, 20, 1, 24]
+    d1 = out[out["doc_id"] == 1]
+    # conservation: text tokens = 70, media = 3, units = 12
+    assert d1["n_text_tokens"].sum() == 70
+    assert d1["n_media"].sum() == 3
+    assert d1["n_units"].sum() == 12
+    assert d1["n_tokens"].sum() == 70 + 3 * 4
+    # fixed-stride: window of each unit = floor(offset/32); doc1 stream
+    # costs 8,8,8,4,8,8,8,4,8,8,6,4 at offsets 0,8,16,24,28,36,44,52,
+    # 56,64,72,78 -> windows 0,0,0,0,0,1,1,1,1,2,2,2
+    assert d1["n_units"].tolist() == [5, 4, 3]
