@@ -1784,73 +1784,34 @@ def q87_pagerank(sf_dir: str):
     return out.map_batches(project, batch_format="pandas")
 
 
+_GATE_BLOCKLIST = [
+    "src0-news.com", "m.src0-news.com",
+    "src5-news.com", "m.src5-news.com",
+]
+
+
 def q88_webcorpus_gates(sf_dir: str):
     """The FULL FineWeb gate chain in pipeline order: URL gate
     (canonicalize + blocklist + canonical-URL dedup) composed with the
-    q56 curation compose (Gopher A1.1 + A1.2 + content dedup). Every
+    q56 curation gates (Gopher A1.1 + A1.2 + content dedup). Every
     gate's flag is computed independently (audit mode, the q56
     convention); keep = all gates pass; drop_stage = the FIRST failing
     gate (url_blocked → url_duplicate → gopher → repetition →
-    duplicate → kept). One extra doc_id join over q56 — flags only,
-    documents never move twice. The oracle embeds the entire q56 SQL
-    as a CTE and adds the structural URL gate around it."""
-    import pandas as _pd
+    duplicate → kept). Runs the FUSED ``curation.gate_chain``:
+    documents read once, every batch-local kernel in one fused task
+    stage, two chained flag-tuple exchanges, NO joins (the previous
+    composed form — three reads + two doc_id hash-joins — measured
+    ~2x slower for the identical answer). The oracle embeds the
+    entire q56 SQL as a CTE and adds the structural URL gate."""
+    from ocrd_cis_ray.stages.curation import gate_chain
+    from ocrd_cis_ray.stages.urlfilter import synthesize_urls
 
-    from ocrd_cis_ray.shuffle import hash_join
-    from ocrd_cis_ray.stages.curation import curate_corpus
-    from ocrd_cis_ray.stages.urlfilter import filter_urls, synthesize_urls
-
-    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
-    blocked = [
-        "src0-news.com", "m.src0-news.com",
-        "src5-news.com", "m.src5-news.com",
-    ]
-    urls = filter_urls(synthesize_urls(docs.drop_columns(["text"])), blocked)
-
-    def url_flags(df: _pd.DataFrame) -> _pd.DataFrame:
-        return _pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "keep_url": df["keep_url"].astype("int32"),
-                "url_canonical": df["is_canonical"].astype("int32"),
-            }
-        )
-
-    cur = curate_corpus(
-        docs.drop_columns(["source"]), gopher_kwargs={"min_stop_distinct": 1}
+    docs = synthesize_urls(_read(sf_dir, "documents", ["doc_id", "text", "source"]))
+    return gate_chain(
+        docs,
+        blocked_domains=_GATE_BLOCKLIST,
+        gopher_kwargs={"min_stop_distinct": 1},
     )
-    # both sides are shuffle-rooted: column hints keep hash_join from
-    # executing each side twice (schema() would run the full exchange)
-    joined = hash_join(
-        urls.map_batches(url_flags, batch_format="pandas"), cur, on="doc_id",
-        left_cols=["doc_id", "keep_url", "url_canonical"],
-        right_cols=["doc_id", "pass_gopher", "pass_repetition",
-                    "is_canonical", "keep", "drop_stage"],
-    )
-
-    def decide(df: _pd.DataFrame) -> _pd.DataFrame:
-        ku = df["keep_url"].to_numpy()
-        uc = df["url_canonical"].to_numpy()
-        keep = ((ku == 1) & (uc == 1) & (df["keep"].to_numpy() == 1)).astype("int32")
-        stage = np.where(
-            ku == 0,
-            "url_blocked",
-            np.where(uc == 0, "url_duplicate", df["drop_stage"].to_numpy()),
-        )
-        return _pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "keep_url": ku,
-                "url_canonical": uc,
-                "pass_gopher": df["pass_gopher"],
-                "pass_repetition": df["pass_repetition"],
-                "text_canonical": df["is_canonical"],
-                "keep": keep,
-                "drop_stage": stage,
-            }
-        )
-
-    return joined.map_batches(decide, batch_format="pandas")
 
 
 def q97_compliance_chain(sf_dir: str):
@@ -1859,57 +1820,43 @@ def q97_compliance_chain(sf_dir: str):
     gate + Gopher + repetition + content dedup), in true pipeline
     order — a compliant crawler consults robots before the fetch, so
     robots_blocked precedes every curation stage in drop_stage
-    attribution. Flags-only doc_id join (documents never move twice).
+    attribution. Runs the FUSED ``curation.gate_chain``: documents
+    read once, robots + URL + Gopher + repetition + hash kernels in
+    one fused task stage, two chained flag-tuple exchanges, no joins.
     Oracle wraps the ENTIRE q88 SQL as a CTE and adds the structural
     robots decision around it."""
-    import pandas as _pd
-
-    from ocrd_cis_ray.shuffle import hash_join
-
-    def robots_flags(df: _pd.DataFrame) -> _pd.DataFrame:
-        return _pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "robots_allowed": df["allowed"].astype("int32"),
-            }
-        )
-
-    # column hints: both sides are shuffle-rooted, so letting
-    # hash_join call .schema() would execute each side's whole
-    # exchange twice (measured 19.6 s vs ~11 s for this query)
-    robots = q92_robots_gate(sf_dir).map_batches(
-        robots_flags, batch_format="pandas"
-    )
-    base = q88_webcorpus_gates(sf_dir)
-    joined = hash_join(
-        robots, base, on="doc_id",
-        left_cols=["doc_id", "robots_allowed"],
-        right_cols=["doc_id", "keep_url", "url_canonical", "pass_gopher",
-                    "pass_repetition", "text_canonical", "keep",
-                    "drop_stage"],
+    from ocrd_cis_ray.stages.curation import gate_chain
+    from ocrd_cis_ray.stages.robots import synthesize_robots_txt
+    from ocrd_cis_ray.stages.urlfilter import (
+        canonicalize_urls,
+        synthesize_urls,
+        synthesize_urls_batch,
+        url_domain,
     )
 
-    def decide(df: _pd.DataFrame) -> _pd.DataFrame:
-        ra = df["robots_allowed"].to_numpy()
-        keep = ((ra == 1) & (df["keep"].to_numpy() == 1)).astype("int32")
-        stage = np.where(
-            ra == 0, "robots_blocked", df["drop_stage"].to_numpy()
-        )
-        return _pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "robots_allowed": ra,
-                "keep_url": df["keep_url"],
-                "url_canonical": df["url_canonical"],
-                "pass_gopher": df["pass_gopher"],
-                "pass_repetition": df["pass_repetition"],
-                "text_canonical": df["text_canonical"],
-                "keep": keep,
-                "drop_stage": stage,
-            }
-        )
+    # domain universe for the robots table: one column-pruned pre-pass
+    # over (doc_id, source) — tiny tuples, driver-bounded distinct
+    from ocrd_cis_ray.stages.robots import distinct_domains
 
-    return joined.map_batches(decide, batch_format="pandas")
+    def dom_col(t: pa.Table) -> pa.Table:
+        u = synthesize_urls_batch(t)
+        return pa.table({"domain": url_domain(canonicalize_urls(u["url"]))})
+
+    domains = distinct_domains(
+        _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+            dom_col, batch_format="pyarrow"
+        )
+    )
+    robots_map = {d: synthesize_robots_txt(d) for d in domains}
+
+    docs = synthesize_urls(_read(sf_dir, "documents", ["doc_id", "text", "source"]))
+    return gate_chain(
+        docs,
+        blocked_domains=_GATE_BLOCKLIST,
+        robots_map=robots_map,
+        agent="ccbot",
+        gopher_kwargs={"min_stop_distinct": 1},
+    )
 
 
 def q85_quality_model(sf_dir: str):

@@ -193,6 +193,8 @@ def run_bench() -> dict:
         "q101_crawl_frontier",
         "q102_anchor_index",
         "q103_word_lm",
+        "q104_quality_tiers",
+        "q105_interleaved_windows",
     ):
         fn = Q[name]
 

@@ -91,3 +91,171 @@ def curate_corpus(ds, *, gopher_kwargs: dict | None = None, repetition_kwargs: d
         return pd.DataFrame(out)
 
     return bucketed_groupby(feats, "content_hash", decide, whole_bucket=True)
+
+
+# ---------------------------------------------------------------------------
+# fused compliance/gate chain (robots -> URL -> Gopher -> repetition -> dedup)
+
+
+def _url_flag_batch(batch: pa.Table, *, blocked_ref) -> pa.Table:
+    """Batch-local URL gate: canonical form + blocklist flag, keeping
+    doc_id/text (and robots ``allowed`` when present) for the fused
+    curation pass downstream. Same kernel rules as
+    ``urlfilter.filter_urls`` (unparseable URL => keep_url=False, raw
+    string as the dedup key)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .urlfilter import canonicalize_urls, url_domain
+
+    blocked = ray.get(blocked_ref)
+    canon = canonicalize_urls(batch["url"])
+    dom = url_domain(canon)
+    blocked_hit = pc.is_in(dom, value_set=pa.array(blocked, pa.string()))
+    keep = pc.and_(pc.is_valid(canon), pc.invert(blocked_hit))
+    keep = pc.fill_null(keep, False)
+    raw = batch["url"]
+    if isinstance(raw, pa.ChunkedArray):
+        raw = raw.combine_chunks()
+    canon = pc.if_else(pc.is_valid(canon), canon, raw)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "text": batch["text"],
+            "url_canon": canon,
+            "keep_url": keep,
+        }
+    )
+
+
+def gate_chain(
+    ds,
+    *,
+    blocked_domains=(),
+    robots_map: dict[str, str] | None = None,
+    agent: str = "ccbot",
+    gopher_kwargs: dict | None = None,
+    repetition_kwargs: dict | None = None,
+    num_buckets: int | None = None,
+):
+    """The FULL crawl-compliance gate chain as ONE fused pipeline —
+    robots.txt (optional) -> URL blocklist -> canonical-URL dedup ->
+    Gopher A1.1 -> A1.2 repetition -> content dedup — with audit-mode
+    flags (every gate computed independently) and first-failing
+    ``drop_stage`` attribution.
+
+    Shape: documents are read ONCE and every batch-local kernel
+    (robots match, URL canon + blocklist, Gopher, repetition, content
+    hash) runs in one fused task stage; the only exchanges are two
+    chained flag-tuple shuffles — url_canon dedup, then content-hash
+    dedup — and there are NO joins (the previous composed form ran
+    three reads and two doc_id hash-joins for the same answer;
+    measured ~2x slower). Text never moves: both exchanges carry
+    (doc_id, 5 int flags, hash) tuples.
+
+    ``ds``: rows with doc_id, text, url. With ``robots_map=None`` the
+    robots gate is skipped and output matches the FineWeb chain (q88
+    schema); with a robots map the output adds ``robots_allowed`` and
+    ``drop_stage`` starts at ``robots_blocked`` (q97 schema).
+    """
+    from functools import partial
+
+    import ray
+
+    from ..shuffle import bucketed_groupby
+    from .robots import apply_robots
+
+    with_robots = robots_map is not None
+    blocked_ref = ray.put(sorted(set(blocked_domains)))
+    flagged = ds.map_batches(
+        partial(_url_flag_batch, blocked_ref=blocked_ref),
+        batch_format="pyarrow",
+    )
+    if with_robots:
+        # robots gates the CANONICAL url (fragment/utm/port noise must
+        # not defeat a path rule) — same unit as the standalone q92 gate
+        flagged = apply_robots(
+            flagged, robots_map, agent=agent, url_column="url_canon"
+        ).map_batches(
+            lambda t: t.select(
+                ["doc_id", "text", "url_canon", "keep_url", "allowed"]
+            ),
+            batch_format="pyarrow",
+        )
+    carry = ("url_canon", "keep_url") + (("allowed",) if with_robots else ())
+    feats = flagged.map_batches(
+        partial(
+            _feature_batch,
+            gopher_kwargs=gopher_kwargs or {},
+            repetition_kwargs=repetition_kwargs or {},
+            carry=carry,
+        ),
+        batch_format="pyarrow",
+    )
+
+    def mark_url_canonical(df: pd.DataFrame) -> pd.DataFrame:
+        first = df.groupby("url_canon", sort=False)["doc_id"].transform("min")
+        out = df.assign(
+            url_canonical=(df["doc_id"].to_numpy() == first.to_numpy()).astype(
+                np.int32
+            )
+        )
+        return out.drop(columns=["url_canon"])
+
+    deduped = bucketed_groupby(
+        feats, "url_canon", mark_url_canonical,
+        num_buckets=num_buckets, whole_bucket=True,
+    )
+
+    def decide(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values("doc_id", kind="mergesort")
+        ic = (~b.duplicated("content_hash", keep="first")).to_numpy().astype(np.int32)
+        pg = b["pass_gopher"].to_numpy().astype(np.int32)
+        pr = b["pass_repetition"].to_numpy().astype(np.int32)
+        ku = b["keep_url"].to_numpy().astype(np.int32)
+        uc = b["url_canonical"].to_numpy().astype(np.int32)
+        ra = (
+            b["allowed"].to_numpy().astype(np.int32)
+            if with_robots
+            else np.ones(len(b), np.int32)
+        )
+        keep = ((ra == 1) & (ku == 1) & (uc == 1) & (pg == 1) & (pr == 1) & (ic == 1)).astype(np.int32)
+        stage = np.where(
+            ra == 0,
+            "robots_blocked",
+            np.where(
+                ku == 0,
+                "url_blocked",
+                np.where(
+                    uc == 0,
+                    "url_duplicate",
+                    np.where(
+                        pg == 0,
+                        "gopher",
+                        np.where(
+                            pr == 0,
+                            "repetition",
+                            np.where(ic == 0, "duplicate", "kept"),
+                        ),
+                    ),
+                ),
+            ),
+        )
+        out = {
+            "doc_id": b["doc_id"].to_numpy(),
+            "keep_url": ku,
+            "url_canonical": uc,
+            "pass_gopher": pg,
+            "pass_repetition": pr,
+            "text_canonical": ic,
+            "keep": keep,
+            "drop_stage": stage,
+        }
+        if with_robots:
+            out = {"doc_id": out["doc_id"], "robots_allowed": ra, **out}
+        return pd.DataFrame(out)
+
+    return bucketed_groupby(
+        deduped, "content_hash", decide,
+        num_buckets=num_buckets, whole_bucket=True,
+    )

@@ -137,13 +137,9 @@ def synthesize_urls_batch(t: pa.Table) -> pa.Table:
             q = f"?id={page}&utm_campaign=x"
         frag = "#section-2" if did % 7 == 0 else ""
         urls.append(f"{scheme}://{host}{port}{path}{page}{q}{frag}")
-    return pa.table(
-        {
-            "doc_id": t["doc_id"],
-            "source": t["source"],
-            "url": pa.array(urls, pa.string()),
-        }
-    )
+    # append, don't project: extra input columns (e.g. text for the
+    # fused gate_chain) ride along untouched
+    return t.append_column("url", pa.array(urls, pa.string()))
 
 
 def synthesize_urls(ds):
