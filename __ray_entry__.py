@@ -1606,9 +1606,16 @@ def q101_crawl_frontier(sf_dir: str):
     corpus's canonical page URLs). The synthesizer's same-host 'next'
     links hit the crawled set exactly when the target page exists with
     the same scheme, so the anti-join filters real positives and
-    passes real negatives. Oracle mirrors the whole composition in
-    SQL (targets GROUP BY minus the canonical set)."""
-    from ocrd_cis_ray.shuffle import bucketed_aggregate, hash_join
+    passes real negatives. Aggregate and anti-join share ONE url-keyed
+    exchange: candidate count partials (map-side combined) and seen
+    markers union BEFORE the shuffle and the bucket both sums refs and
+    drops seen urls — one exchange where aggregate-then-hash_join paid
+    three (measured 7.2s -> ~3s warm at sf0.1). Oracle mirrors the
+    whole composition in SQL (targets GROUP BY minus the canonical
+    set)."""
+    import pandas as _pd
+
+    from ocrd_cis_ray.shuffle import bucketed_groupby
     from ocrd_cis_ray.stages.urlfilter import (
         canonicalize_urls,
         synthesize_urls_batch,
@@ -1616,47 +1623,49 @@ def q101_crawl_frontier(sf_dir: str):
 
     links = q91_outlinks(sf_dir)
 
-    def tgt(t: pa.Table) -> pa.Table:
-        keep = pc.equal(t["kind"], "a")
-        return pa.table({"url": t["url_target"]}).filter(keep)
-
-    cand = bucketed_aggregate(
-        links.map_batches(tgt, batch_format="pyarrow"),
-        "url",
-        {"n_refs": ("url", "size")},
-        combine=True,
-    )
+    def tgt_partial(t: pa.Table) -> pa.Table:
+        # map-side combine: (url, partial count, side=0)
+        tc = pa.table(
+            {"url": t.filter(pc.equal(t["kind"], "a"))["url_target"]}
+        )
+        vc = pc.value_counts(tc["url"].combine_chunks())
+        urls = vc.field("values")
+        counts = pc.cast(vc.field("counts"), pa.int64())
+        return pa.table(
+            {
+                "url": urls,
+                "n_refs": counts,
+                "__seen": pa.array(np.zeros(len(urls), np.int8)),
+            }
+        )
 
     docs = _read(sf_dir, "documents", ["doc_id", "source"])
 
     def seen(t: pa.Table) -> pa.Table:
         u = synthesize_urls_batch(t)
         # batch-local unique: the canonical URL recurs across docs
-        # (mod-300 classes) and duplicate join keys would multiply
-        # matched rows inside every join bucket before the anti-filter
-        # drops them — dedup before the exchange, not after
+        # (mod-300 classes); dedup before the exchange, not after
         uniq = canonicalize_urls(u["url"]).unique()
         return pa.table(
             {
                 "url": uniq,
+                "n_refs": pa.array(np.zeros(len(uniq), np.int64)),
                 "__seen": pa.array(np.ones(len(uniq), np.int8)),
             }
         )
 
-    joined = hash_join(
-        cand,
-        docs.map_batches(seen, batch_format="pyarrow"),
-        on="url",
-        how="left",
-        left_cols=["url", "n_refs"],
-        right_cols=["url", "__seen"],
+    both = links.map_batches(tgt_partial, batch_format="pyarrow").union(
+        docs.map_batches(seen, batch_format="pyarrow")
     )
 
-    def unseen(df):
-        out = df[df["__seen"].isna()][["url", "n_refs"]]
-        return out.astype({"n_refs": "int64"})
+    def merge(df: _pd.DataFrame) -> _pd.DataFrame:
+        g = df.groupby("url", sort=False).agg(
+            n_refs=("n_refs", "sum"), seen=("__seen", "max")
+        )
+        g = g[(g["seen"] == 0) & (g["n_refs"] > 0)]
+        return g.reset_index()[["url", "n_refs"]].astype({"n_refs": "int64"})
 
-    return joined.map_batches(unseen, batch_format="pandas")
+    return bucketed_groupby(both, "url", merge, whole_bucket=True)
 
 
 def q102_anchor_index(sf_dir: str):
