@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 105 queries, 88 oracle-checked; the driver
+driver's rows-only check. 106 queries, 89 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -864,6 +864,26 @@ def q105_interleaved_windows(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return window_interleaved_docs(ds, window_tokens=32)
+
+
+def q106_data_mixture(sf_dir: str):
+    """Mixture balancing to a token budget (the Pile/Dolma source
+    reweighting step): odd-ordinal sources get weight 2, even weight 1;
+    each source receives a budget share (50% of corpus tokens)
+    proportional to its weight, converted into a deterministic
+    hash-filter keep rate against the source's actual token mass
+    (capped at 1). One map-side-combined (source, token-sum) aggregate
+    + one stateless filter pass — document rows never shuffle. The
+    oracle recomputes the rates in SQL with the same IEEE operation
+    order and the shared knuth hash."""
+    from ocrd_cis_ray.stages.sampling import mixture_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return mixture_sample(
+        ds,
+        weights=lambda s: 2.0 if int(s[3:]) % 2 == 1 else 1.0,
+        budget_fraction=0.5,
+    )
 
 
 def q58_revenue_by_nation(sf_dir: str):
@@ -2917,6 +2937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q102_anchor_index": q102_anchor_index,
         "q104_quality_tiers": q104_quality_tiers,
         "q105_interleaved_windows": q105_interleaved_windows,
+        "q106_data_mixture": q106_data_mixture,
         "q83_pdf_extract": q83_pdf_extract,
         "q89_cdx_index": q89_cdx_index,
         "q90_host_stats": q90_host_stats,
@@ -2953,8 +2974,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_langid": q22_langid,
         "q25_bpe_token_count": q25_bpe_token_count,
         "q26_token_freq_quality": q26_token_freq_quality,
-        "q27_redact": q27_redact,
         # ---------------- 50-query window boundary -------------------
+        "q27_redact": q27_redact,
         # -- oracle-backed, green in past rounds (parked past the
         #    window; their multi-round rows stand) --------------------
         "q28_stratified_sample": q28_stratified_sample,
@@ -4528,6 +4549,29 @@ SELECT doc_id, lang,
            ORDER BY len(string_split(text, ' ')), doc_id
        ) AS BIGINT) AS tier
 FROM documents
+"""
+    d["q106_data_mixture"] = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, CAST(SUM(n_tokens) AS DOUBLE) AS tok,
+         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 1
+              THEN 2.0 ELSE 1.0 END AS wt
+  FROM t GROUP BY source
+),
+g AS (SELECT floor(0.5 * SUM(tok)) AS budget, SUM(wt) AS sumw FROM c),
+r AS (
+  SELECT source,
+         CAST(floor(LEAST(1.0, ((budget * wt) / sumw) / tok)
+              * 4294967296.0) AS BIGINT) AS thr
+  FROM c, g
+)
+SELECT t.doc_id, t.source, t.n_tokens
+FROM t JOIN r USING (source)
+WHERE (t.doc_id * 2654435761) % 4294967296 < r.thr
 """
     d["q105_interleaved_windows"] = """
 WITH tok AS (

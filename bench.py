@@ -195,6 +195,7 @@ def run_bench() -> dict:
         "q103_word_lm",
         "q104_quality_tiers",
         "q105_interleaved_windows",
+        "q106_data_mixture",
     ):
         fn = Q[name]
 

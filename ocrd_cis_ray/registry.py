@@ -329,3 +329,14 @@ def _interleaved_windows(ds, **p):
     from .stages.multimodal import window_interleaved_docs
 
     return window_interleaved_docs(ds, **p)
+
+
+@register_stage(
+    "mixture_sample",
+    defaults={"weights": {}, "budget_fraction": 0.5},
+    description="Pile/Dolma-style mixture balancing: per-source token budget -> deterministic hash-filter keep rates",
+)
+def _mixture_sample(ds, **p):
+    from .stages.sampling import mixture_sample
+
+    return mixture_sample(ds, **p)

@@ -407,3 +407,81 @@ def pack_sequences(
         )
 
     return ds.map_batches(pack, batch_format="pyarrow")
+
+
+def mixture_sample(
+    ds,
+    *,
+    weights,
+    budget_fraction: float = 0.5,
+    budget_tokens: int | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Mixture balancing to a token budget (the Pile/Dolma source
+    reweighting step): give each source a share of ``budget_tokens``
+    (default ``budget_fraction`` of the corpus) proportional to its
+    weight, convert the share into a deterministic per-source keep
+    RATE against the source's actual token mass (capped at 1 — an
+    undersized source under-delivers rather than oversamples), and
+    select documents with the shared engine/oracle hash filter.
+
+    Two streaming passes: ONE map-side-combined (source, token-sum)
+    aggregate (source cardinality is the mixture arity — tiny), then a
+    stateless hash-threshold filter; no shuffle of document rows.
+    ``weights``: {source: weight} or a callable source -> weight.
+    Rates are computed in IEEE double with a fixed operation order —
+    ``((budget * w) / sum_w) / tokens`` — so an ANSI-SQL oracle
+    reproduces the selection bit-exactly.
+    """
+    import math
+
+    from ocrd_cis_ray.shuffle import bucketed_aggregate
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.char.count(df[text_col].to_numpy().astype(str), " ") + 1
+        return pd.DataFrame({source_col: df[source_col], "tok": n}).groupby(
+            source_col, sort=False, as_index=False
+        )["tok"].sum()
+
+    counts = bucketed_aggregate(
+        ds.map_batches(tok_partial, batch_format="pandas"),
+        source_col,
+        {"tok": ("tok", "sum")},
+        combine=True,
+    ).to_pandas()
+
+    total = float(counts["tok"].sum())
+    budget = (
+        float(budget_tokens)
+        if budget_tokens is not None
+        else math.floor(budget_fraction * total)
+    )
+    wt = {
+        s: float(weights(s) if callable(weights) else weights[s])
+        for s in counts[source_col]
+    }
+    sum_w = sum(wt.values())
+    thr: dict[str, int] = {}
+    for s, tok in zip(counts[source_col], counts["tok"]):
+        rate = min(1.0, ((budget * wt[s]) / sum_w) / float(tok))
+        thr[s] = math.floor(rate * 4294967296.0)
+
+    keys = pa.array(list(thr.keys()), pa.string())
+    thrs = np.array(list(thr.values()) + [0], dtype=np.int64)
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = knuth_hash32(t[id_col].to_numpy())
+        idx = (
+            pc.fill_null(pc.index_in(t[source_col], keys), len(thrs) - 1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n = pc.cast(pc.add(pc.count_substring(t[text_col], " "), 1), pa.int64())
+        out = pa.table(
+            {id_col: t[id_col], source_col: t[source_col], "n_tokens": n}
+        )
+        return out.filter(pa.array(h < thrs[idx]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -254,3 +254,49 @@ def test_grouped_ntile_small_groups_and_string_ids(ray_session):
         .to_pandas().sort_values("doc_id")
     )
     assert got2["tier"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+
+
+def test_mixture_sample_matches_brute_force_and_respects_budget(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.sampling import KNUTH, mixture_sample
+
+    rng = np.random.default_rng(5)
+    n = 1200
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": rng.choice(["a", "b", "c"], n, p=[0.6, 0.3, 0.1]),
+            "text": [
+                " ".join(["w"] * int(k)) for k in rng.integers(1, 60, n)
+            ],
+        }
+    )
+    weights = {"a": 1.0, "b": 3.0, "c": 10.0}
+    got = (
+        mixture_sample(rd.from_pandas(df).repartition(7), weights=weights,
+                       budget_fraction=0.5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # brute force with the identical float op order
+    ntok = df["text"].str.count(" ") + 1
+    tok = ntok.groupby(df["source"]).sum().astype(float)
+    budget = math.floor(0.5 * float(tok.sum()))
+    sumw = sum(weights.values())
+    thr = {
+        s: math.floor(min(1.0, ((budget * weights[s]) / sumw) / float(tok[s]))
+                      * 4294967296.0)
+        for s in tok.index
+    }
+    h = (df["doc_id"].to_numpy().astype(np.int64) * KNUTH) % (1 << 32)
+    keep = h < np.array([thr[s] for s in df["source"]])
+    ref = df.loc[keep].copy()
+    ref["n_tokens"] = ntok[keep]
+    assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert got["n_tokens"].tolist() == ref["n_tokens"].tolist()
+    # the scarce high-weight source is rate-capped at 1.0 (all kept)
+    assert (got["source"] == "c").sum() == (df["source"] == "c").sum()
+    # abundant low-weight source is subsampled
+    assert (got["source"] == "a").sum() < (df["source"] == "a").sum()
