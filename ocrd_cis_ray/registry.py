@@ -340,3 +340,14 @@ def _mixture_sample(ds, **p):
     from .stages.sampling import mixture_sample
 
     return mixture_sample(ds, **p)
+
+
+@register_stage(
+    "gate_chain",
+    defaults={"blocked_domains": [], "robots_map": None, "agent": "ccbot"},
+    description="fused crawl-compliance gate chain: robots -> URL blocklist/dedup -> Gopher -> repetition -> content dedup, audit-mode flags + first-failing drop_stage",
+)
+def _gate_chain(ds, **p):
+    from .stages.curation import gate_chain
+
+    return gate_chain(ds, **p)

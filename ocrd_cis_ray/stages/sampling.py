@@ -185,6 +185,10 @@ def grouped_ntile(
     if k < 1:
         raise ValueError("n_tiles must be >= 1")
 
+    # combine=True pre-reduces each batch to its distinct pairs, so the
+    # exchange moves partials, not rows — 32 buckets keeps per-bucket
+    # frames bounded at the 5M-pair ceiling while avoiding 4xCPU tiny
+    # tasks on the (typically small) partial stream
     counts = bucketed_aggregate(
         ds.map_batches(
             lambda df: df[[group, score_col]], batch_format="pandas"
@@ -192,6 +196,7 @@ def grouped_ntile(
         [group, score_col],
         {"n": (score_col, "size")},
         combine=True,
+        num_buckets=32,
     ).to_pandas()
     if len(counts) > pairs_ceiling:
         raise ValueError(
@@ -439,17 +444,20 @@ def mixture_sample(
 
     from ocrd_cis_ray.shuffle import bucketed_aggregate
 
-    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
-        n = np.char.count(df[text_col].to_numpy().astype(str), " ") + 1
-        return pd.DataFrame({source_col: df[source_col], "tok": n}).groupby(
-            source_col, sort=False, as_index=False
-        )["tok"].sum()
+    def tok_partial(t: pa.Table) -> pd.DataFrame:
+        n = _token_counts(t[text_col])
+        return pd.DataFrame(
+            {source_col: t[source_col].to_pandas(), "tok": n}
+        ).groupby(source_col, sort=False, as_index=False)["tok"].sum()
 
+    # the partial stream is blocks x mixture-arity rows — tiny; 8
+    # buckets is plenty at any corpus scale
     counts = bucketed_aggregate(
-        ds.map_batches(tok_partial, batch_format="pandas"),
+        ds.map_batches(tok_partial, batch_format="pyarrow"),
         source_col,
         {"tok": ("tok", "sum")},
         combine=True,
+        num_buckets=8,
     ).to_pandas()
 
     total = float(counts["tok"].sum())
