@@ -844,7 +844,9 @@ def q104_quality_tiers(sf_dir: str):
             }
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()  # tiny (doc_id, lang, n_tokens) projection consumed
+    # by up to three grouped_ntile passes — materializing it removes two
+    # full corpus read+tokenize scans
     return grouped_ntile(
         ds, n_tiles=3, group="lang", score_col="n_tokens", id_col="doc_id"
     )

@@ -333,7 +333,7 @@ def _interleaved_windows(ds, **p):
 
 @register_stage(
     "mixture_sample",
-    defaults={"weights": {}, "budget_fraction": 0.5},
+    defaults={"weights": None, "budget_fraction": 0.5},
     description="Pile/Dolma-style mixture balancing: per-source token budget -> deterministic hash-filter keep rates",
 )
 def _mixture_sample(ds, **p):

@@ -99,25 +99,15 @@ def curate_corpus(ds, *, gopher_kwargs: dict | None = None, repetition_kwargs: d
 
 def _url_flag_batch(batch: pa.Table, *, blocked_ref) -> pa.Table:
     """Batch-local URL gate: canonical form + blocklist flag, keeping
-    doc_id/text (and robots ``allowed`` when present) for the fused
-    curation pass downstream. Same kernel rules as
-    ``urlfilter.filter_urls`` (unparseable URL => keep_url=False, raw
-    string as the dedup key)."""
-    import pyarrow.compute as pc
+    doc_id/text for the fused curation pass downstream. Delegates to
+    the ONE shared kernel (`urlfilter.url_gate_arrays`) so the
+    unparseable-URL and userinfo-spoof rules cannot diverge from
+    ``filter_urls``."""
     import ray
 
-    from .urlfilter import canonicalize_urls, url_domain
+    from .urlfilter import url_gate_arrays
 
-    blocked = ray.get(blocked_ref)
-    canon = canonicalize_urls(batch["url"])
-    dom = url_domain(canon)
-    blocked_hit = pc.is_in(dom, value_set=pa.array(blocked, pa.string()))
-    keep = pc.and_(pc.is_valid(canon), pc.invert(blocked_hit))
-    keep = pc.fill_null(keep, False)
-    raw = batch["url"]
-    if isinstance(raw, pa.ChunkedArray):
-        raw = raw.combine_chunks()
-    canon = pc.if_else(pc.is_valid(canon), canon, raw)
+    canon, _dom, keep = url_gate_arrays(batch["url"], ray.get(blocked_ref))
     return pa.table(
         {
             "doc_id": batch["doc_id"],

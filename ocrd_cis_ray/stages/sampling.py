@@ -197,11 +197,14 @@ def grouped_ntile(
         {"n": (score_col, "size")},
         combine=True,
         num_buckets=32,
-    ).to_pandas()
+    ).limit(pairs_ceiling + 1).to_pandas()
+    # limit() bounds the collect BEFORE it reaches the driver: on a
+    # runaway score cardinality we pull ceiling+1 rows and raise, never
+    # the full pair set
     if len(counts) > pairs_ceiling:
         raise ValueError(
-            f"grouped_ntile: {len(counts)} distinct (group, score) pairs "
-            f"exceed pairs_ceiling={pairs_ceiling}; quantize the score"
+            f"grouped_ntile: over {pairs_ceiling} distinct (group, score) "
+            f"pairs (pairs_ceiling); quantize the score"
         )
     counts = counts.sort_values([group, score_col], kind="mergesort")
 
@@ -242,11 +245,15 @@ def grouped_ntile(
             )
             return df.loc[m, [group, score_col, id_col]]
 
-        ties = ds.map_batches(tie_ids, batch_format="pandas").to_pandas()
+        ties = (
+            ds.map_batches(tie_ids, batch_format="pandas")
+            .limit(ties_ceiling + 1)
+            .to_pandas()
+        )
         if len(ties) > ties_ceiling:
             raise ValueError(
-                f"grouped_ntile: {len(ties)} boundary-tied rows exceed "
-                f"ties_ceiling={ties_ceiling}"
+                f"grouped_ntile: over {ties_ceiling} boundary-tied rows "
+                f"(ties_ceiling)"
             )
         for (g, s), recs in dirty.items():
             ids = np.sort(
@@ -264,7 +271,11 @@ def grouped_ntile(
             "__t": 0,
             "__score_cut": np.asarray([b[1] for b in bounds], dtype=np.int64),
             "__has_id": [i in id_cuts for i in range(len(bounds))],
-            "__id_cut": [id_cuts.get(i) for i in range(len(bounds))],
+            # object dtype: None + int64 would coerce to float64 and
+            # round id cutoffs >= 2^53, corrupting the tie-break
+            "__id_cut": pd.Series(
+                [id_cuts.get(i) for i in range(len(bounds))], dtype=object
+            ),
         }
     )
     bt["__t"] = bt.groupby(group, sort=False).cumcount()
@@ -417,9 +428,10 @@ def pack_sequences(
 def mixture_sample(
     ds,
     *,
-    weights,
+    weights=None,
     budget_fraction: float = 0.5,
     budget_tokens: int | None = None,
+    default_weight: float = 0.0,
     source_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -435,7 +447,10 @@ def mixture_sample(
     Two streaming passes: ONE map-side-combined (source, token-sum)
     aggregate (source cardinality is the mixture arity — tiny), then a
     stateless hash-threshold filter; no shuffle of document rows.
-    ``weights``: {source: weight} or a callable source -> weight.
+    ``weights``: {source: weight}, a callable source -> weight, or
+    None for a uniform mixture; dict sources absent from the data are
+    ignored, data sources absent from the dict get ``default_weight``
+    (0 = dropped, the ``stratified_sample`` default_rate convention).
     Rates are computed in IEEE double with a fixed operation order —
     ``((budget * w) / sum_w) / tokens`` — so an ANSI-SQL oracle
     reproduces the selection bit-exactly.
@@ -466,11 +481,21 @@ def mixture_sample(
         if budget_tokens is not None
         else math.floor(budget_fraction * total)
     )
-    wt = {
-        s: float(weights(s) if callable(weights) else weights[s])
-        for s in counts[source_col]
-    }
+    def _weight(s) -> float:
+        if weights is None:
+            return 1.0
+        if callable(weights):
+            return float(weights(s))
+        return float(weights.get(s, default_weight))
+
+    wt = {s: _weight(s) for s in counts[source_col]}
     sum_w = sum(wt.values())
+    if sum_w <= 0:
+        raise ValueError(
+            "mixture_sample: total weight over the observed sources is "
+            f"{sum_w}; every document would be dropped — pass weights "
+            "covering the data's sources (or weights=None for uniform)"
+        )
     thr: dict[str, int] = {}
     for s, tok in zip(counts[source_col], counts["tok"]):
         rate = min(1.0, ((budget * wt[s]) / sum_w) / float(tok))
@@ -486,10 +511,12 @@ def mixture_sample(
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
+        # filter FIRST, tokenize survivors: at budget_fraction=0.5 the
+        # string scan halves
+        t = t.filter(pa.array(h < thrs[idx]))
         n = pc.cast(pc.add(pc.count_substring(t[text_col], " "), 1), pa.int64())
-        out = pa.table(
+        return pa.table(
             {id_col: t[id_col], source_col: t[source_col], "n_tokens": n}
         )
-        return out.filter(pa.array(h < thrs[idx]))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -150,6 +150,29 @@ def synthesize_urls(ds):
 # distributed operator
 
 
+def url_gate_arrays(urls, blocked: list[str]):
+    """The ONE url-gate kernel shared by ``filter_urls`` and the fused
+    ``curation.gate_chain``: (canon_with_raw_fallback, domain,
+    keep_url) arrays for a url column.
+
+    Unparseable URLs (null canon — including userinfo-spoofed hosts,
+    which the shared URL_RE refuses) fail the gate explicitly as
+    keep_url=False; a null canon would otherwise vanish from the dedup
+    groupby and surface as a bogus "url_duplicate" drop. Their canon
+    falls back to the raw string so every row keeps a non-null group
+    key (identical raw strings still dedup)."""
+    canon = canonicalize_urls(urls)
+    dom = url_domain(canon)
+    blocked_hit = pc.is_in(dom, value_set=pa.array(blocked, pa.string()))
+    keep = pc.and_(pc.is_valid(canon), pc.invert(blocked_hit))
+    keep = pc.fill_null(keep, False)
+    raw = urls
+    if isinstance(raw, pa.ChunkedArray):
+        raw = raw.combine_chunks()
+    canon = pc.if_else(pc.is_valid(canon), canon, raw)
+    return canon, dom, keep
+
+
 def filter_urls(ds, blocked_domains: list[str], *, num_buckets: int | None = None):
     """(doc_id, url, ...) -> (doc_id, url_canon, domain, keep_url,
     is_canonical): canonicalize (vectorized), flag blocklisted domains
@@ -162,21 +185,9 @@ def filter_urls(ds, blocked_domains: list[str], *, num_buckets: int | None = Non
     blocked_ref = ray.put(sorted(set(blocked_domains)))
 
     def canon_batch(t: pa.Table) -> pa.Table:
-        blocked = ray.get(blocked_ref)
-        canon = canonicalize_urls(t["url"])
-        dom = url_domain(canon)
-        blocked_hit = pc.is_in(dom, value_set=pa.array(blocked, pa.string()))
-        # unparseable URLs (null canon) fail the gate explicitly as
-        # keep_url=False — a null canon would otherwise vanish from the
-        # dedup groupby and surface as a bogus "url_duplicate" drop.
-        # Their canon falls back to the raw string so every row keeps a
-        # non-null group key (identical raw strings still dedup).
-        keep = pc.and_(pc.is_valid(canon), pc.invert(blocked_hit))
-        keep = pc.fill_null(keep, False)
-        raw = t["url"]
-        if isinstance(raw, pa.ChunkedArray):
-            raw = raw.combine_chunks()
-        canon = pc.if_else(pc.is_valid(canon), canon, raw)
+        import ray as _ray
+
+        canon, dom, keep = url_gate_arrays(t["url"], _ray.get(blocked_ref))
         return pa.table(
             {
                 "doc_id": t["doc_id"],

@@ -157,3 +157,53 @@ def test_unparseable_urls_fail_the_gate_not_the_dedup(ray_session):
     # raw string is the fallback group key: rows keep a non-null canon
     assert out["url_canon"].notna().all()
     assert out.loc[1, "is_canonical"] and not out.loc[2, "is_canonical"]
+
+
+def test_gate_chain_robots_branch_precedence(ray_session):
+    """q97 semantics on the fused path: robots_blocked precedes every
+    curation stage, robots gates the CANONICAL url (tracking params /
+    explicit default port must not defeat a path rule), and kept
+    implies every gate passed."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.curation import gate_chain
+
+    # varied words: repeated-token text would fail the repetition gate
+    good = " ".join(f"word{i}" for i in range(60))
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [good, good + "x", good + "y", good + "z"],
+            "url": [
+                # noise forms of a robots-disallowed path: the rule
+                # 'Disallow: /private/' must still match after canon
+                "https://a.com:443/private/p?utm_source=x",
+                "https://WWW.a.com/private//q",
+                "https://a.com/open/r",
+                "https://b.com/anything",  # no robots for b.com -> allowed
+            ],
+        }
+    )
+    robots = {"a.com": "User-Agent: *\nDisallow: /private/\n"}
+    out = (
+        gate_chain(
+            rd.from_pandas(df),
+            blocked_domains=["b.com"],
+            robots_map=robots,
+            gopher_kwargs={"min_stop_distinct": 0, "min_words": 5},
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["robots_allowed"].tolist() == [0, 0, 1, 1]
+    # robots_blocked wins over url_blocked (doc 3 is BOTH robots-allowed
+    # and blocklisted -> url_blocked; docs 0/1 robots-blocked)
+    assert out["drop_stage"].tolist()[:2] == ["robots_blocked"] * 2
+    assert out.loc[3, "drop_stage"] == "url_blocked"
+    kept = out[out["keep"] == 1]
+    assert (
+        (kept[["robots_allowed", "keep_url", "url_canonical", "pass_gopher",
+               "pass_repetition", "text_canonical"]] == 1).all().all()
+    )
+    assert out.loc[2, "keep"] == 1
