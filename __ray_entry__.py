@@ -4585,13 +4585,16 @@ lines AS (
   FROM tok GROUP BY doc_id, wi // 8
 ),
 units AS (
-  SELECT doc_id, 2 * ln AS ord, 'line' AS kind, CAST(nw AS BIGINT) AS cost
+  SELECT doc_id, 2 * ln AS ord, 'line' AS kind, CAST(nw AS BIGINT) AS cost,
+         '' AS ref
   FROM lines
   UNION ALL
-  SELECT doc_id, 2 * ln + 1, 'image', 4 FROM lines WHERE ln % 3 = 2
+  SELECT doc_id, 2 * ln + 1, 'image', 4,
+         'img://' || doc_id || '/' || ln
+  FROM lines WHERE ln % 3 = 2
 ),
 w AS (
-  SELECT doc_id, kind, cost,
+  SELECT doc_id, kind, cost, ord, ref,
          (SUM(cost) OVER (PARTITION BY doc_id ORDER BY ord
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cost) // 32
            AS window_id
@@ -4604,7 +4607,9 @@ SELECT doc_id,
          AS n_text_tokens,
        CAST(SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_media,
-       CAST(SUM(cost) AS BIGINT) AS n_tokens
+       CAST(SUM(cost) AS BIGINT) AS n_tokens,
+       COALESCE(string_agg(ref, ',' ORDER BY ord)
+                FILTER (WHERE kind = 'image'), '') AS media_refs
 FROM w GROUP BY doc_id, window_id
 """
     # q97 wraps the ENTIRE q88 oracle and composes the

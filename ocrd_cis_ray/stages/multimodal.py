@@ -291,7 +291,9 @@ def window_interleaved_docs(
     One zero-shuffle ``map_batches``: every unit of a document derives
     from that document's single input row, so the whole stage is
     batch-local and streams at any scale. Output: one row per
-    (doc, window) with unit/text-token/media counts.
+    (doc, window) with unit/text-token/media counts plus the ordered
+    ``media_refs`` manifest (comma-joined ``img://doc/line`` ids) — the
+    dataloader contract: which media a window needs, in stream order.
     """
     W, LW, ME, MC = int(window_tokens), int(line_words), int(media_every), int(media_cost)
 
@@ -321,7 +323,16 @@ def window_interleaved_docs(
             np.where(ln == (n_lines[doc_idx] - 1), last_cost[doc_idx], LW),
         )
         win = window_offsets(doc_idx, costs, W)
-        g = pd.DataFrame(
+        id_vals = t[id_col].to_numpy(zero_copy_only=False)
+        # ordered media manifest: image units already sit in stream
+        # order, so a per-(doc,window) join of their refs is exact
+        refs = np.full(total, "", dtype=object)
+        if is_img.any():
+            iw = np.where(is_img)[0]
+            refs[iw] = [
+                f"img://{id_vals[doc_idx[j]]}/{ln[j]}" for j in iw
+            ]
+        frame = pd.DataFrame(
             {
                 "__d": doc_idx,
                 "window_id": win,
@@ -329,8 +340,16 @@ def window_interleaved_docs(
                 "n_text_tokens": np.where(is_img, 0, costs),
                 "n_media": is_img.astype(np.int64),
                 "n_tokens": costs,
+                "__ref": refs,
             }
-        ).groupby(["__d", "window_id"], sort=False, as_index=False).sum()
+        )
+        g = frame.groupby(["__d", "window_id"], sort=False, as_index=False).agg(
+            n_units=("n_units", "sum"),
+            n_text_tokens=("n_text_tokens", "sum"),
+            n_media=("n_media", "sum"),
+            n_tokens=("n_tokens", "sum"),
+            media_refs=("__ref", lambda s: ",".join(x for x in s if x)),
+        )
         ids = t[id_col].take(pa.array(g["__d"].to_numpy()))
         return pa.table(
             {
@@ -342,6 +361,9 @@ def window_interleaved_docs(
                 ),
                 "n_media": pa.array(g["n_media"].to_numpy().astype(np.int64)),
                 "n_tokens": pa.array(g["n_tokens"].to_numpy().astype(np.int64)),
+                "media_refs": pa.array(
+                    g["media_refs"].to_numpy(dtype=object), pa.string()
+                ),
             }
         )
 

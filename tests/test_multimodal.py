@@ -357,3 +357,18 @@ def test_window_interleaved_docs_units_and_conservation(ray_session):
     # costs 8,8,8,4,8,8,8,4,8,8,6,4 at offsets 0,8,16,24,28,36,44,52,
     # 56,64,72,78 -> windows 0,0,0,0,0,1,1,1,1,2,2,2
     assert d1["n_units"].tolist() == [5, 4, 3]
+    # media manifest: ordered refs, one per image slot (after lines 2,5,8)
+    assert d0.iloc[0]["media_refs"] == "img://0/2"
+    assert sorted(",".join(d1["media_refs"]).split(",")) == [
+        "img://1/2", "img://1/5", "img://1/8"
+    ]
+
+    # one huge window holds ALL of a doc's images in stream order
+    wide = (
+        window_interleaved_docs(rd.from_pandas(df), window_tokens=10_000)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert wide.loc[1, "media_refs"] == "img://1/2,img://1/5,img://1/8"
+    assert wide.loc[1, "n_media"] == 3
