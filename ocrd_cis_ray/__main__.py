@@ -43,6 +43,10 @@ def main(argv=None):
     chain.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     chain.add_argument("--concurrency", type=int, default=4)
     chain.add_argument("--num-cpus", type=int, default=8)
+    chain.add_argument(
+        "-o", "--output", default=None,
+        help="optional corrected-corpus output dir (partitioned parquet + per-partition manifest; killed runs resume)",
+    )
 
     cut = sub.add_parser("cut", help="export (line image, GT text) training pairs as resumable parquet (ocrd-cis-cutter analog)")
     cut.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -120,8 +124,12 @@ def main(argv=None):
         elif args.cmd == "ocr-chain":
             from .pipelines.ocr_chain import run_ocr_chain
 
-            out = run_ocr_chain(args.sf_dir, concurrency=args.concurrency)
+            out = run_ocr_chain(
+                args.sf_dir, concurrency=args.concurrency, out_dir=args.output
+            )
             print(out.to_json(orient="records"))
+            if "write" in out.attrs:
+                print(json.dumps(out.attrs["write"]))
         elif args.cmd == "cut":
             from .pipelines.cutter import cut_training_lines
 

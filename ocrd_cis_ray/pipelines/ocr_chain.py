@@ -466,7 +466,13 @@ def _cer_reduce(partials, stage: str) -> pd.DataFrame:
     return out
 
 
-def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
+def run_ocr_chain(
+    sf_dir: str,
+    *,
+    concurrency: int = 4,
+    rebalance: bool = True,
+    out_dir: str | None = None,
+):
     """Full chain; returns a summary frame
     (stage, source, char_errors, gt_chars, char_error_rate) with one
     'raw' row per OCR source and one 'postcorrected' row for OCR-2
@@ -619,6 +625,19 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
             num_cpus=0.5,
         )
 
+        write_stats = None
+        if out_dir is not None:
+            # the corrected corpus is a STAGE OUTPUT (north_rule: every
+            # stage per-partition manifested); materialize the text-only
+            # lines once so the sink and the CER reduce share one
+            # execution of the corrector pool
+            from ..state.manifest import write_resumable
+
+            fixed = fixed.materialize()
+            write_stats = write_resumable(
+                fixed, out_dir, key="doc_id", stage="postcorrect"
+            )
+
         def fixed_wide(t: pa.Table) -> pa.Table:
             return pa.table({"OCR-2": t["corrected_text"], "GT": t["GT"]})
 
@@ -643,4 +662,6 @@ def run_ocr_chain(sf_dir: str, *, concurrency: int = 4, rebalance: bool = True):
     ]
     if rb_stats is not None:
         out.attrs["rebalance"] = rb_stats  # surfaced by bench.py
+    if write_stats is not None:
+        out.attrs["write"] = write_stats
     return out

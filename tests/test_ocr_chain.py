@@ -44,3 +44,29 @@ def test_chain_deterministic(ray_session, sf_dir, chain_result):
     a = chain_result.sort_values(["stage", "source"]).reset_index(drop=True)
     b = again.sort_values(["stage", "source"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_chain_writes_resumable_corrected_corpus(ray_session, sf_dir, tmp_path):
+    import json
+    import os
+
+    out_dir = str(tmp_path / "corrected")
+    res = run_ocr_chain(sf_dir, concurrency=2, out_dir=out_dir)
+    stats = res.attrs["write"]
+    assert stats["completed"] > 0 and stats["skipped"] == 0
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    assert total == stats["rows"] > 0
+    # rerun resumes: every partition already committed -> nothing rewritten
+    res2 = run_ocr_chain(sf_dir, concurrency=2, out_dir=out_dir)
+    st2 = res2.attrs["write"]
+    assert st2["completed"] == 0 and st2["skipped"] == stats["completed"]
+    assert st2["rows"] == stats["rows"]
+    # manifest sanity: one json per partition, carrying the stage tag
+    mdir = os.path.join(out_dir, "_manifest")
+    recs = [json.load(open(os.path.join(mdir, f))) for f in os.listdir(mdir)]
+    assert recs and all(r.get("stage") == "postcorrect" for r in recs)
