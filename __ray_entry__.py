@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 106 queries, 89 oracle-checked; the driver
+driver's rows-only check. 107 queries, 89 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -653,6 +653,40 @@ def q39_chunk_documents(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return chunk_documents(ds, chunk_tokens=32)
+
+
+def q107_ann_pq(sf_dir: str):
+    """PQ/ADC approximate top-5 for query vectors vec_id < 10 — the
+    MEMORY-bound ANN scale path (Jégou et al. 2011): 16 uint8 codes
+    per 64-dim vector (16x vs float32), codebooks trained on a bounded
+    sample, the (q, m, ksub) distance LUT broadcast once, per-block
+    scoring = m table lookups per (query, row). Rows-only (recall is
+    approximate by design; pytest bounds recall@5 and exact-top-20
+    containment vs the exact q40)."""
+    from ocrd_cis_ray.stages.similarity import pq_topk
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtbl = qtbl.filter(pc.less(qtbl["vec_id"], 10))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = pq_topk(
+        ds,
+        qtbl["vec_id"].to_pylist(),
+        np.stack([np.asarray(v, dtype=np.float64) for v in qtbl["embedding"].to_pylist()]),
+        k=5,
+        m=16,
+        ksub=64,
+    )
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "query_id": b["query_id"].astype("int64"),
+                "neighbor_id": b["neighbor_id"].astype("int64"),
+                "rank": b["rank"].astype("int32"),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pandas")
 
 
 def q42_pack_sequences(sf_dir: str):
@@ -3024,6 +3058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q32_minhash_pairs": q32_minhash_pairs,
         "q33_simhash": q33_simhash,
         "q41_ann_ivf": q41_ann_ivf,
+        "q107_ann_pq": q107_ann_pq,
         "q42_pack_sequences": q42_pack_sequences,
         "q54_semdedup": q54_semdedup,
         "q55_bpe_train_encode": q55_bpe_train_encode,

@@ -405,3 +405,143 @@ def semdedup(ds, *, k: int = 8, n_iter: int = 8, threshold: float = 0.95, id_col
         )
 
     return bucketed_groupby(joined, "cluster", dedup_cluster, whole_bucket=True)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): the memory-bound ANN scale path
+
+
+class PQCodebooks:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    (normalized) vector into ``m`` subspaces and k-means each to
+    ``ksub`` centroids; a vector becomes ``m`` uint8 codes — 32x
+    compression of a float32 embedding at m=dim/4, which is what makes
+    a 100-TB embedding corpus resident at all. Trained driver-local on
+    a bounded sample with seeded Lloyd iterations (the codebook IS the
+    model — the IVFIndex/sample-bound convention)."""
+
+    def __init__(self, sample: np.ndarray, m: int = 4, ksub: int = 16, iters: int = 12, seed: int = 42):
+        sample = _normalize(np.asarray(sample, dtype=np.float64))
+        n, dim = sample.shape
+        if dim % m:
+            raise ValueError(f"PQ: dim {dim} not divisible by m={m}")
+        self.m, self.ksub, self.dsub = int(m), int(ksub), dim // int(m)
+        rng = np.random.default_rng(seed)
+        self.books = np.zeros((self.m, self.ksub, self.dsub))
+        for j in range(self.m):
+            sub = sample[:, j * self.dsub : (j + 1) * self.dsub]
+            cent = sub[rng.choice(n, size=self.ksub, replace=n < self.ksub)].copy()
+            for _ in range(iters):
+                d = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+                assign = d.argmin(1)
+                for c in range(self.ksub):
+                    pts = sub[assign == c]
+                    if len(pts):
+                        cent[c] = pts.mean(0)
+            self.books[j] = cent
+
+    def encode(self, mat: np.ndarray) -> np.ndarray:
+        """(n, dim) normalized -> (n, m) uint8 codes."""
+        codes = np.empty((len(mat), self.m), np.uint8)
+        for j in range(self.m):
+            sub = mat[:, j * self.dsub : (j + 1) * self.dsub]
+            d = ((sub[:, None, :] - self.books[j][None]) ** 2).sum(-1)
+            codes[:, j] = d.argmin(1)
+        return codes
+
+    def lut(self, qmat: np.ndarray) -> np.ndarray:
+        """(q, m, ksub) table of per-subspace squared L2 partials —
+        the ADC trick: query-to-code distance becomes m table lookups
+        instead of a dim-length dot product."""
+        out = np.empty((len(qmat), self.m, self.ksub))
+        for j in range(self.m):
+            qs = qmat[:, j * self.dsub : (j + 1) * self.dsub]
+            out[:, j, :] = ((qs[:, None, :] - self.books[j][None]) ** 2).sum(-1)
+        return out
+
+
+def pq_encode(ds, codebooks: PQCodebooks, *, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Materializable code table: (id, code: list<uint8>) — one
+    stateless vectorized pass; the stored index for repeated queries
+    (m bytes/vector vs 4·dim for float32)."""
+    import ray
+
+    ref = ray.put(codebooks)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        pq_ = ray.get(ref)
+        mat = _normalize(_mat_from_arrow(batch[vec_col]))
+        codes = pq_.encode(mat)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "code": pa.array(list(codes), pa.list_(pa.uint8())),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk(
+    ds,
+    query_ids,
+    query_mat: np.ndarray,
+    *,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    seed: int = 42,
+    exclude_self: bool = True,
+):
+    """PQ/ADC approximate top-k: codebooks train on a bounded sample,
+    the (q, m, ksub) distance LUT is built ONCE on the driver and
+    broadcast, and each block scores its rows with m table lookups per
+    (query, row) — no full-dimension matmul, no shuffle of vectors
+    (only block-local top-k candidate rows move, the brute_topk
+    pattern). On normalized vectors squared-L2 ranking equals cosine
+    ranking, so recall is measured directly against ``brute_topk``."""
+    import ray
+
+    sample = _as_matrix(pd.DataFrame(ds.take(sample_size))[vec_col])
+    pq_ = PQCodebooks(sample, m=m, ksub=ksub, seed=seed)
+    qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
+    lut = pq_.lut(qmat)
+    ref = ray.put((np.asarray(query_ids), lut, pq_))
+
+    def block_candidates(batch: pa.Table) -> pd.DataFrame:
+        qids, lut_, pqc = ray.get(ref)
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        mat = _normalize(_mat_from_arrow(batch[vec_col]))
+        codes = pqc.encode(mat)
+        dist = np.zeros((len(qids), len(ids)))
+        for j in range(pqc.m):
+            dist += lut_[:, j, codes[:, j]]
+        top = min(k + 1, dist.shape[1])
+        if top == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "dist": []})
+        rows_idx = np.empty((len(qids), top), np.int64)
+        for qi in range(len(qids)):
+            rows_idx[qi] = np.lexsort((ids, dist[qi]))[:top]
+        df = pd.DataFrame(
+            {
+                "query_id": np.repeat(np.asarray(qids), top),
+                "neighbor_id": ids[rows_idx.ravel()],
+                "dist": np.take_along_axis(dist, rows_idx, axis=1).ravel(),
+            }
+        )
+        if exclude_self:
+            df = df[df["query_id"] != df["neighbor_id"]]
+        return df
+
+    cands = ds.map_batches(block_candidates, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist", "neighbor_id"], ascending=[True, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return cands.groupby("query_id").map_groups(final_topk, batch_format="pandas")

@@ -209,3 +209,48 @@ def test_dup_clusters_small_gate_parity(ray_session):
     )
     pd.testing.assert_frame_equal(small, dist, check_dtype=False)
     assert dict(zip(small["doc_id"], small["cluster"]))["d11"] == "d01"
+
+
+def test_pq_recall_vs_brute_and_encode_table(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.similarity import (
+        PQCodebooks,
+        brute_topk,
+        pq_encode,
+        pq_topk,
+    )
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qids = qtbl["vec_id"].to_pylist()[:5]
+    qmat = np.stack([np.asarray(v, np.float64) for v in qtbl["embedding"].to_pylist()[:5]])
+
+    def pairs(df):
+        return set(zip(df["query_id"].astype(int), df["neighbor_id"].astype(int)))
+
+    ds1 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = pairs(brute_topk(ds1, qids, qmat, k=5).to_pandas())
+    ds2 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    approx = pairs(pq_topk(ds2, qids, qmat, k=5, m=16, ksub=64).to_pandas())
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, recall  # 16x-compressed codes trade recall for memory
+    # quality under near-ties: approx neighbors should sit in exact top-20
+    ds2b = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact20 = pairs(brute_topk(ds2b, qids, qmat, k=20).to_pandas())
+    ds2c = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    approx2 = pairs(pq_topk(ds2c, qids, qmat, k=5, m=16, ksub=64).to_pandas())
+    assert len(exact20 & approx2) / len(approx2) >= 0.8
+
+    # layout invariance of the code table + compression arithmetic
+    ds3 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sample = np.stack([np.asarray(v, np.float64) for v in qtbl["embedding"].to_pylist()[:256]])
+    books = PQCodebooks(sample, m=16, ksub=32, seed=7)
+    t1 = pq_encode(ds3, books).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    t2 = (
+        pq_encode(ds3.repartition(7), books)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert t1["vec_id"].tolist() == t2["vec_id"].tolist()
+    assert [list(a) for a in t1["code"]] == [list(a) for a in t2["code"]]
+    assert all(len(c) == 16 for c in t1["code"])  # m bytes per vector
