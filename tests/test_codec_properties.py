@@ -150,3 +150,36 @@ def test_resolve_href_matches_stdlib_urljoin(base, href):
 
     want = urldefrag(urljoin(base, href)).url
     assert resolve_href(base, href) == want
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 9), st.integers(1, 12)),  # (units, max cost)
+        min_size=0,
+        max_size=12,
+    ),
+    st.integers(2, 40),
+)
+def test_window_offsets_equals_sequential_scan(doc_shapes, window):
+    """window_offsets (vectorized per-doc prefix sum with resets) ==
+    the obvious sequential scan, for arbitrary doc/unit/cost shapes."""
+    import numpy as np
+
+    from ocrd_cis_ray.stages.multimodal import window_offsets
+
+    doc_idx, costs = [], []
+    for d, (units, maxc) in enumerate(doc_shapes):
+        for u in range(units):
+            doc_idx.append(d)
+            costs.append((u * 7 + d) % maxc + 1)
+    doc_idx = np.asarray(doc_idx, dtype=np.int64)
+    costs = np.asarray(costs, dtype=np.int64)
+    got = window_offsets(doc_idx, costs, window).tolist()
+    ref, off, prev = [], 0, None
+    for d, c in zip(doc_idx, costs):
+        if d != prev:
+            off, prev = 0, d
+        ref.append(off // window)
+        off += c
+    assert got == ref

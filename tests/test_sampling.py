@@ -300,3 +300,36 @@ def test_mixture_sample_matches_brute_force_and_respects_budget(ray_session):
     assert (got["source"] == "c").sum() == (df["source"] == "c").sum()
     # abundant low-weight source is subsampled
     assert (got["source"] == "a").sum() < (df["source"] == "a").sum()
+
+
+def test_grouped_ntile_property(ray_session):
+    """Randomized parity sweep: many (group count, tie density, k)
+    shapes against the brute NTILE, one ray session."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.sampling import grouped_ntile
+
+    rng = np.random.default_rng(23)
+    for trial in range(6):
+        n = int(rng.integers(1, 400))
+        n_groups = int(rng.integers(1, 6))
+        score_range = int(rng.integers(1, 8))  # brutal tie density
+        k = int(rng.integers(1, 6))
+        df = pd.DataFrame(
+            {
+                "doc_id": rng.permutation(np.arange(n, dtype=np.int64) * 7 + 3),
+                "lang": rng.choice([f"g{i}" for i in range(n_groups)], n),
+                "score": rng.integers(0, score_range, n).astype(np.int64),
+            }
+        )
+        got = (
+            grouped_ntile(
+                rd.from_pandas(df).repartition(int(rng.integers(1, 9))),
+                n_tiles=k, group="lang", score_col="score", id_col="doc_id",
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        ref = _brute_ntile(df, k)
+        assert (got["tier"].to_numpy() == ref["tier"].to_numpy()).all(), (
+            trial, n, n_groups, score_range, k,
+        )
