@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 107 queries, 89 oracle-checked; the driver
+driver's rows-only check. 108 queries, 90 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -920,6 +920,47 @@ def q106_data_mixture(sf_dir: str):
         weights=lambda s: 2.0 if int(s[3:]) % 2 == 1 else 1.0,
         budget_fraction=0.5,
     )
+
+
+def q108_fetch_schedule(sf_dir: str):
+    """Politeness-aware fetch scheduling over the crawl frontier — the
+    step between discovery (q101) and the next fetch round: frontier
+    URLs group by host, rank by (n_refs DESC, url) within the host,
+    and each slot is offset by the host's crawl delay (structural
+    rule: len(host) % 3 + 1 seconds — the synthesizer analog of a
+    robots Crawl-delay). One bucketed host exchange over the ALREADY
+    tiny frontier; the rank is a vectorized per-bucket sort + cumcount.
+    Oracle nests the full q101 SQL and applies the same window."""
+    import pandas as _pd
+
+    from ocrd_cis_ray.shuffle import bucketed_groupby
+    from ocrd_cis_ray.stages.urlfilter import url_domain
+
+    frontier = q101_crawl_frontier(sf_dir)
+
+    def add_host(t: pa.Table) -> pa.Table:
+        host = pc.utf8_lower(pc.fill_null(url_domain(t["url"]), ""))
+        return t.append_column("host", host)
+
+    withhost = frontier.map_batches(add_host, batch_format="pyarrow")
+
+    def schedule(df: _pd.DataFrame) -> _pd.DataFrame:
+        df = df.sort_values(
+            ["n_refs", "url"], ascending=[False, True], kind="mergesort"
+        )
+        slot = df.groupby("host", sort=False).cumcount().to_numpy()
+        delay = df["host"].str.len().to_numpy() % 3 + 1
+        return _pd.DataFrame(
+            {
+                "url": df["url"].to_numpy(),
+                "n_refs": df["n_refs"].to_numpy().astype("int64"),
+                "host": df["host"].to_numpy(),
+                "slot": slot.astype("int64"),
+                "fetch_offset_s": (slot * delay).astype("int64"),
+            }
+        )
+
+    return bucketed_groupby(withhost, "host", schedule, whole_bucket=True)
 
 
 def q58_revenue_by_nation(sf_dir: str):
@@ -2974,6 +3015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q104_quality_tiers": q104_quality_tiers,
         "q105_interleaved_windows": q105_interleaved_windows,
         "q106_data_mixture": q106_data_mixture,
+        "q108_fetch_schedule": q108_fetch_schedule,
         "q83_pdf_extract": q83_pdf_extract,
         "q89_cdx_index": q89_cdx_index,
         "q90_host_stats": q90_host_stats,
@@ -4587,6 +4629,26 @@ SELECT doc_id, lang,
        ) AS BIGINT) AS tier
 FROM documents
 """
+    # q108 nests the ENTIRE q101 frontier SQL and applies the same
+    # per-host politeness window the engine computes in one bucketed
+    # exchange
+    d["q108_fetch_schedule"] = (
+        "WITH f AS (" + d["q101_crawl_frontier"] + """)
+, h AS (
+  SELECT url, n_refs,
+         lower(regexp_extract(url, '^[a-z0-9+.-]+://([^/?:]+)', 1)) AS host
+  FROM f
+)
+SELECT url, n_refs, host,
+       CAST(row_number() OVER (
+          PARTITION BY host ORDER BY n_refs DESC, url) - 1 AS BIGINT)
+         AS slot,
+       CAST((length(host) % 3 + 1) * (row_number() OVER (
+          PARTITION BY host ORDER BY n_refs DESC, url) - 1) AS BIGINT)
+         AS fetch_offset_s
+FROM h
+"""
+    )
     d["q106_data_mixture"] = """
 WITH t AS (
   SELECT doc_id, source,

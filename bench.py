@@ -196,6 +196,8 @@ def run_bench() -> dict:
         "q104_quality_tiers",
         "q105_interleaved_windows",
         "q106_data_mixture",
+        "q107_ann_pq",
+        "q108_fetch_schedule",
     ):
         fn = Q[name]
 

@@ -466,14 +466,26 @@ def mixture_sample(
         ).groupby(source_col, sort=False, as_index=False)["tok"].sum()
 
     # the partial stream is blocks x mixture-arity rows — tiny; 8
-    # buckets is plenty at any corpus scale
-    counts = bucketed_aggregate(
-        ds.map_batches(tok_partial, batch_format="pyarrow"),
-        source_col,
-        {"tok": ("tok", "sum")},
-        combine=True,
-        num_buckets=8,
-    ).to_pandas()
+    # buckets is plenty at any corpus scale. The collect is bounded
+    # BEFORE it reaches the driver (limit, then raise): a mixture over
+    # a high-cardinality column is a misuse, not an OOM.
+    arity_ceiling = 100_000
+    counts = (
+        bucketed_aggregate(
+            ds.map_batches(tok_partial, batch_format="pyarrow"),
+            source_col,
+            {"tok": ("tok", "sum")},
+            combine=True,
+            num_buckets=8,
+        )
+        .limit(arity_ceiling + 1)
+        .to_pandas()
+    )
+    if len(counts) > arity_ceiling:
+        raise ValueError(
+            f"mixture_sample: over {arity_ceiling} distinct sources — "
+            f"'{source_col}' is not a mixture key"
+        )
 
     total = float(counts["tok"].sum())
     budget = (
