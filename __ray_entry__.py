@@ -677,16 +677,7 @@ def q107_ann_pq(sf_dir: str):
         ksub=64,
     )
 
-    def cast(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "query_id": b["query_id"].astype("int64"),
-                "neighbor_id": b["neighbor_id"].astype("int64"),
-                "rank": b["rank"].astype("int32"),
-            }
-        )
-
-    return out.map_batches(cast, batch_format="pandas")
+    return out.map_batches(_ann_cast, batch_format="pandas")
 
 
 def q42_pack_sequences(sf_dir: str):
@@ -2163,6 +2154,18 @@ def q35_dup_clusters(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def _ann_cast(b: pd.DataFrame) -> pd.DataFrame:
+    """The shared ANN output contract: (query_id:int64, neighbor_id:int64,
+    rank:int32) — one definition for q40/q41/q107."""
+    return pd.DataFrame(
+        {
+            "query_id": b["query_id"].astype("int64"),
+            "neighbor_id": b["neighbor_id"].astype("int64"),
+            "rank": b["rank"].astype("int32"),
+        }
+    )
+
+
 def q40_ann_topk(sf_dir: str):
     """Exact cosine top-5 for query vectors vec_id < 10 (rank only)."""
     from ocrd_cis_ray.stages.similarity import brute_topk
@@ -2178,16 +2181,7 @@ def q40_ann_topk(sf_dir: str):
         k=5,
     )
 
-    def cast(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "query_id": b["query_id"].astype("int64"),
-                "neighbor_id": b["neighbor_id"].astype("int64"),
-                "rank": b["rank"].astype("int32"),
-            }
-        )
-
-    return out.map_batches(cast, batch_format="pandas")
+    return out.map_batches(_ann_cast, batch_format="pandas")
 
 
 def q41_ann_ivf(sf_dir: str):
@@ -2208,16 +2202,7 @@ def q41_ann_ivf(sf_dir: str):
         nprobe=4,
     )
 
-    def cast(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "query_id": b["query_id"].astype("int64"),
-                "neighbor_id": b["neighbor_id"].astype("int64"),
-                "rank": b["rank"].astype("int32"),
-            }
-        )
-
-    return out.map_batches(cast, batch_format="pandas")
+    return out.map_batches(_ann_cast, batch_format="pandas")
 
 
 def q36_dedup_keep(sf_dir: str):
@@ -3051,8 +3036,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_quality": q21_quality,
         "q22_langid": q22_langid,
         "q25_bpe_token_count": q25_bpe_token_count,
-        "q26_token_freq_quality": q26_token_freq_quality,
         # ---------------- 50-query window boundary -------------------
+        "q26_token_freq_quality": q26_token_freq_quality,
         "q27_redact": q27_redact,
         # -- oracle-backed, green in past rounds (parked past the
         #    window; their multi-round rows stand) --------------------

@@ -356,10 +356,10 @@ def _gate_chain(ds, **p):
 @register_stage(
     "pq_encode",
     defaults={"m": 16, "ksub": 64, "sample_size": 2048, "seed": 42},
+    allowed=("vec_col", "id_col"),
     description="product-quantization code table: (id, m uint8 codes) — 16x embedding compression, codebooks trained on a bounded sample",
 )
 def _pq_encode(ds, **p):
-    import numpy as np
     import pandas as pd
 
     from .stages.similarity import PQCodebooks, _as_matrix, pq_encode
@@ -368,6 +368,9 @@ def _pq_encode(ds, **p):
     seed = p.pop("seed")
     m, ksub = p.pop("m"), p.pop("ksub")
     vec_col = p.get("vec_col", "embedding")
-    sample = _as_matrix(pd.DataFrame(ds.take(sample_size))[vec_col])
+    rows = ds.take(sample_size)
+    if not rows:
+        raise ValueError("pq_encode: empty input — no rows to train codebooks on")
+    sample = _as_matrix(pd.DataFrame(rows)[vec_col])
     books = PQCodebooks(sample, m=m, ksub=ksub, seed=seed)
     return pq_encode(ds, books, **p)

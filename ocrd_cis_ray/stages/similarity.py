@@ -414,7 +414,7 @@ def semdedup(ds, *, k: int = 8, n_iter: int = 8, threshold: float = 0.95, id_col
 class PQCodebooks:
     """Product-quantization codebooks (Jégou et al. 2011): split the
     (normalized) vector into ``m`` subspaces and k-means each to
-    ``ksub`` centroids; a vector becomes ``m`` uint8 codes — 32x
+    ``ksub`` centroids; a vector becomes ``m`` uint8 codes — 16x
     compression of a float32 embedding at m=dim/4, which is what makes
     a 100-TB embedding corpus resident at all. Trained driver-local on
     a bounded sample with seeded Lloyd iterations (the codebook IS the
@@ -422,6 +422,8 @@ class PQCodebooks:
 
     def __init__(self, sample: np.ndarray, m: int = 4, ksub: int = 16, iters: int = 12, seed: int = 42):
         sample = _normalize(np.asarray(sample, dtype=np.float64))
+        if sample.ndim != 2 or len(sample) == 0:
+            raise ValueError("PQ: empty sample — no rows to train codebooks on")
         n, dim = sample.shape
         if dim % m:
             raise ValueError(f"PQ: dim {dim} not divisible by m={m}")

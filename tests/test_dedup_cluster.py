@@ -238,9 +238,9 @@ def test_pq_recall_vs_brute_and_encode_table(ray_session, sf_dir):
     # quality under near-ties: approx neighbors should sit in exact top-20
     ds2b = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     exact20 = pairs(brute_topk(ds2b, qids, qmat, k=20).to_pandas())
-    ds2c = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    approx2 = pairs(pq_topk(ds2c, qids, qmat, k=5, m=16, ksub=64).to_pandas())
-    assert len(exact20 & approx2) / len(approx2) >= 0.8
+    # pq_topk is fully deterministic (seeded codebooks, (dist, id)
+    # tie-break), so the approx set already in hand is the one to bound
+    assert len(exact20 & approx) / len(approx) >= 0.8
 
     # layout invariance of the code table + compression arithmetic
     ds3 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
