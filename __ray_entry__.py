@@ -6,7 +6,7 @@ ANSI-SQL equivalent DuckDB runs on the same tables. Column names AND
 types match between the two (the driver hashes values after sorting
 columns by name). Entries without oracle SQL (alignment word level,
 sketch dedup, fingerprints, ANN recall, media payloads) get the
-driver's rows-only check. 108 queries, 90 oracle-checked; the driver
+driver's rows-only check. 109 queries, 91 oracle-checked; the driver
 verifies only the FIRST 50 dict entries, so ``queries()`` keeps
 oracle-backed entries in the window and rows-only entries last (see
 its docstring).
@@ -952,6 +952,32 @@ def q108_fetch_schedule(sf_dir: str):
         )
 
     return bucketed_groupby(withhost, "host", schedule, whole_bucket=True)
+
+
+def q109_length_percentiles(sf_dir: str):
+    """Exact per-language token-length percentiles (p50/p90/p99) — the
+    corpus-profiling primitive — computed from the grouped score CDF
+    (`sampling.grouped_percentiles`): ONE map-side-combined
+    (lang, n_tokens, count) exchange, no sort, no data shuffle; the
+    answer falls out of the per-group CDF on the driver. Discrete
+    lower-quantile semantics (score at rank ceil(p*n)), reproduced in
+    the oracle as MIN(CASE WHEN rn >= ceil(p*n) ...)."""
+    from ocrd_cis_ray.stages.sampling import grouped_percentiles
+
+    ds = _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t["lang"],
+                "n_tokens": pc.cast(
+                    pc.add(pc.count_substring(t["text"], " "), 1), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_percentiles(
+        ds, ps=(0.5, 0.9, 0.99), group="lang", score_col="n_tokens"
+    )
 
 
 def q58_revenue_by_nation(sf_dir: str):
@@ -3001,6 +3027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q105_interleaved_windows": q105_interleaved_windows,
         "q106_data_mixture": q106_data_mixture,
         "q108_fetch_schedule": q108_fetch_schedule,
+        "q109_length_percentiles": q109_length_percentiles,
         "q83_pdf_extract": q83_pdf_extract,
         "q89_cdx_index": q89_cdx_index,
         "q90_host_stats": q90_host_stats,
@@ -3035,8 +3062,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_extract_spans": q10_extract_spans,
         "q21_quality": q21_quality,
         "q22_langid": q22_langid,
-        "q25_bpe_token_count": q25_bpe_token_count,
         # ---------------- 50-query window boundary -------------------
+        "q25_bpe_token_count": q25_bpe_token_count,
         "q26_token_freq_quality": q26_token_freq_quality,
         "q27_redact": q27_redact,
         # -- oracle-backed, green in past rounds (parked past the
@@ -4634,6 +4661,24 @@ SELECT url, n_refs, host,
 FROM h
 """
     )
+    d["q109_length_percentiles"] = """
+WITH t AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS s
+  FROM documents
+),
+r AS (
+  SELECT lang, s,
+         row_number() OVER (PARTITION BY lang ORDER BY s) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM t
+)
+SELECT lang,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MIN(CASE WHEN rn >= ceil(0.5 * n) THEN s END) AS BIGINT) AS p50,
+       CAST(MIN(CASE WHEN rn >= ceil(0.9 * n) THEN s END) AS BIGINT) AS p90,
+       CAST(MIN(CASE WHEN rn >= ceil(0.99 * n) THEN s END) AS BIGINT) AS p99
+FROM r GROUP BY lang
+"""
     d["q106_data_mixture"] = """
 WITH t AS (
   SELECT doc_id, source,

@@ -198,6 +198,7 @@ def run_bench() -> dict:
         "q106_data_mixture",
         "q107_ann_pq",
         "q108_fetch_schedule",
+        "q109_length_percentiles",
     ):
         fn = Q[name]
 

@@ -374,3 +374,14 @@ def _pq_encode(ds, **p):
     sample = _as_matrix(pd.DataFrame(rows)[vec_col])
     books = PQCodebooks(sample, m=m, ksub=ksub, seed=seed)
     return pq_encode(ds, books, **p)
+
+
+@register_stage(
+    "grouped_percentiles",
+    defaults={"ps": (0.5, 0.9, 0.99), "group": "lang", "score_col": "score"},
+    description="exact per-group percentiles from one CDF exchange (no sort) — corpus profiling",
+)
+def _grouped_percentiles(ds, **p):
+    from .stages.sampling import grouped_percentiles
+
+    return grouped_percentiles(ds, **p)

@@ -137,6 +137,81 @@ def _ntile_boundary_ranks(n: int, k: int) -> np.ndarray:
     return np.cumsum(sizes)[:-1]
 
 
+def grouped_score_counts(
+    ds,
+    *,
+    group: str,
+    score_col: str,
+    pairs_ceiling: int = 5_000_000,
+) -> pd.DataFrame:
+    """ONE map-side-combined exchange reducing the corpus to a sorted
+    (group, score, n) CDF table on the driver — the shared substrate of
+    ``grouped_ntile`` and ``grouped_percentiles``. combine=True
+    pre-reduces each batch to its distinct pairs so the exchange moves
+    partials, not rows; 32 buckets keeps per-bucket frames bounded at
+    the ceiling; the collect is LIMIT-bounded BEFORE it reaches the
+    driver (raise, never OOM). Scores must be integers so cardinality
+    is bounded by the score range, not the corpus."""
+    from ocrd_cis_ray.shuffle import bucketed_aggregate
+
+    counts = (
+        bucketed_aggregate(
+            ds.map_batches(
+                lambda df: df[[group, score_col]], batch_format="pandas"
+            ),
+            [group, score_col],
+            {"n": (score_col, "size")},
+            combine=True,
+            num_buckets=32,
+        )
+        .limit(pairs_ceiling + 1)
+        .to_pandas()
+    )
+    if len(counts) > pairs_ceiling:
+        raise ValueError(
+            f"grouped_score_counts: over {pairs_ceiling} distinct "
+            f"(group, score) pairs (pairs_ceiling); quantize the score"
+        )
+    return counts.sort_values([group, score_col], kind="mergesort")
+
+
+def grouped_percentiles(
+    ds,
+    *,
+    ps=(0.5, 0.9, 0.99),
+    group: str = "lang",
+    score_col: str = "score",
+    pairs_ceiling: int = 5_000_000,
+):
+    """EXACT per-group percentiles without sorting the data — the
+    corpus-profiling primitive (per-source length/quality distribution
+    dashboards): percentile p = the score at rank ceil(p·n) in
+    (PARTITION BY group ORDER BY score) — discrete/lower quantile
+    semantics, reproducible in ANSI SQL as
+    ``MIN(CASE WHEN rn >= ceil(p*n) THEN score END)``.
+
+    One ``grouped_score_counts`` exchange; the answer falls out of the
+    per-group CDF on the driver. Returns a pandas DataFrame (one row
+    per group: n_docs + one int64 column per requested percentile)."""
+    import math
+
+    counts = grouped_score_counts(
+        ds, group=group, score_col=score_col, pairs_ceiling=pairs_ceiling
+    )
+    rows = []
+    for g, sub in counts.groupby(group, sort=True):
+        scores = sub[score_col].to_numpy()
+        cum = np.cumsum(sub["n"].to_numpy())
+        n = int(cum[-1])
+        rec = {group: g, "n_docs": np.int64(n)}
+        for p in ps:
+            rank = math.ceil(p * n)
+            i = int(np.searchsorted(cum, rank, side="left"))
+            rec[f"p{int(round(p * 100))}"] = np.int64(scores[i])
+        rows.append(rec)
+    return pd.DataFrame(rows)
+
+
 def grouped_ntile(
     ds,
     *,
@@ -179,34 +254,13 @@ def grouped_ntile(
     intermediate, not an expensive derivation. Scores must be int64;
     ids must be totally ordered (ints or strings).
     """
-    from ocrd_cis_ray.shuffle import bucketed_aggregate
-
     k = int(n_tiles)
     if k < 1:
         raise ValueError("n_tiles must be >= 1")
 
-    # combine=True pre-reduces each batch to its distinct pairs, so the
-    # exchange moves partials, not rows — 32 buckets keeps per-bucket
-    # frames bounded at the 5M-pair ceiling while avoiding 4xCPU tiny
-    # tasks on the (typically small) partial stream
-    counts = bucketed_aggregate(
-        ds.map_batches(
-            lambda df: df[[group, score_col]], batch_format="pandas"
-        ),
-        [group, score_col],
-        {"n": (score_col, "size")},
-        combine=True,
-        num_buckets=32,
-    ).limit(pairs_ceiling + 1).to_pandas()
-    # limit() bounds the collect BEFORE it reaches the driver: on a
-    # runaway score cardinality we pull ceiling+1 rows and raise, never
-    # the full pair set
-    if len(counts) > pairs_ceiling:
-        raise ValueError(
-            f"grouped_ntile: over {pairs_ceiling} distinct (group, score) "
-            f"pairs (pairs_ceiling); quantize the score"
-        )
-    counts = counts.sort_values([group, score_col], kind="mergesort")
+    counts = grouped_score_counts(
+        ds, group=group, score_col=score_col, pairs_ceiling=pairs_ceiling
+    )
 
     # Per-group boundary resolution against the score CDF. A boundary
     # record is (group, tile_index, score_cut, need_m): rows strictly

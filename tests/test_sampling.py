@@ -333,3 +333,36 @@ def test_grouped_ntile_property(ray_session):
         assert (got["tier"].to_numpy() == ref["tier"].to_numpy()).all(), (
             trial, n, n_groups, score_range, k,
         )
+
+
+def test_grouped_percentiles_matches_brute_force(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.sampling import grouped_percentiles
+
+    rng = np.random.default_rng(31)
+    n = 2500
+    df = pd.DataFrame(
+        {
+            "lang": rng.choice(["de", "en", "fr"], n, p=[0.6, 0.3, 0.1]),
+            "score": rng.integers(0, 200, n).astype(np.int64),
+        }
+    )
+    got = (
+        grouped_percentiles(
+            rd.from_pandas(df).repartition(11),
+            ps=(0.5, 0.9, 0.99),
+            group="lang",
+            score_col="score",
+        )
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        s = np.sort(df.loc[df["lang"] == row["lang"], "score"].to_numpy())
+        assert row["n_docs"] == len(s)
+        for p in (0.5, 0.9, 0.99):
+            # discrete lower quantile: value at rank ceil(p*n), 1-based
+            assert row[f"p{int(p * 100)}"] == s[math.ceil(p * len(s)) - 1]
