@@ -379,9 +379,14 @@ def _pq_encode(ds, **p):
 @register_stage(
     "grouped_percentiles",
     defaults={"ps": (0.5, 0.9, 0.99), "group": "lang", "score_col": "score"},
-    description="exact per-group percentiles from one CDF exchange (no sort) — corpus profiling",
+    description="exact per-group percentiles from one CDF exchange (no sort) — corpus profiling; TERMINAL: executes eagerly and yields the tiny summary as a new Dataset",
 )
 def _grouped_percentiles(ds, **p):
+    """Profiling is a reduction: the stage EXECUTES its input (unlike
+    the lazy transforms) and re-enters the pipeline as a from_pandas
+    Dataset of one row per group, keeping the (ds -> ds) contract."""
+    import ray.data as rd
+
     from .stages.sampling import grouped_percentiles
 
-    return grouped_percentiles(ds, **p)
+    return rd.from_pandas(grouped_percentiles(ds, **p))

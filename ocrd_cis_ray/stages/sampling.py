@@ -195,6 +195,15 @@ def grouped_percentiles(
     per group: n_docs + one int64 column per requested percentile)."""
     import math
 
+    names = [f"p{int(round(p * 100))}" for p in ps]
+    if any(not (0.0 < p <= 1.0) for p in ps):
+        raise ValueError(f"grouped_percentiles: ps must be in (0, 1], got {ps}")
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"grouped_percentiles: percentiles {ps} collide on column "
+            f"names {names}; use values that differ by >= 0.01"
+        )
+
     counts = grouped_score_counts(
         ds, group=group, score_col=score_col, pairs_ceiling=pairs_ceiling
     )
@@ -204,10 +213,10 @@ def grouped_percentiles(
         cum = np.cumsum(sub["n"].to_numpy())
         n = int(cum[-1])
         rec = {group: g, "n_docs": np.int64(n)}
-        for p in ps:
+        for p, name in zip(ps, names):
             rank = math.ceil(p * n)
             i = int(np.searchsorted(cum, rank, side="left"))
-            rec[f"p{int(round(p * 100))}"] = np.int64(scores[i])
+            rec[name] = np.int64(scores[i])
         rows.append(rec)
     return pd.DataFrame(rows)
 

@@ -366,3 +366,16 @@ def test_grouped_percentiles_matches_brute_force(ray_session):
         for p in (0.5, 0.9, 0.99):
             # discrete lower quantile: value at rank ceil(p*n), 1-based
             assert row[f"p{int(p * 100)}"] == s[math.ceil(p * len(s)) - 1]
+
+
+def test_grouped_percentiles_validates_ps(ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.sampling import grouped_percentiles
+
+    df = pd.DataFrame({"lang": ["en"], "score": np.array([1], dtype=np.int64)})
+    ds = rd.from_pandas(df)
+    with pytest.raises(ValueError, match="must be in"):
+        grouped_percentiles(ds, ps=(1.01,), group="lang", score_col="score")
+    with pytest.raises(ValueError, match="collide"):
+        grouped_percentiles(ds, ps=(0.9, 0.904), group="lang", score_col="score")
