@@ -3003,38 +3003,85 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """ORDER MATTERS: the grading driver checks only the FIRST 50
-    entries against the DuckDB oracle. Layout: (1) oracle-backed
-    queries never driver-checked or last checked in an old round go
-    first, (2) current-round-green oracle queries fill the window,
-    (3) oracle queries green in multiple past rounds sit just past 50,
-    (4) rows-only / no-oracle queries go last (they can never produce
-    a hash match and must not occupy window slots)."""
+    entries against the DuckDB oracle. Round-5 layout (per VERDICT r4
+    item 1): (1) the 41 oracle-backed queries whose last driver row is
+    round 3 — a full round stale — occupy the front of the window so no
+    oracle query is ever >1 round stale, (2) r4-green queries whose
+    shared kernels this round refactors (sampling laziness, mixture
+    summation order, frontier pipeline) plus this round's new oracles
+    fill the window, (3) multi-round-green oracle queries park just
+    past 50 (their rows stand), (4) rows-only / no-oracle queries go
+    last (they can never hash-match and must not occupy window slots)."""
     return {
-        # -- oracle-backed, highest verification priority ------------
+        # -- 41 oracle-backed queries last checked in round 3 ---------
+        "q01_lineitem_agg": q01_lineitem_agg,
+        "q02_revenue_by_segment": q02_revenue_by_segment,
+        "q03_events_window": q03_events_window,
+        "q04_top_users": q04_top_users,
+        "q05_sort_docs": q05_sort_docs,
+        "q06_join_lineitem_orders": q06_join_lineitem_orders,
+        "q07_asof_prior_click": q07_asof_prior_click,
+        "q08_sessions": q08_sessions,
+        "q09_distinct_users": q09_distinct_users,
+        "q11_span_stats": q11_span_stats,
+        "q12_covariance_sums": q12_covariance_sums,
+        "q13_top_docs_per_lang": q13_top_docs_per_lang,
+        "q14_anti_join": q14_anti_join,
+        "q15_running_total": q15_running_total,
+        "q16_grouped_distinct": q16_grouped_distinct,
+        "q20_token_count": q20_token_count,
+        "q23_lang_counts": q23_lang_counts,
+        "q25_bpe_token_count": q25_bpe_token_count,
+        "q26_token_freq_quality": q26_token_freq_quality,
+        "q27_redact": q27_redact,
+        "q28_stratified_sample": q28_stratified_sample,
+        "q29_sample_per_group": q29_sample_per_group,
+        "q37_dup_ngram_stats": q37_dup_ngram_stats,
+        "q38_contamination": q38_contamination,
+        "q39_chunk_documents": q39_chunk_documents,
+        "q44_html_extract": q44_html_extract,
+        "q45_layout_reconstruct": q45_layout_reconstruct,
+        "q46_gopher_quality": q46_gopher_quality,
+        "q47_line_dedup": q47_line_dedup,
+        "q48_repetition_stats": q48_repetition_stats,
+        "q49_bm25_topk": q49_bm25_topk,
+        "q53_substring_dedup": q53_substring_dedup,
+        "q56_curation": q56_curation,
+        "q58_revenue_by_nation": q58_revenue_by_nation,
+        "q59_top_brands": q59_top_brands,
+        "q63_fix_text": q63_fix_text,
+        "q65_bloom_membership": q65_bloom_membership,
+        "q66_webcorpus": q66_webcorpus,
+        "q67_json_props_agg": q67_json_props_agg,
+        "q68_moving_window": q68_moving_window,
+        "q69_grouped_median": q69_grouped_median,
+        # -- r4-green queries whose kernels round 5 refactors ----------
+        "q104_quality_tiers": q104_quality_tiers,
+        "q109_length_percentiles": q109_length_percentiles,
+        "q106_data_mixture": q106_data_mixture,
+        "q101_crawl_frontier": q101_crawl_frontier,
+        "q108_fetch_schedule": q108_fetch_schedule,
+        "q97_compliance_chain": q97_compliance_chain,
+        "q88_webcorpus_gates": q88_webcorpus_gates,
+        "q84_url_filter": q84_url_filter,
+        "q105_interleaved_windows": q105_interleaved_windows,
+        # ---------------- 50-query window boundary -------------------
+        # -- oracle-backed, green in round 4 (parked; rows stand) ------
         "q91_outlinks": q91_outlinks,
         "q92_robots_gate": q92_robots_gate,
         "q93_host_graph": q93_host_graph,
         "q94_host_pagerank": q94_host_pagerank,
         "q95_wet_roundtrip": q95_wet_roundtrip,
         "q96_charset_detect": q96_charset_detect,
-        "q97_compliance_chain": q97_compliance_chain,
         "q98_crawl_diff": q98_crawl_diff,
         "q99_html_metadata": q99_html_metadata,
         "q100_sitemap_roundtrip": q100_sitemap_roundtrip,
-        "q101_crawl_frontier": q101_crawl_frontier,
         "q102_anchor_index": q102_anchor_index,
-        "q104_quality_tiers": q104_quality_tiers,
-        "q105_interleaved_windows": q105_interleaved_windows,
-        "q106_data_mixture": q106_data_mixture,
-        "q108_fetch_schedule": q108_fetch_schedule,
-        "q109_length_percentiles": q109_length_percentiles,
         "q83_pdf_extract": q83_pdf_extract,
         "q89_cdx_index": q89_cdx_index,
         "q90_host_stats": q90_host_stats,
-        "q84_url_filter": q84_url_filter,
         "q86_warc_extract": q86_warc_extract,
         "q87_pagerank": q87_pagerank,
-        "q88_webcorpus_gates": q88_webcorpus_gates,
         "q80_wav_roundtrip": q80_wav_roundtrip,
         "q81_png_roundtrip": q81_png_roundtrip,
         "q82_y4m_roundtrip": q82_y4m_roundtrip,
@@ -3058,54 +3105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q35_dup_clusters": q35_dup_clusters,
         "q36_dedup_keep": q36_dedup_keep,
         "q40_ann_topk": q40_ann_topk,
-        # -- oracle-backed, green in round 3 --------------------------
         "q10_extract_spans": q10_extract_spans,
         "q21_quality": q21_quality,
         "q22_langid": q22_langid,
-        # ---------------- 50-query window boundary -------------------
-        "q25_bpe_token_count": q25_bpe_token_count,
-        "q26_token_freq_quality": q26_token_freq_quality,
-        "q27_redact": q27_redact,
-        # -- oracle-backed, green in past rounds (parked past the
-        #    window; their multi-round rows stand) --------------------
-        "q28_stratified_sample": q28_stratified_sample,
-        "q37_dup_ngram_stats": q37_dup_ngram_stats,
-        "q38_contamination": q38_contamination,
-        "q39_chunk_documents": q39_chunk_documents,
-        "q44_html_extract": q44_html_extract,
-        "q46_gopher_quality": q46_gopher_quality,
-        "q47_line_dedup": q47_line_dedup,
-        "q48_repetition_stats": q48_repetition_stats,
-        "q49_bm25_topk": q49_bm25_topk,
-        "q53_substring_dedup": q53_substring_dedup,
-        "q56_curation": q56_curation,
-        "q58_revenue_by_nation": q58_revenue_by_nation,
-        "q65_bloom_membership": q65_bloom_membership,
-        "q66_webcorpus": q66_webcorpus,
-        "q45_layout_reconstruct": q45_layout_reconstruct,
-        "q63_fix_text": q63_fix_text,
-        "q11_span_stats": q11_span_stats,
-        "q20_token_count": q20_token_count,
-        "q23_lang_counts": q23_lang_counts,
-        "q29_sample_per_group": q29_sample_per_group,
-        "q59_top_brands": q59_top_brands,
-        "q67_json_props_agg": q67_json_props_agg,
-        "q68_moving_window": q68_moving_window,
-        "q69_grouped_median": q69_grouped_median,
-        "q12_covariance_sums": q12_covariance_sums,
-        "q16_grouped_distinct": q16_grouped_distinct,
-        "q05_sort_docs": q05_sort_docs,
-        "q13_top_docs_per_lang": q13_top_docs_per_lang,
-        "q01_lineitem_agg": q01_lineitem_agg,
-        "q02_revenue_by_segment": q02_revenue_by_segment,
-        "q03_events_window": q03_events_window,
-        "q04_top_users": q04_top_users,
-        "q06_join_lineitem_orders": q06_join_lineitem_orders,
-        "q07_asof_prior_click": q07_asof_prior_click,
-        "q08_sessions": q08_sessions,
-        "q09_distinct_users": q09_distinct_users,
-        "q14_anti_join": q14_anti_join,
-        "q15_running_total": q15_running_total,
         # -- rows-only / no-oracle (can never hash-match) --------------
         "q17_approx_distinct": q17_approx_distinct,
         "q24_fingerprint": q24_fingerprint,
