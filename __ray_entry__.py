@@ -2802,6 +2802,68 @@ def q81_png_roundtrip(sf_dir: str):
     return ds.map_batches(roundtrip, batch_format="pyarrow")
 
 
+def q110_jpeg_roundtrip(sf_dir: str):
+    """REAL baseline-JPEG image path (pure numpy T.81 codec,
+    ``sources/jpeg.py`` — closes the r4 compressed-image env stub),
+    distributed: per document (a) synthesize a constant grayscale
+    image with value doc_id % 256 and doc_id-derived non-MCU-aligned
+    dims, encode at quality 95 4:4:4 and decode via the multimodal
+    ``decode_image`` sniff — at quality 95 the luma quant DC step is 2
+    and a constant block is DC-only, so round(8·(v-128)/2)·2/8 = v-128
+    exactly and the round-trip is BIT-EXACT for every v (gray_sum =
+    v·h·w, recomputed structurally by the oracle); (b) decode a
+    gradient RGB 4:2:0 JPEG with restart markers and emit its decoded
+    SHAPE facts (structural, value-independent — the lossy color path
+    is pinned by pytest PSNR bounds instead).
+
+    Reference intent: the PIL-backed image universe
+    (ocropy/common.py:21-53 pil2array) ingests JFIF files; this is the
+    native-decode analog."""
+    from ocrd_cis_ray.sources.jpeg import encode_jpeg
+    from ocrd_cis_ray.stages.multimodal import decode_image
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hs, ws, sums, rhs, rws = [], [], [], [], []
+        for did in ids:
+            did = int(did)
+            v = did % 256
+            h, w = 16 + did % 9, 16 + did % 17
+            img = np.full((h, w), v, np.uint8)
+            dec = decode_image(encode_jpeg(img, quality=95, subsampling="4:4:4"))
+            hs.append(dec.shape[0])
+            ws.append(dec.shape[1])
+            sums.append(int(dec.sum(dtype=np.int64)))
+            rh, rw = 10 + did % 14, 12 + did % 22
+            rgb = np.stack(
+                [
+                    ((np.arange(rw)[None, :] + np.arange(rh)[:, None] + did) % 256),
+                    ((np.arange(rw)[None, :] * 2 + did) % 256) * np.ones((rh, 1), int),
+                    ((np.arange(rh)[:, None] * 3 + did) % 256) * np.ones((1, rw), int),
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            cdec = decode_image(
+                encode_jpeg(rgb, quality=88, subsampling="4:2:0", restart_interval=1 + did % 4)
+            )
+            rhs.append(cdec.shape[0])
+            rws.append(cdec.shape[1])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "gray_sum": pa.array(sums, pa.int64()),
+                "rgb_h": pa.array(rhs, pa.int64()),
+                "rgb_w": pa.array(rws, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
 def q82_y4m_roundtrip(sf_dir: str):
     """REAL Y4M video path, distributed: per document synthesize
     2 + doc_id % 6 constant-luma 8×16 frames (frame f has luma
@@ -3055,6 +3117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q67_json_props_agg": q67_json_props_agg,
         "q68_moving_window": q68_moving_window,
         "q69_grouped_median": q69_grouped_median,
+        # -- round-5 new oracles ---------------------------------------
+        "q110_jpeg_roundtrip": q110_jpeg_roundtrip,
         # -- r4-green queries whose kernels round 5 refactors ----------
         "q104_quality_tiers": q104_quality_tiers,
         "q109_length_percentiles": q109_length_percentiles,
@@ -3064,8 +3128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q97_compliance_chain": q97_compliance_chain,
         "q88_webcorpus_gates": q88_webcorpus_gates,
         "q84_url_filter": q84_url_filter,
-        "q105_interleaved_windows": q105_interleaved_windows,
         # ---------------- 50-query window boundary -------------------
+        "q105_interleaved_windows": q105_interleaved_windows,
         # -- oracle-backed, green in round 4 (parked; rows stand) ------
         "q91_outlinks": q91_outlinks,
         "q92_robots_gate": q92_robots_gate,
@@ -4521,6 +4585,15 @@ FROM documents d,
      UNNEST(generate_series(0, CAST(8 + d.doc_id % 8 AS INT) - 1)) AS yy(y),
      UNNEST(generate_series(0, CAST(8 + d.doc_id % 16 AS INT) - 1)) AS xx(x)
 GROUP BY d.doc_id
+""",
+        "q110_jpeg_roundtrip": """
+SELECT d.doc_id,
+       CAST(16 + d.doc_id % 9 AS BIGINT) AS height,
+       CAST(16 + d.doc_id % 17 AS BIGINT) AS width,
+       CAST((d.doc_id % 256) * (16 + d.doc_id % 9) * (16 + d.doc_id % 17) AS BIGINT) AS gray_sum,
+       CAST(10 + d.doc_id % 14 AS BIGINT) AS rgb_h,
+       CAST(12 + d.doc_id % 22 AS BIGINT) AS rgb_w
+FROM documents d
 """,
         "q82_y4m_roundtrip": """
 SELECT d.doc_id,

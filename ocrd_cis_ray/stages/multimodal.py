@@ -11,11 +11,12 @@ Schema convention (one row per media asset or per document span):
 
 All three modalities have a REAL decode path with no external
 library: image = PNG (stdlib-zlib codec, 8-bit gray/RGB/RGBA, all
-five scanline filters) plus the raw-gray codec; audio = PCM WAV via
+five scanline filters) AND baseline JPEG (pure numpy T.81 codec,
+``sources/jpeg.py``) plus the raw-gray codec; audio = PCM WAV via
 the stdlib ``wave`` module (8/16/32-bit, mono or multichannel); video
 = Y4M/YUV4MPEG2 (the ffmpeg-interoperable uncompressed container).
-COMPRESSED codecs (JPEG, mp3/flac, h264) still need
-pillow/soundfile/PyAV and raise ``NotImplementedError`` with the
+The remaining COMPRESSED codecs (mp3/flac, h264) still need
+soundfile/PyAV and raise ``NotImplementedError`` with the
 production hint; with ``fake=True`` the audio/video decoders
 synthesize a deterministic payload-derived array so the compressed
 path's plumbing (schema, batch size, actor signature, output layout)
@@ -41,18 +42,25 @@ from ..sources.media import decode_gray, encode_gray
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Image decode to uint8 grayscale — REAL for PNG (stdlib-zlib
-    codec: 8-bit gray/RGB/RGBA, all five scanline filters; color is
-    reduced to ITU-R 601 luma for the feature kernels) and for the
-    raw-gray codec. JPEG would need an external library."""
+    codec: 8-bit gray/RGB/RGBA, all five scanline filters), JPEG
+    (baseline-sequential T.81 codec in ``sources/jpeg.py``: grayscale
+    + YCbCr 4:4:4/4:2:2/4:2:0, restart markers; progressive raises)
+    and the raw-gray codec. Color is reduced to ITU-R 601 luma for
+    the feature kernels."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from ..sources.media import decode_png, rgb_to_gray
 
         return rgb_to_gray(decode_png(payload))
+    if payload[:3] == b"\xff\xd8\xff":
+        from ..sources.jpeg import decode_jpeg
+        from ..sources.media import rgb_to_gray
+
+        return rgb_to_gray(decode_jpeg(payload))
     if payload[:2] == b"G8":
         return decode_gray(payload)
     raise NotImplementedError(
-        "image decode: PNG and raw-gray decode natively; other codecs "
-        "(JPEG/TIFF) need pillow/cv2"
+        "image decode: PNG, baseline JPEG and raw-gray decode natively; "
+        "other codecs (TIFF/WebP) need pillow/cv2"
     )
 
 

@@ -204,8 +204,13 @@ def test_decode_image_png_and_luma():
     rgb = np.zeros((4, 4, 3), np.uint8)
     rgb[:, :, 1] = 200  # pure green -> luma 587*200//1000 = 117
     assert (decode_image(encode_png(rgb)) == 117).all()
-    with pytest.raises(NotImplementedError):
+    # JPEG is a real codec now (sources/jpeg.py; tests/test_jpeg.py):
+    # a malformed JPEG stream is a data error, not an env stub
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 not-actually-jpeg")
+    # genuinely unsupported codec magic (TIFF) keeps the env-stub error
+    with pytest.raises(NotImplementedError):
+        decode_image(b"II*\x00 tiff-ish")
 
 
 def test_y4m_round_trip_and_real_video_features(ray_session):
