@@ -869,11 +869,13 @@ def q104_quality_tiers(sf_dir: str):
             }
         ),
         batch_format="pyarrow",
-    ).materialize()  # tiny (doc_id, lang, n_tokens) projection consumed
-    # by up to three grouped_ntile passes — materializing it removes two
-    # full corpus read+tokenize scans
+    ).materialize()  # tiny (doc_id, lang, n_tokens) projection: the
+    # scoring pass re-reads these pinned blocks instead of re-running
+    # the corpus read+tokenize (the CDF/tie passes already share one
+    # internal snapshot via grouped_ntile(snapshot=True))
     return grouped_ntile(
-        ds, n_tiles=3, group="lang", score_col="n_tokens", id_col="doc_id"
+        ds, n_tiles=3, group="lang", score_col="n_tokens", id_col="doc_id",
+        snapshot=False,  # input is already materialized — skip re-pinning
     )
 
 

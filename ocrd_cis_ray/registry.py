@@ -35,16 +35,22 @@ class Stage:
     requires_features: str = ""  # comma-list that must be present on input
     produces_feature: str = ""  # lineage tag appended by the stage
     description: str = ""
+    eager: bool = False  # build() internally CONSUMES its input
 
 
 REGISTRY: dict[str, Stage] = {}
 
 
-def register_stage(name: str, *, defaults=None, allowed=None, requires_features="", produces_feature="", description=""):
+def register_stage(name: str, *, defaults=None, allowed=None, requires_features="", produces_feature="", description="", eager=False):
     """``allowed`` declares the full accepted parameter set when it is
     wider than ``defaults`` (stages whose optional params have no
     default value). Validation is unconditional — a stage with no
-    declared params accepts none."""
+    declared params accepts none. ``eager=True`` marks a stage whose
+    build function internally EXECUTES its input (driver-side
+    reductions: quantile CDFs, mixture token sums, PQ codebook
+    training); ``build_pipeline`` defers such stages behind a
+    ``LazyPipeline`` so composing a config never runs data — execution
+    happens when the caller consumes the result."""
 
     def deco(fn):
         d = dict(defaults or {})
@@ -56,17 +62,76 @@ def register_stage(name: str, *, defaults=None, allowed=None, requires_features=
             requires_features=requires_features,
             produces_feature=produces_feature,
             description=description,
+            eager=eager,
         )
         return fn
 
     return deco
 
 
+# Dataset -> Dataset methods that stay deferred when called on a
+# LazyPipeline; anything else forces the pending chain and delegates.
+_TRANSFORM_METHODS = frozenset(
+    {
+        "map_batches", "map", "flat_map", "filter", "select_columns",
+        "drop_columns", "rename_columns", "add_column", "limit",
+        "repartition", "sort", "random_shuffle", "randomize_block_order",
+        "union", "zip",
+    }
+)
+
+
+class LazyPipeline:
+    """A deferred Dataset: wraps a zero-arg thunk that produces the
+    real ``ray.data.Dataset`` on first consumption.
+
+    Ray Data plans are lazy, but a stage whose BUILD function performs
+    a driver-side reduction (``grouped_ntile``'s CDF collect,
+    ``mixture_sample``'s token aggregate, PQ codebook training)
+    executes its input the moment the pipeline is COMPOSED — so a
+    config like gate_chain -> quantile_tiers would run the gate chain
+    at build time, before the user ever consumes. ``build_pipeline``
+    wraps such stages in this proxy: transform methods
+    (``map_batches`` etc.) stack further deferred calls, so downstream
+    lazy stages compose without forcing; any other attribute access
+    (take/to_pandas/write_parquet/schema/stats/...) forces the chain
+    once, caches the realized Dataset, and delegates. The net effect
+    is the plan-stage contract the rest of Ray Data has: composition
+    is free, execution happens at consumption."""
+
+    def __init__(self, thunk: Callable[[], Any]):
+        self._thunk = thunk
+        self._forced = None
+
+    def force(self):
+        """Realize the deferred chain into a concrete Dataset."""
+        if self._forced is None:
+            ds = self._thunk()
+            self._forced = ds.force() if isinstance(ds, LazyPipeline) else ds
+        return self._forced
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in _TRANSFORM_METHODS:
+            def deferred(*args, **kwargs):
+                return LazyPipeline(lambda: getattr(self.force(), name)(*args, **kwargs))
+
+            return deferred
+        return getattr(self.force(), name)
+
+    def __repr__(self) -> str:
+        state = "realized" if self._forced is not None else "deferred"
+        return f"LazyPipeline<{state}>"
+
+
 def build_pipeline(ds, config: list[dict]):
     """Fold a JSON stage-config list over a Dataset (lazy — nothing
-    executes until the caller consumes). Unknown stage or parameter →
-    ValueError up front (the reference validates tool JSON before
-    running), regardless of whether the stage declares defaults."""
+    executes until the caller consumes, even for stages whose build
+    performs driver-side reductions: those are deferred behind
+    ``LazyPipeline``). Unknown stage or parameter → ValueError up
+    front (the reference validates tool JSON before running),
+    regardless of whether the stage declares defaults."""
     for step in config:
         name = step.get("stage")
         if name not in REGISTRY:
@@ -78,7 +143,14 @@ def build_pipeline(ds, config: list[dict]):
         if unknown:
             raise ValueError(f"stage '{name}': unknown params {sorted(unknown)}")
         params.update(extra)
-        ds = stage.build(ds, **params)
+        if stage.eager:
+            ds = LazyPipeline(
+                lambda ds=ds, stage=stage, params=params: stage.build(
+                    ds.force() if isinstance(ds, LazyPipeline) else ds, **params
+                )
+            )
+        else:
+            ds = stage.build(ds, **params)
     return ds
 
 
@@ -312,7 +384,9 @@ def _charset_decode(ds, **p):
 @register_stage(
     "quantile_tiers",
     defaults={"n_tiles": 3, "group": "lang", "score_col": "score", "id_col": "doc_id"},
-    description="exact per-group NTILE(k) quantile tiers (CCNet head/middle/tail) without a global sort",
+    allowed=("snapshot",),
+    description="exact per-group NTILE(k) quantile tiers (CCNet head/middle/tail) without a global sort; deferred to consumption (LazyPipeline) — the CDF/tie passes read one pinned tuple-weight snapshot",
+    eager=True,
 )
 def _quantile_tiers(ds, **p):
     from .stages.sampling import grouped_ntile
@@ -334,7 +408,8 @@ def _interleaved_windows(ds, **p):
 @register_stage(
     "mixture_sample",
     defaults={"weights": None, "budget_fraction": 0.5},
-    description="Pile/Dolma-style mixture balancing: per-source token budget -> deterministic hash-filter keep rates",
+    description="Pile/Dolma-style mixture balancing: per-source token budget -> deterministic hash-filter keep rates; deferred to consumption (LazyPipeline)",
+    eager=True,
 )
 def _mixture_sample(ds, **p):
     from .stages.sampling import mixture_sample
@@ -357,7 +432,8 @@ def _gate_chain(ds, **p):
     "pq_encode",
     defaults={"m": 16, "ksub": 64, "sample_size": 2048, "seed": 42},
     allowed=("vec_col", "id_col"),
-    description="product-quantization code table: (id, m uint8 codes) — 16x embedding compression, codebooks trained on a bounded sample",
+    description="product-quantization code table: (id, m uint8 codes) — 16x embedding compression, codebooks trained on a bounded randomized sample; deferred to consumption (LazyPipeline)",
+    eager=True,
 )
 def _pq_encode(ds, **p):
     import pandas as pd
@@ -368,7 +444,9 @@ def _pq_encode(ds, **p):
     seed = p.pop("seed")
     m, ksub = p.pop("m"), p.pop("ksub")
     vec_col = p.get("vec_col", "embedding")
-    rows = ds.take(sample_size)
+    # randomized sample (seeded) so codebooks train across the keyspace
+    # even on a sorted corpus — see similarity._train_sample
+    rows = ds.randomize_block_order(seed=seed).take(sample_size)
     if not rows:
         raise ValueError("pq_encode: empty input — no rows to train codebooks on")
     sample = _as_matrix(pd.DataFrame(rows)[vec_col])
@@ -379,12 +457,14 @@ def _pq_encode(ds, **p):
 @register_stage(
     "grouped_percentiles",
     defaults={"ps": (0.5, 0.9, 0.99), "group": "lang", "score_col": "score"},
-    description="exact per-group percentiles from one CDF exchange (no sort) — corpus profiling; TERMINAL: executes eagerly and yields the tiny summary as a new Dataset",
+    description="exact per-group percentiles from one CDF exchange (no sort) — corpus profiling; terminal reduction, deferred to consumption (LazyPipeline), yielding the tiny per-group summary as a new Dataset",
+    eager=True,
 )
 def _grouped_percentiles(ds, **p):
-    """Profiling is a reduction: the stage EXECUTES its input (unlike
-    the lazy transforms) and re-enters the pipeline as a from_pandas
-    Dataset of one row per group, keeping the (ds -> ds) contract."""
+    """Profiling is a reduction: when CONSUMED (build_pipeline defers
+    this stage) it executes its input and re-enters the pipeline as a
+    from_pandas Dataset of one row per group — groups-count-sized, so
+    the re-entry frame is tiny — keeping the (ds -> ds) contract."""
     import ray.data as rd
 
     from .stages.sampling import grouped_percentiles

@@ -231,6 +231,7 @@ def grouped_ntile(
     out_col: str = "tier",
     pairs_ceiling: int = 5_000_000,
     ties_ceiling: int = 1_000_000,
+    snapshot: bool = True,
 ):
     """Exact per-group quantile tiers — ``NTILE(n_tiles) OVER
     (PARTITION BY group ORDER BY score, id)`` — without sorting or
@@ -258,17 +259,34 @@ def grouped_ntile(
        the row`` from the broadcast cutoff table — vectorized per
        batch, zero shuffle, trivially resumable.
 
-    ``ds`` is consumed up to three times (Ray re-executes the lazy
-    plan per pass); feed it a column-pruned read or a materialized
-    intermediate, not an expensive derivation. Scores must be int64;
-    ids must be totally ordered (ints or strings).
+    With ``snapshot=True`` (default) the CDF pass and the boundary-tie
+    pass read ONE materialized projection of just (group, score, id) —
+    tuple-weight, so pinning it is scale-safe even when the documents
+    are not — which executes the upstream plan exactly once for the
+    cutoff derivation and makes the two passes consistent under a
+    nondeterministic upstream (a sampled or wall-clock-dependent stage
+    can otherwise make the tie collect disagree with the CDF). The
+    scoring pass streams over the ORIGINAL lazy ``ds`` (full rows, one
+    more upstream execution at consumption time). ``snapshot=False``
+    skips the materialization for inputs that are bare column-pruned
+    reads (re-reading parquet twice is cheaper than pinning).
+
+    Scores must be int64; ids must be totally ordered (ints or
+    strings).
     """
     k = int(n_tiles)
     if k < 1:
         raise ValueError("n_tiles must be >= 1")
 
+    if snapshot:
+        tuples = ds.map_batches(
+            lambda df: df[[group, score_col, id_col]], batch_format="pandas"
+        ).materialize()
+    else:
+        tuples = ds
+
     counts = grouped_score_counts(
-        ds, group=group, score_col=score_col, pairs_ceiling=pairs_ceiling
+        tuples, group=group, score_col=score_col, pairs_ceiling=pairs_ceiling
     )
 
     # Per-group boundary resolution against the score CDF. A boundary
@@ -309,7 +327,7 @@ def grouped_ntile(
             return df.loc[m, [group, score_col, id_col]]
 
         ties = (
-            ds.map_batches(tie_ids, batch_format="pandas")
+            tuples.map_batches(tie_ids, batch_format="pandas")
             .limit(ties_ceiling + 1)
             .to_pandas()
         )
@@ -325,6 +343,16 @@ def grouped_ntile(
                 ].to_numpy()
             )
             for idx, m in recs:
+                if not (1 <= m <= len(ids)):
+                    # impossible with snapshot=True (both passes read the
+                    # same pinned blocks); without it, a nondeterministic
+                    # upstream re-execution can shift the CDF under us
+                    raise ValueError(
+                        f"grouped_ntile: boundary expects >= {m} rows tied at "
+                        f"({g!r}, {s}) but the tie pass saw {len(ids)} — the "
+                        "input plan is nondeterministic across executions; "
+                        "use snapshot=True or materialize upstream"
+                    )
                 id_cuts[idx] = ids[m - 1]
 
     # Broadcastable cutoff table: one row per (group, boundary).
@@ -515,8 +543,17 @@ def mixture_sample(
     ignored, data sources absent from the dict get ``default_weight``
     (0 = dropped, the ``stratified_sample`` default_rate convention).
     Rates are computed in IEEE double with a fixed operation order —
-    ``((budget * w) / sum_w) / tokens`` — so an ANSI-SQL oracle
-    reproduces the selection bit-exactly.
+    ``((budget * w) / sum_w) / tokens`` with the weight sum taken in
+    SOURCE-SORTED order (the observed counts frame is canonicalized
+    before any float leaves it, so run-to-run aggregate ordering can
+    never perturb a rate) — so an ANSI-SQL oracle reproduces the
+    selection bit-exactly PROVIDED the oracle also sums weights in
+    source order, weights are exactly representable doubles (integers
+    or dyadic rationals), and per-source token mass stays below 2^53
+    (exact int64 -> double conversion). Outside that envelope a 1-ulp
+    rate difference can flip a document whose hash equals
+    floor(rate * 2^32) — acceptable for sampling, fatal for a hash
+    oracle.
     """
     import math
 
@@ -549,6 +586,10 @@ def mixture_sample(
             f"mixture_sample: over {arity_ceiling} distinct sources — "
             f"'{source_col}' is not a mixture key"
         )
+    # canonical summation order: aggregate output order varies run to
+    # run; sort by source BEFORE any float is derived so sum_w (and the
+    # rates) are bit-identical across runs and vs the oracle
+    counts = counts.sort_values(source_col, kind="mergesort").reset_index(drop=True)
 
     total = float(counts["tok"].sum())
     budget = (

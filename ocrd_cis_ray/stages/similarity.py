@@ -94,6 +94,18 @@ def brute_topk(ds, query_ids, query_mat: np.ndarray, *, k: int = 5, id_col: str 
     return cands.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def _train_sample(ds, sample_size: int, vec_col: str) -> np.ndarray:
+    """Codebook/quantizer training sample: randomize block order first
+    (seeded — the weighted_ranges precedent in state/manifest.py) so
+    take() draws from across the keyspace instead of whatever blocks
+    execute first; on an id- or cluster-sorted corpus a head sample
+    trains codebooks on one corner of the space and recall silently
+    degrades."""
+    return _as_matrix(
+        pd.DataFrame(ds.randomize_block_order(seed=42).take(sample_size))[vec_col]
+    )
+
+
 class IVFIndex:
     """Driver-built coarse quantizer: seeded k-means over a sample."""
 
@@ -130,7 +142,7 @@ def ivf_topk(ds, query_ids, query_mat: np.ndarray, *, k: int = 5, nlist: int = 1
     """
     import ray
 
-    sample = _as_matrix(pd.DataFrame(ds.take(sample_size))[vec_col])
+    sample = _train_sample(ds, sample_size, vec_col)
     index = IVFIndex(sample, nlist=nlist, seed=seed)
     qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
     # buckets each query probes → inverted: queries per centroid
@@ -507,7 +519,7 @@ def pq_topk(
     ranking, so recall is measured directly against ``brute_topk``."""
     import ray
 
-    sample = _as_matrix(pd.DataFrame(ds.take(sample_size))[vec_col])
+    sample = _train_sample(ds, sample_size, vec_col)
     pq_ = PQCodebooks(sample, m=m, ksub=ksub, seed=seed)
     qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
     lut = pq_.lut(qmat)

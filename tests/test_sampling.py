@@ -379,3 +379,109 @@ def test_grouped_percentiles_validates_ps(ray_session):
         grouped_percentiles(ds, ps=(1.01,), group="lang", score_col="score")
     with pytest.raises(ValueError, match="collide"):
         grouped_percentiles(ds, ps=(0.9, 0.904), group="lang", score_col="score")
+
+
+def test_grouped_ntile_snapshot_tolerates_nondeterministic_upstream(ray_session, tmp_path):
+    """ADVICE r4: a plan whose output differs across executions must not
+    desync the CDF pass from the tie pass. snapshot=True pins one
+    execution; snapshot=False detects the desync with a clear error
+    instead of a deep IndexError."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.sampling import grouped_ntile
+
+    marker = tmp_path / "executed_once"
+
+    def flaky(df: pd.DataFrame) -> pd.DataFrame:
+        # first execution: all scores tied at 7 (every boundary lands
+        # inside the tie); later executions: distinct scores, so the
+        # tie pass would find nothing at score 7
+        df = df.copy()
+        if marker.exists():
+            df["score"] = np.arange(len(df), dtype=np.int64)
+        else:
+            marker.write_text("x")
+            df["score"] = np.full(len(df), 7, dtype=np.int64)
+        return df
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(9, dtype=np.int64),
+            "lang": ["en"] * 9,
+            "score": np.zeros(9, dtype=np.int64),
+        }
+    )
+
+    ds = rd.from_pandas(df).repartition(1).map_batches(flaky, batch_format="pandas")
+    got = grouped_ntile(
+        ds, n_tiles=3, group="lang", score_col="score", id_col="doc_id",
+        snapshot=True,
+    ).to_pandas().sort_values("doc_id")
+    # snapshot pinned the tied view for cutoff derivation; the scoring
+    # pass re-executed (now-distinct scores) but assignment stays VALID
+    # (no IndexError): tiers within 1..k and monotone in the scored
+    # pass's own (score, id) order
+    assert got["tier"].between(1, 3).all()
+    ordered = got.sort_values(["score", "doc_id"])
+    assert (np.diff(ordered["tier"].to_numpy()) >= 0).all()
+
+    marker.unlink()
+    ds2 = rd.from_pandas(df).repartition(1).map_batches(flaky, batch_format="pandas")
+    with pytest.raises(ValueError, match="nondeterministic"):
+        grouped_ntile(
+            ds2, n_tiles=3, group="lang", score_col="score", id_col="doc_id",
+            snapshot=False,
+        ).to_pandas()
+
+
+def test_build_pipeline_defers_eager_stages(ray_session, tmp_path):
+    """VERDICT r4 item 6: composing gate-style transforms with the
+    quantile/percentile reduction stages runs NOTHING at build time —
+    execution happens when the result is consumed."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.registry import LazyPipeline, build_pipeline
+
+    sentinel = tmp_path / "upstream_ran"
+
+    def traced(df: pd.DataFrame) -> pd.DataFrame:
+        sentinel.write_text("x")
+        return df
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(400, dtype=np.int64),
+            "lang": rng.choice(["de", "en"], 400),
+            "score": rng.integers(0, 50, 400).astype(np.int64),
+        }
+    )
+    base = rd.from_pandas(df).repartition(4).map_batches(traced, batch_format="pandas")
+
+    tiers = build_pipeline(
+        base, [{"stage": "quantile_tiers", "params": {"n_tiles": 3}}]
+    )
+    assert isinstance(tiers, LazyPipeline)
+    assert not sentinel.exists(), "quantile_tiers executed at compose time"
+
+    # a downstream lazy transform composes WITHOUT forcing
+    projected = tiers.select_columns(["doc_id", "tier"])
+    assert isinstance(projected, LazyPipeline)
+    assert not sentinel.exists()
+
+    out = projected.to_pandas().sort_values("doc_id")
+    assert sentinel.exists()
+    assert sorted(out["tier"].unique().tolist()) == [1, 2, 3]
+    assert list(out.columns) == ["doc_id", "tier"]
+
+    # percentiles: also deferred; consuming yields the per-group summary
+    sentinel.unlink()
+    pct = build_pipeline(
+        base,
+        [{"stage": "grouped_percentiles", "params": {"ps": (0.5, 0.9)}}],
+    )
+    assert not sentinel.exists()
+    summary = pct.to_pandas()
+    assert sentinel.exists()
+    assert set(summary.columns) == {"lang", "n_docs", "p50", "p90"}
+    assert len(summary) == 2
