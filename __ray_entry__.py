@@ -786,6 +786,48 @@ def q76_semdedup_pairs(sf_dir: str):
     return semdedup_collapse(ds, threshold=0.45)
 
 
+def q111_semdedup_oracle(sf_dir: str):
+    """The FULL SemDeDup path (k-means partition + per-cluster greedy
+    collapse — the same ``semdedup`` the rows-only q54 runs) made
+    hash-checkable (VERDICT r4 item 4): embeddings are synthesized on
+    an INTEGER grid from doc_id — archetype axis ``doc_id % 4`` at
+    magnitude 100 plus a base-3 trit pattern of ``(doc_id // 4) % 81``
+    at magnitude 30 on four disjoint dims. The geometry pins every
+    float decision with huge margins: own-seed cosine ≥ 0.47 vs
+    cross ≤ 0.36 (assignment = archetype from Lloyd iteration 1, under
+    ANY partial-sum order), distinct same-cluster pairs ≤ 0.967 vs
+    identical pairs = 1.0 around the 0.999 threshold — so duplicates
+    are EXACTLY the (archetype, trit-pattern) collisions and the
+    greedy keep-smallest-id collapse is the oracle's min-match rule
+    (matches are transitively identical vectors). Seeds = the 4
+    smallest ids = the 4 archetypes.
+
+    Reference intent: SemDeDup (Abbas et al. 2023) as the
+    cluster-partitioned semantic dedup stage; same output contract as
+    q54/q76."""
+    from ocrd_cis_ray.stages.similarity import semdedup
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        vecs = np.zeros((n, 8), np.float64)
+        vecs[np.arange(n), ids % 4] = 100.0
+        q = ids // 4
+        for j in range(4):
+            vecs[:, 4 + j] = 30.0 * ((q // 3**j) % 3 - 1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+            }
+        )
+
+    emb = ds.map_batches(synth, batch_format="pyarrow")
+    return semdedup(emb, k=4, n_iter=2, threshold=0.999)
+
+
 def q55_bpe_train_encode(sf_dir: str):
     """BPE tokenizer train -> encode (Sennrich et al. 2016): word
     frequencies via the distributed top-V bucketed aggregate (the only
@@ -2601,6 +2643,78 @@ def q61_align_words(sf_dir: str):
     return aligned.map_batches(words_only, batch_format="pandas")
 
 
+def q112_align_editops_oracle(sf_dir: str):
+    """Word alignment under multi-token INSERT / DELETE / SUBSTITUTE
+    edits incl. the give-up rule, hash-checked (VERDICT r4 item 5 —
+    q61's rows-only status covered by an oracle sibling): lines are
+    synthesized from doc_id with words that are single letters repeated
+    8x over a 25-letter alphabet ('z' reserved for injected tokens), so
+    any two distinct words are Levenshtein-8 apart with no substring or
+    stripped-containment relation — NO matcher tier can cross-match,
+    making every cursor decision (align/cli.py:224-245) provable:
+
+      lmod = (doc_id + line_no) % 4
+      0: support == master        -> positional match, all words
+      1: support drops word 1     -> give-up: NO word rows (cli.py:119-128)
+      2: support inserts 'z'*8    -> cursor skips the insert, all words
+      3: support replaces word 1 with 'z'*8 -> give-up: NO word rows
+
+    The oracle regenerates the words and emits master rows always and
+    support rows only for lmod in (0, 2)."""
+    from ocrd_cis_ray.stages.align import align_variants
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    LETTERS = "abcdefghijklmnopqrstuvwxy"
+
+    def synth(t: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "source": [], "line_no": [], "text": [], "conf": []}
+        for did in t["doc_id"].to_pylist():
+            did = int(did)
+            for ln in range(3):
+                words = [LETTERS[(did + ln + j) % 25] * 8 for j in range(5)]
+                lmod = (did + ln) % 4
+                sup = list(words)
+                if lmod == 1:
+                    del sup[1]
+                elif lmod == 2:
+                    sup.insert(1, "z" * 8)
+                elif lmod == 3:
+                    sup[1] = "z" * 8
+                for src, txt, conf in (("GT", words, 1.0), ("OCR-X", sup, 0.8)):
+                    out["doc_id"].append(did)
+                    out["source"].append(src)
+                    out["line_no"].append(ln)
+                    out["text"].append(" ".join(txt))
+                    out["conf"].append(conf)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "source": pa.array(out["source"], pa.string()),
+                "line_no": pa.array(out["line_no"], pa.int32()),
+                "text": pa.array(out["text"], pa.string()),
+                "conf": pa.array(out["conf"], pa.float32()),
+            }
+        )
+
+    variants = ds.map_batches(synth, batch_format="pyarrow")
+    aligned = align_variants(variants, ["GT", "OCR-X"])
+
+    def words_only(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["level"] == "word"]
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "line_no": b["line_no"].astype("int32"),
+                "word_no": b["word_no"].astype("int32"),
+                "idx": b["idx"].astype("int32"),
+                "source": b["source"],
+                "text": b["text"],
+            }
+        )
+
+    return aligned.map_batches(words_only, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # media / OCR / post-correction
 
@@ -3121,6 +3235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q69_grouped_median": q69_grouped_median,
         # -- round-5 new oracles ---------------------------------------
         "q110_jpeg_roundtrip": q110_jpeg_roundtrip,
+        "q111_semdedup_oracle": q111_semdedup_oracle,
+        "q112_align_editops_oracle": q112_align_editops_oracle,
         # -- r4-green queries whose kernels round 5 refactors ----------
         "q104_quality_tiers": q104_quality_tiers,
         "q109_length_percentiles": q109_length_percentiles,
@@ -3128,9 +3244,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q101_crawl_frontier": q101_crawl_frontier,
         "q108_fetch_schedule": q108_fetch_schedule,
         "q97_compliance_chain": q97_compliance_chain,
+        # ---------------- 50-query window boundary -------------------
         "q88_webcorpus_gates": q88_webcorpus_gates,
         "q84_url_filter": q84_url_filter,
-        # ---------------- 50-query window boundary -------------------
         "q105_interleaved_windows": q105_interleaved_windows,
         # -- oracle-backed, green in round 4 (parked; rows stand) ------
         "q91_outlinks": q91_outlinks,
@@ -4500,6 +4616,41 @@ SELECT doc_id, word_no, word, CAST(v.vn AS INT) AS vertex_no,
        CAST(CASE WHEN v.vn IN (0, 3) THEN x0 ELSE x1 END AS INT) AS x,
        CAST(CASE WHEN v.vn IN (0, 1) THEN 0 ELSE 28 END AS INT) AS y
 FROM w, (VALUES (0), (1), (2), (3)) AS v(vn)
+""",
+        "q112_align_editops_oracle": """
+WITH g AS (
+  SELECT d.doc_id, i.ln, j.wn,
+         repeat(chr(97 + CAST((d.doc_id + i.ln + j.wn) % 25 AS INT)), 8) AS w,
+         (d.doc_id + i.ln) % 4 AS lmod
+  FROM documents d,
+       UNNEST(generate_series(0, 2)) AS i(ln),
+       UNNEST(generate_series(0, 4)) AS j(wn)
+)
+SELECT doc_id, CAST(ln AS INT) AS line_no, CAST(wn AS INT) AS word_no,
+       CAST(0 AS INT) AS idx, 'GT' AS source, w AS text
+FROM g
+UNION ALL
+SELECT doc_id, CAST(ln AS INT), CAST(wn AS INT), CAST(1 AS INT), 'OCR-X', w
+FROM g WHERE lmod IN (0, 2)
+""",
+        "q111_semdedup_oracle": """
+WITH v AS (
+  SELECT doc_id AS vec_id,
+         doc_id % 4 AS cluster,
+         (doc_id // 4) % 81 AS pat
+  FROM documents
+),
+m AS (
+  SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+  FROM v a JOIN v b
+    ON b.vec_id < a.vec_id AND b.cluster = a.cluster AND b.pat = a.pat
+  GROUP BY a.vec_id
+)
+SELECT v.vec_id,
+       CAST(v.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN m.dup_of IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
+       CAST(COALESCE(m.dup_of, -1) AS BIGINT) AS dup_of
+FROM v LEFT JOIN m ON v.vec_id = m.vec_id
 """,
         "q76_semdedup_pairs": """
 WITH pairs AS (
