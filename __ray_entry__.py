@@ -2485,6 +2485,32 @@ def q78_eval_report(sf_dir: str):
     return eval_report(wide, sources=("OCR-1", "OCR-2"))
 
 
+def q113_eval_rollup(sf_dir: str):
+    """Per-book / per-source evaluation report rollup + grand totals —
+    the div/auswerter.py + div/eval.py book-directory accounting
+    (VERDICT r4 item 8: the reference walks one book dir at a time,
+    eval.py:41-52, totalling char distances and full-word hits per
+    model; auswerter.py:91-126 drives the per-book runs). Books =
+    doc_id % 7; metrics identical to q78 per (book, source) plus a
+    '__total__' row per source. One streaming pass: integer partial
+    counters per block, one map-side-combined bucketed exchange,
+    bounded driver collect (stages/metrics.eval_rollup)."""
+    from ocrd_cis_ray.stages.metrics import eval_rollup
+
+    wide = _wide_variant_lines(sf_dir, _EVAL_CORRUPTIONS)
+
+    def add_book(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "book", pa.array([f"book-{i % 7}" for i in ids], pa.string())
+        )
+
+    return eval_rollup(
+        wide.map_batches(add_book, batch_format="pyarrow"),
+        sources=("OCR-1", "OCR-2"),
+    )
+
+
 def q79_error_types(sf_dir: str):
     """Per-error-class breakdown (reference div/eval.py per-model error
     accounting + the confusion extraction in util.edit_ops): counts per
@@ -3237,14 +3263,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q110_jpeg_roundtrip": q110_jpeg_roundtrip,
         "q111_semdedup_oracle": q111_semdedup_oracle,
         "q112_align_editops_oracle": q112_align_editops_oracle,
+        "q113_eval_rollup": q113_eval_rollup,
         # -- r4-green queries whose kernels round 5 refactors ----------
         "q104_quality_tiers": q104_quality_tiers,
         "q109_length_percentiles": q109_length_percentiles,
         "q106_data_mixture": q106_data_mixture,
         "q101_crawl_frontier": q101_crawl_frontier,
         "q108_fetch_schedule": q108_fetch_schedule,
-        "q97_compliance_chain": q97_compliance_chain,
         # ---------------- 50-query window boundary -------------------
+        "q97_compliance_chain": q97_compliance_chain,
         "q88_webcorpus_gates": q88_webcorpus_gates,
         "q84_url_filter": q84_url_filter,
         "q105_interleaved_windows": q105_interleaved_windows,
@@ -4738,6 +4765,53 @@ FROM documents d,
      UNNEST(generate_series(0, CAST(8 + d.doc_id % 8 AS INT) - 1)) AS yy(y),
      UNNEST(generate_series(0, CAST(8 + d.doc_id % 16 AS INT) - 1)) AS xx(x)
 GROUP BY d.doc_id
+""",
+        "q113_eval_rollup": variant_cte
+        + """
+, pred AS (
+  SELECT doc_id, 'book-' || (doc_id % 7) AS book, ltext,
+         replace(replace(ltext, 'e', 'c'), 'o', '0') AS p1,
+         replace(replace(ltext, 'q', ''), 'a', '') AS p2
+  FROM lines
+),
+per AS (
+  SELECT book,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(length(ltext)) AS BIGINT) AS gt_chars,
+         CAST(SUM(levenshtein(p1, ltext)) AS BIGINT) AS err1,
+         CAST(SUM(levenshtein(p2, ltext)) AS BIGINT) AS err2
+  FROM pred GROUP BY book
+),
+words AS (
+  SELECT book,
+         CAST(COUNT(*) AS BIGINT) AS gt_words,
+         CAST(SUM(CASE WHEN list_contains(string_split(p1, ' '), gw) THEN 1 ELSE 0 END) AS BIGINT) AS wr1,
+         CAST(SUM(CASE WHEN list_contains(string_split(p2, ' '), gw) THEN 1 ELSE 0 END) AS BIGINT) AS wr2
+  FROM (SELECT 'book-' || (doc_id % 7) AS book, p1, p2,
+               unnest(string_split(ltext, ' ')) AS gw FROM pred)
+  GROUP BY book
+),
+base AS (
+  SELECT per.book, 'OCR-1' AS source, n_lines, gt_chars, err1 AS char_errors,
+         gt_words, wr1 AS words_recognized
+  FROM per JOIN words USING (book)
+  UNION ALL
+  SELECT per.book, 'OCR-2', n_lines, gt_chars, err2, gt_words, wr2
+  FROM per JOIN words USING (book)
+),
+tot AS (
+  SELECT '__total__' AS book, source,
+         CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+         CAST(SUM(gt_chars) AS BIGINT) AS gt_chars,
+         CAST(SUM(char_errors) AS BIGINT) AS char_errors,
+         CAST(SUM(gt_words) AS BIGINT) AS gt_words,
+         CAST(SUM(words_recognized) AS BIGINT) AS words_recognized
+  FROM base GROUP BY source
+)
+SELECT book, source, n_lines, gt_chars, char_errors, gt_words,
+       words_recognized,
+       1 - CAST(char_errors AS DOUBLE) / gt_chars AS accuracy
+FROM (SELECT * FROM base UNION ALL SELECT * FROM tot)
 """,
         "q110_jpeg_roundtrip": """
 SELECT d.doc_id,

@@ -68,6 +68,14 @@ def main(argv=None):
     cur.add_argument("--min-stop-distinct", type=int, default=2)
     cur.add_argument("--num-cpus", type=int, default=8)
 
+    rep = sub.add_parser("report", help="per-book/source evaluation report artifact (div/auswerter.py + div/eval.py rollup)")
+    rep.add_argument("-i", "--input", required=True, help="wide aligned-lines parquet (book, GT, one column per OCR source)")
+    rep.add_argument("-o", "--output", required=True, help="output report JSON path")
+    rep.add_argument("--sources", default="OCR-1,OCR-2", help="comma-list of prediction columns")
+    rep.add_argument("--gt-col", default="GT")
+    rep.add_argument("--book-col", default="book")
+    rep.add_argument("--num-cpus", type=int, default=8)
+
     trn = sub.add_parser("train", help="train the BIDILSTM+CTC recognizer on GT line rows (ocrd-cis-ocropy-train analog)")
     trn.add_argument("-i", "--input", required=True, help="parquet of line rows (pixels, gt_text)")
     trn.add_argument("--model", required=True, help="output model pickle path")
@@ -89,7 +97,8 @@ def main(argv=None):
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         # `ray job submit` / cluster runs set RAY_ADDRESS (often "auto"):
         # attach to that cluster and let IT own resources; only a truly
         # local run pins num_cpus (the north_rule's submit path —
@@ -162,6 +171,29 @@ def main(argv=None):
                 lambda df: df[df["keep"] == 1], batch_format="pandas"
             ).count()
             print(json.dumps({"rows": out.count(), "kept": kept, "output": args.output}))
+        elif args.cmd == "report":
+            from .stages.metrics import eval_rollup
+
+            sources = tuple(s for s in args.sources.split(",") if s)
+            rollup = eval_rollup(
+                rd.read_parquet(
+                    args.input,
+                    columns=[args.book_col, args.gt_col, *sources],
+                ),
+                sources=sources,
+                gt_col=args.gt_col,
+                book_col=args.book_col,
+            )
+            report = {
+                "sources": list(sources),
+                "books": sorted(
+                    b for b in rollup["book"].unique() if b != "__total__"
+                ),
+                "rows": rollup.to_dict(orient="records"),
+            }
+            with open(args.output, "w") as f:
+                json.dump(report, f, indent=1, sort_keys=True)
+            print(json.dumps({"books": len(report["books"]), "rows": len(rollup), "output": args.output}))
         elif args.cmd == "train":
             from .stages.lstm import train_recognizer
 
@@ -187,7 +219,10 @@ def main(argv=None):
             else:
                 print(json.dumps({"rows": flat.count()}))
     finally:
-        ray.shutdown()
+        # only tear down a session this invocation created — under
+        # pytest (or an embedding driver) the caller owns the session
+        if owns_session:
+            ray.shutdown()
     return 0
 
 

@@ -238,3 +238,96 @@ def cer_by_source(ds, *, source_col: str = "source", test_col: str = "text", gt_
         return b
 
     return out.map_batches(rate, batch_format="pandas")
+
+
+def eval_rollup_partials(
+    batch: pa.Table,
+    *,
+    sources: tuple[str, ...],
+    gt_col: str = "GT",
+    book_col: str = "book",
+) -> pa.Table:
+    """Per-block partial sums of the eval-report counters keyed by
+    (book, source) — the div/auswerter.py + div/eval.py per-directory
+    accounting (reference walks one book directory at a time,
+    eval.py:41-52, accumulating char distances and full-word hits per
+    model; auswerter.py drives the per-book model runs)."""
+    gt = batch[gt_col].to_pylist()
+    books = batch[book_col].to_pylist()
+    rows: dict[tuple, list[int]] = {}
+    for src in sources:
+        pred = batch[src].to_pylist()
+        for b, g, p in zip(books, gt, pred):
+            g = g or ""
+            p = p or ""
+            a = rows.setdefault((b, src), [0, 0, 0, 0, 0])
+            a[0] += 1
+            a[1] += len(g)
+            a[2] += levenshtein(p, g)
+            gw = g.split(" ")
+            pw = set(p.split(" "))
+            a[3] += len(gw)
+            a[4] += sum(1 for w in gw if w in pw)
+    keys = sorted(rows)
+    return pa.table(
+        {
+            "book": pa.array([k[0] for k in keys], pa.string()),
+            "source": pa.array([k[1] for k in keys], pa.string()),
+            "n_lines": pa.array([rows[k][0] for k in keys], pa.int64()),
+            "gt_chars": pa.array([rows[k][1] for k in keys], pa.int64()),
+            "char_errors": pa.array([rows[k][2] for k in keys], pa.int64()),
+            "gt_words": pa.array([rows[k][3] for k in keys], pa.int64()),
+            "words_recognized": pa.array([rows[k][4] for k in keys], pa.int64()),
+        }
+    )
+
+
+def eval_rollup(
+    wide_ds,
+    *,
+    sources: tuple[str, ...] = ("OCR-1", "OCR-2"),
+    gt_col: str = "GT",
+    book_col: str = "book",
+    books_ceiling: int = 1_000_000,
+) -> pd.DataFrame:
+    """Per-book / per-source evaluation rollup + grand-total rows — the
+    report artifact the reference's div/auswerter.py + div/eval.py
+    produce per book directory, as ONE streaming pass: per-block
+    (book, source) partial counters (integer-exact), one
+    map-side-combined bucketed exchange of the tiny partials, and a
+    LIMIT-bounded driver collect (raises past ``books_ceiling``
+    (book, source) groups — a rollup key with unbounded cardinality is
+    a misuse, not an OOM). The '__total__' book row per source is the
+    exact column sum of the per-book rows."""
+    from functools import partial
+
+    from ..shuffle import bucketed_aggregate
+
+    partials = wide_ds.map_batches(
+        partial(
+            eval_rollup_partials, sources=sources, gt_col=gt_col, book_col=book_col
+        ),
+        batch_format="pyarrow",
+    )
+    agg_cols = ["n_lines", "gt_chars", "char_errors", "gt_words", "words_recognized"]
+    out = (
+        bucketed_aggregate(
+            partials,
+            ["book", "source"],
+            {c: (c, "sum") for c in agg_cols},
+            combine=True,
+            num_buckets=16,
+        )
+        .limit(books_ceiling + 1)
+        .to_pandas()
+    )
+    if len(out) > books_ceiling:
+        raise ValueError(
+            f"eval_rollup: over {books_ceiling} (book, source) groups — "
+            f"'{book_col}' is not a rollup key"
+        )
+    totals = out.groupby("source", as_index=False)[agg_cols].sum()
+    totals.insert(0, "book", "__total__")
+    out = pd.concat([out, totals], ignore_index=True)
+    out["accuracy"] = 1.0 - out["char_errors"].astype("float64") / out["gt_chars"]
+    return out.sort_values(["book", "source"], kind="mergesort").reset_index(drop=True)

@@ -146,3 +146,52 @@ def test_round4_stages_via_build_pipeline(ray_session):
 
     assert int(pr.loc[0]) == 15 * SCALE // 100 + 85 * (2 * SCALE) // 100
     assert int(pr.loc[1]) == 15 * SCALE // 100
+
+
+def test_cli_report_rollup_golden(ray_session, tmp_path):
+    """CLI report (div/auswerter.py + div/eval.py analog): wide aligned
+    lines -> per-book/source JSON report artifact, checked against a
+    hand-computed golden."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from ocrd_cis_ray.__main__ import main
+
+    # two books, two sources; counters are small enough to hand-check
+    tbl = pa.table(
+        {
+            "book": ["b1", "b1", "b2"],
+            "GT": ["ab cd", "ef", "ab"],
+            # OCR-1: perfect on b1 line 1, one char error on line 2 + b2
+            "OCR-1": ["ab cd", "eX", "aX"],
+            # OCR-2: drops a word on b1 line 1, perfect elsewhere
+            "OCR-2": ["ab", "ef", "ab"],
+        }
+    )
+    src = tmp_path / "wide"
+    src.mkdir()
+    pq.write_table(tbl, str(src / "part.parquet"))
+    out = tmp_path / "report.json"
+
+    rc = main(["report", "-i", str(src), "-o", str(out)])
+    assert rc == 0
+    report = _json.loads(out.read_text())
+    assert report["books"] == ["b1", "b2"]
+    rows = {(r["book"], r["source"]): r for r in report["rows"]}
+
+    golden = {
+        # book, source: (n_lines, gt_chars, char_errors, gt_words, words_recognized)
+        ("b1", "OCR-1"): (2, 7, 1, 3, 2),
+        ("b1", "OCR-2"): (2, 7, 3, 3, 2),
+        ("b2", "OCR-1"): (1, 2, 1, 1, 0),
+        ("b2", "OCR-2"): (1, 2, 0, 1, 1),
+        ("__total__", "OCR-1"): (3, 9, 2, 4, 2),
+        ("__total__", "OCR-2"): (3, 9, 3, 4, 3),
+    }
+    assert set(rows) == set(golden)
+    for key, (nl, gc, ce, gw, wr) in golden.items():
+        r = rows[key]
+        assert (r["n_lines"], r["gt_chars"], r["char_errors"], r["gt_words"],
+                r["words_recognized"]) == (nl, gc, ce, gw, wr), key
+        assert r["accuracy"] == 1.0 - ce / gc
