@@ -966,36 +966,9 @@ def q108_fetch_schedule(sf_dir: str):
     robots Crawl-delay). One bucketed host exchange over the ALREADY
     tiny frontier; the rank is a vectorized per-bucket sort + cumcount.
     Oracle nests the full q101 SQL and applies the same window."""
-    import pandas as _pd
+    from ocrd_cis_ray.stages.frontier import fetch_schedule
 
-    from ocrd_cis_ray.shuffle import bucketed_groupby
-    from ocrd_cis_ray.stages.urlfilter import url_domain
-
-    frontier = q101_crawl_frontier(sf_dir)
-
-    def add_host(t: pa.Table) -> pa.Table:
-        host = pc.utf8_lower(pc.fill_null(url_domain(t["url"]), ""))
-        return t.append_column("host", host)
-
-    withhost = frontier.map_batches(add_host, batch_format="pyarrow")
-
-    def schedule(df: _pd.DataFrame) -> _pd.DataFrame:
-        df = df.sort_values(
-            ["n_refs", "url"], ascending=[False, True], kind="mergesort"
-        )
-        slot = df.groupby("host", sort=False).cumcount().to_numpy()
-        delay = df["host"].str.len().to_numpy() % 3 + 1
-        return _pd.DataFrame(
-            {
-                "url": df["url"].to_numpy(),
-                "n_refs": df["n_refs"].to_numpy().astype("int64"),
-                "host": df["host"].to_numpy(),
-                "slot": slot.astype("int64"),
-                "fetch_offset_s": (slot * delay).astype("int64"),
-            }
-        )
-
-    return bucketed_groupby(withhost, "host", schedule, whole_bucket=True)
+    return fetch_schedule(q101_crawl_frontier(sf_dir))
 
 
 def q109_length_percentiles(sf_dir: str):
@@ -1771,59 +1744,11 @@ def q101_crawl_frontier(sf_dir: str):
     three (measured 7.2s -> ~3s warm at sf0.1). Oracle mirrors the
     whole composition in SQL (targets GROUP BY minus the canonical
     set)."""
-    import pandas as _pd
-
-    from ocrd_cis_ray.shuffle import bucketed_groupby
-    from ocrd_cis_ray.stages.urlfilter import (
-        canonicalize_urls,
-        synthesize_urls_batch,
-    )
+    from ocrd_cis_ray.stages.frontier import outlink_frontier
 
     links = q91_outlinks(sf_dir)
-
-    def tgt_partial(t: pa.Table) -> pa.Table:
-        # map-side combine: (url, partial count, side=0)
-        tc = pa.table(
-            {"url": t.filter(pc.equal(t["kind"], "a"))["url_target"]}
-        )
-        vc = pc.value_counts(tc["url"].combine_chunks())
-        urls = vc.field("values")
-        counts = pc.cast(vc.field("counts"), pa.int64())
-        return pa.table(
-            {
-                "url": urls,
-                "n_refs": counts,
-                "__seen": pa.array(np.zeros(len(urls), np.int8)),
-            }
-        )
-
     docs = _read(sf_dir, "documents", ["doc_id", "source"])
-
-    def seen(t: pa.Table) -> pa.Table:
-        u = synthesize_urls_batch(t)
-        # batch-local unique: the canonical URL recurs across docs
-        # (mod-300 classes); dedup before the exchange, not after
-        uniq = canonicalize_urls(u["url"]).unique()
-        return pa.table(
-            {
-                "url": uniq,
-                "n_refs": pa.array(np.zeros(len(uniq), np.int64)),
-                "__seen": pa.array(np.ones(len(uniq), np.int8)),
-            }
-        )
-
-    both = links.map_batches(tgt_partial, batch_format="pyarrow").union(
-        docs.map_batches(seen, batch_format="pyarrow")
-    )
-
-    def merge(df: _pd.DataFrame) -> _pd.DataFrame:
-        g = df.groupby("url", sort=False).agg(
-            n_refs=("n_refs", "sum"), seen=("__seen", "max")
-        )
-        g = g[(g["seen"] == 0) & (g["n_refs"] > 0)]
-        return g.reset_index()[["url", "n_refs"]].astype({"n_refs": "int64"})
-
-    return bucketed_groupby(both, "url", merge, whole_bucket=True)
+    return outlink_frontier(links, docs)
 
 
 def q102_anchor_index(sf_dir: str):
