@@ -154,9 +154,14 @@ def rebalance_pages(pages, *, n_partitions: int | None = None, threshold: float 
     def with_bytes(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return t.append_column(
-            "media_bytes", pc.cast(pc.binary_length(t["pixels"]), pa.int64())
-        )
+        if "pixels" in t.column_names:
+            return t.append_column(
+                "media_bytes", pc.cast(pc.binary_length(t["pixels"]), pa.int64())
+            )
+        # sidecar mode: the payload byte length rides in the cas ref
+        # (cas://<hash>/<nbytes>) — weight by it without fetching
+        sizes = [int(r.rsplit("/", 1)[-1]) for r in t["media_ref"].to_pylist()]
+        return t.append_column("media_bytes", pa.array(sizes, pa.int64()))
 
     # pages is already materialized; the byte-append map is cheap enough
     # to recompute for the two consumers below (no second materialize)
@@ -280,7 +285,8 @@ class DualChannelOCR:
     full of workers). Recognition state (template bank / LSTM) loads
     once per actor, shared by both channels."""
 
-    def __init__(self, *, seed: int = 42, model_path: str | None = None, emit_wide: bool = False):
+    def __init__(self, *, seed: int = 42, model_path: str | None = None, emit_wide: bool = False,
+                 sidecar_root: str | None = None):
         from ..stages.recognize import Recognizer
 
         # text_only: the chain consumes line TEXT only — word/glyph
@@ -290,6 +296,22 @@ class DualChannelOCR:
         )
         self.seed = seed
         self.emit_wide = emit_wide
+        self.sidecar_root = sidecar_root
+
+    def _hydrate(self, batch: pa.Table) -> pa.Table:
+        """Sidecar mode: the page rows arrive pixel-less (media_ref
+        only); fetch the payloads HERE — after every exchange — with
+        per-batch ref dedup. Inline mode is a no-op."""
+        if self.sidecar_root is None or "pixels" in batch.column_names:
+            return batch
+        from ..state.mediastore import _store_for
+
+        store = _store_for(self.sidecar_root)
+        refs = batch["media_ref"].to_pylist()
+        blobs = store.get_many(refs)
+        return batch.append_column(
+            "pixels", pa.array([blobs[r] for r in refs], pa.large_binary())
+        )
 
     def _channel_lines(self, batch: pa.Table):
         """Run every engine channel over the (media-only) page batch;
@@ -305,6 +327,7 @@ class DualChannelOCR:
             yield source, conf, self.rec(t)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = self._hydrate(batch)
         if self.emit_wide:
             return self._call_wide(batch)
         outs = []
@@ -472,11 +495,22 @@ def run_ocr_chain(
     concurrency: int = 4,
     rebalance: bool = True,
     out_dir: str | None = None,
+    media_sidecar: str | None = None,
 ):
     """Full chain; returns a summary frame
     (stage, source, char_errors, gt_chars, char_error_rate) with one
     'raw' row per OCR source and one 'postcorrected' row for OCR-2
     (the noisier engine — the reference corrects the aligned master).
+
+    ``media_sidecar``: root of a content-addressed sidecar store
+    (state/mediastore.py). When set, the rendered pixels are
+    externalized right after the render — page rows carry only the
+    ``cas://`` ref, so the materialize and any rebalance exchange move
+    O(refs) rows — and the OCR actor hydrates them lazily per batch.
+    The default (None) keeps inline payloads: on this corpus the media
+    is written + read exactly once either way, so inline avoids the
+    extra blob round-trip; sidecar wins as soon as more than one stage
+    or run consumes the same media, or an exchange would move it.
 
     Shuffle budget: ZERO media-or-line exchanges. The page row carries
     its GT text, both OCR channels run fused per actor, and the wide
@@ -526,10 +560,15 @@ def run_ocr_chain(
         # rebalance=True re-partitions by byte-weighted doc_id ranges so the
         # fan-out sees equal-byte blocks even under media-size skew
         rb_stats = None
+        pages = synth_pages(sf_dir, carry_text=True)
+        if media_sidecar is not None:
+            from ..state.mediastore import externalize_media
+
+            pages = externalize_media(pages, media_sidecar)
         if rebalance:
-            pages, rb_stats = rebalance_pages(synth_pages(sf_dir, carry_text=True))
+            pages, rb_stats = rebalance_pages(pages)
         else:
-            pages = synth_pages(sf_dir, carry_text=True).materialize()
+            pages = pages.materialize()
         _mark("pages")
         pool_max_ocr = max(concurrency, int(ray.cluster_resources().get("CPU", concurrency)))
         # ZERO-shuffle wide frame: the page row carries its GT text, both
@@ -541,7 +580,7 @@ def run_ocr_chain(
         # long-form variant rows (q50–q52, align eval).
         wide = pages.map_batches(
             DualChannelOCR,
-            fn_constructor_kwargs={"emit_wide": True},
+            fn_constructor_kwargs={"emit_wide": True, "sidecar_root": media_sidecar},
             batch_format="pyarrow",
             batch_size=8,
             concurrency=(max(1, pool_max_ocr // 2), pool_max_ocr),

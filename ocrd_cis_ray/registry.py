@@ -455,6 +455,32 @@ def _pq_encode(ds, **p):
 
 
 @register_stage(
+    "externalize_media",
+    defaults={"payload_col": "pixels", "ref_col": "media_ref"},
+    allowed=("root", "payload_col", "ref_col"),
+    produces_feature="externalized",
+    description="write inline media payloads to a content-addressed sidecar store and carry only cas:// refs — exchanges downstream move O(refs), not O(pixels) (state/mediastore.py)",
+)
+def _externalize_media(ds, root, **p):
+    from .state.mediastore import externalize_media
+
+    return externalize_media(ds, root, **p)
+
+
+@register_stage(
+    "fetch_media",
+    defaults={"ref_col": "media_ref", "payload_col": "pixels", "batch_size": 64},
+    allowed=("root", "ref_col", "payload_col", "batch_size"),
+    produces_feature="hydrated",
+    description="lazy sidecar fetch: re-attach payloads from the content-addressed store inside the consuming stage, batch-deduplicated per distinct ref",
+)
+def _fetch_media(ds, root, **p):
+    from .state.mediastore import fetch_media
+
+    return fetch_media(ds, root, **p)
+
+
+@register_stage(
     "grouped_percentiles",
     defaults={"ps": (0.5, 0.9, 0.99), "group": "lang", "score_col": "score"},
     description="exact per-group percentiles from one CDF exchange (no sort) — corpus profiling; terminal reduction, deferred to consumption (LazyPipeline), yielding the tiny per-group summary as a new Dataset",
