@@ -786,6 +786,65 @@ def q76_semdedup_pairs(sf_dir: str):
     return semdedup_collapse(ds, threshold=0.45)
 
 
+def q114_flac_roundtrip(sf_dir: str):
+    """REAL FLAC compressed-audio path (pure-numpy RFC 9639 codec,
+    ``sources/flac.py`` — closes the r4 compressed-audio env stub),
+    distributed: per document synthesize a deterministic int16
+    waveform s[i] = ((doc_id·31 + i·7) % 4001) − 2000 of length
+    400 + doc_id % 300, encode with doc_id-varied codec knobs
+    (partition_order = doc_id % 3 exercising 1/2/4 rice partitions,
+    rice_method = doc_id % 2 exercising the 4- and 5-bit parameter
+    paths, LPC for every third doc, mid/side stereo for every fourth)
+    and decode via the multimodal ``decode_audio``-adjacent
+    ``decode_flac``. FLAC is LOSSLESS, so every emitted fact is
+    bit-exact and the oracle recomputes them structurally from the
+    formula: n_samples, sample_sum, and pos_checksum =
+    Σ s[i]·(i+1) — position-weighted, so SEQUENCE order (not just the
+    multiset) must survive the round-trip (the north_rule's
+    span-sequence-equality discipline applied to audio samples).
+
+    Reference intent: opaque-binary media columns with typed metadata
+    (SURVEY §2.1 image loader analog for compressed audio)."""
+    from ocrd_cis_ray.sources.flac import decode_flac, encode_flac
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ns, sums, cks = [], [], []
+        for did in ids:
+            did = int(did)
+            n = 400 + did % 300
+            i = np.arange(n, dtype=np.int64)
+            s = (((did * 31 + i * 7) % 4001) - 2000).astype(np.int16)
+            if did % 4 == 0:
+                x = np.stack([s, (-s).astype(np.int16)], axis=1)
+                enc = encode_flac(x, 16_000, stereo_mode="mid-side",
+                                  partition_order=did % 3, rice_method=did % 2)
+                dec = decode_flac(enc, verify_md5=True)[0][:, 0]
+            else:
+                enc = encode_flac(
+                    s, 16_000,
+                    method="lpc" if did % 3 == 0 else "fixed",
+                    partition_order=did % 3, rice_method=did % 2,
+                )
+                dec = decode_flac(enc, verify_md5=True)[0]
+            d64 = dec.astype(np.int64)
+            ns.append(len(d64))
+            sums.append(int(d64.sum()))
+            cks.append(int((d64 * (np.arange(len(d64)) + 1)).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "sample_sum": pa.array(sums, pa.int64()),
+                "pos_checksum": pa.array(cks, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
 def q111_semdedup_oracle(sf_dir: str):
     """The FULL SemDeDup path (k-means partition + per-cluster greedy
     collapse — the same ``semdedup`` the rows-only q54 runs) made
@@ -3189,13 +3248,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q111_semdedup_oracle": q111_semdedup_oracle,
         "q112_align_editops_oracle": q112_align_editops_oracle,
         "q113_eval_rollup": q113_eval_rollup,
+        "q114_flac_roundtrip": q114_flac_roundtrip,
         # -- r4-green queries whose kernels round 5 refactors ----------
         "q104_quality_tiers": q104_quality_tiers,
         "q109_length_percentiles": q109_length_percentiles,
         "q106_data_mixture": q106_data_mixture,
         "q101_crawl_frontier": q101_crawl_frontier,
-        "q108_fetch_schedule": q108_fetch_schedule,
         # ---------------- 50-query window boundary -------------------
+        "q108_fetch_schedule": q108_fetch_schedule,
         "q97_compliance_chain": q97_compliance_chain,
         "q88_webcorpus_gates": q88_webcorpus_gates,
         "q84_url_filter": q84_url_filter,
@@ -4737,6 +4797,15 @@ SELECT book, source, n_lines, gt_chars, char_errors, gt_words,
        words_recognized,
        1 - CAST(char_errors AS DOUBLE) / gt_chars AS accuracy
 FROM (SELECT * FROM base UNION ALL SELECT * FROM tot)
+""",
+        "q114_flac_roundtrip": """
+SELECT d.doc_id,
+       CAST(400 + d.doc_id % 300 AS BIGINT) AS n_samples,
+       CAST(SUM(((d.doc_id * 31 + ii.i * 7) % 4001) - 2000) AS BIGINT) AS sample_sum,
+       CAST(SUM((((d.doc_id * 31 + ii.i * 7) % 4001) - 2000) * (ii.i + 1)) AS BIGINT) AS pos_checksum
+FROM documents d,
+     UNNEST(generate_series(0, CAST(400 + d.doc_id % 300 AS INT) - 1)) AS ii(i)
+GROUP BY d.doc_id
 """,
         "q110_jpeg_roundtrip": """
 SELECT d.doc_id,

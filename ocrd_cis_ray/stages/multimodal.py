@@ -13,13 +13,14 @@ All three modalities have a REAL decode path with no external
 library: image = PNG (stdlib-zlib codec, 8-bit gray/RGB/RGBA, all
 five scanline filters) AND baseline JPEG (pure numpy T.81 codec,
 ``sources/jpeg.py``) plus the raw-gray codec; audio = PCM WAV via
-the stdlib ``wave`` module (8/16/32-bit, mono or multichannel); video
-= Y4M/YUV4MPEG2 (the ffmpeg-interoperable uncompressed container).
-The remaining COMPRESSED codecs (mp3/flac, h264) still need
+the stdlib ``wave`` module (8/16/32-bit, mono or multichannel) AND
+FLAC (pure-numpy RFC 9639 codec, ``sources/flac.py``); video =
+Y4M/YUV4MPEG2 (the ffmpeg-interoperable uncompressed container).
+The remaining LOSSY codecs (mp3/ogg, h264) still need
 soundfile/PyAV and raise ``NotImplementedError`` with the
 production hint; with ``fake=True`` the audio/video decoders
-synthesize a deterministic payload-derived array so the compressed
-path's plumbing (schema, batch size, actor signature, output layout)
+synthesize a deterministic payload-derived array so that path's
+plumbing (schema, batch size, actor signature, output layout)
 stays exercised and tested.
 
 Batch sizing: media rows are wide; stages default to small batches
@@ -66,12 +67,15 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 def decode_audio(payload: bytes, *, fake: bool = False) -> np.ndarray:
     """Audio decode — REAL for PCM WAV (stdlib ``wave``: 8/16/32-bit,
-    any channel count, downmixed to mono for the feature kernels).
+    any channel count) and FLAC (pure-numpy RFC 9639 codec in
+    ``sources/flac.py``: all subframe types, both rice methods,
+    all four channel layouts, CRC-verified), downmixed to mono for
+    the feature kernels.
 
-    Non-WAV codecs (mp3/flac/ogg) still need an external library
+    Lossy codecs (mp3/ogg) still need an external library
     (soundfile/librosa) and raise ``NotImplementedError`` with the
     production hint. ``fake=True`` keeps the deterministic
-    payload-derived waveform for plumbing tests of the non-WAV path.
+    payload-derived waveform for plumbing tests of that path.
     """
     if fake:
         b = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
@@ -83,9 +87,18 @@ def decode_audio(payload: bytes, *, fake: bool = False) -> np.ndarray:
         if samples.ndim == 2:  # downmix: equal-weight channel mean
             samples = samples.mean(axis=1).astype(np.float32)
         return samples
+    if payload[:4] == b"fLaC":
+        from ..sources.flac import decode_flac
+
+        samples, _sr = decode_flac(payload)
+        out = samples.astype(np.float32) / 32768.0  # int16 grid, the encoder's bps
+        if out.ndim == 2:
+            out = out.mean(axis=1).astype(np.float32)
+        return out
     raise NotImplementedError(
-        "non-WAV audio decode requires an audio library (soundfile/librosa); "
-        "PCM WAV decodes natively, or run with fake=True for plumbing tests"
+        "lossy audio decode (mp3/ogg) requires an audio library "
+        "(soundfile/librosa); PCM WAV and FLAC decode natively, or run "
+        "with fake=True for plumbing tests"
     )
 
 
