@@ -845,6 +845,59 @@ def q114_flac_roundtrip(sf_dir: str):
     return ds.map_batches(roundtrip, batch_format="pyarrow")
 
 
+def q115_mjpeg_roundtrip(sf_dir: str):
+    """REAL compressed-VIDEO path: Motion-JPEG in the RIFF/AVI
+    container (``sources/avi.py`` composing the T.81 JPEG codec per
+    frame — the MJPEG cameras/OpenCV 'MJPG' produce), distributed: per
+    document synthesize 2 + doc_id % 5 constant-luma frames (frame f
+    has value (doc_id + 7·f) % 256; dims 8 + doc_id % 9 ×
+    16 + doc_id % 13, deliberately non-MCU-aligned) at
+    fps = 10 + doc_id % 20, encode to AVI at JPEG quality 95 4:4:4 —
+    constant blocks are DC-only and DC-exact at q95, so the luma
+    round-trip is BIT-EXACT — decode through the multimodal
+    ``decode_video_frames`` sniff, and emit facts the oracle recomputes
+    structurally: n_frames, fps_x1000 (the strh dwRate/dwScale
+    rational), and luma_sum = Σ_f v_f·h·w.
+
+    Reference intent: SURVEY §2.1 image loader analog for video
+    containers; the inter-frame codecs (H.264/VP9) remain the only
+    documented video env stubs."""
+    from ocrd_cis_ray.sources.avi import encode_mjpeg_avi
+    from ocrd_cis_ray.stages.multimodal import decode_video_frames
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        from ocrd_cis_ray.sources.avi import decode_mjpeg_avi
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nfs, fpss, sums = [], [], []
+        for did in ids:
+            did = int(did)
+            n = 2 + did % 5
+            h, w = 8 + did % 9, 16 + did % 13
+            fps = 10 + did % 20
+            frames = np.stack(
+                [np.full((h, w), (did + 7 * f) % 256, np.uint8) for f in range(n)]
+            )
+            avi = encode_mjpeg_avi(frames, fps=fps, quality=95, subsampling="4:4:4")
+            dec = decode_video_frames(avi)  # sniffs RIFF/AVI
+            _, got_fps = decode_mjpeg_avi(avi)
+            nfs.append(dec.shape[0])
+            fpss.append(int(round(got_fps * 1000)))
+            sums.append(int(dec.astype(np.int64).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_frames": pa.array(nfs, pa.int64()),
+                "fps_x1000": pa.array(fpss, pa.int64()),
+                "luma_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
 def q111_semdedup_oracle(sf_dir: str):
     """The FULL SemDeDup path (k-means partition + per-cluster greedy
     collapse — the same ``semdedup`` the rows-only q54 runs) made
@@ -3249,12 +3302,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q112_align_editops_oracle": q112_align_editops_oracle,
         "q113_eval_rollup": q113_eval_rollup,
         "q114_flac_roundtrip": q114_flac_roundtrip,
+        "q115_mjpeg_roundtrip": q115_mjpeg_roundtrip,
         # -- r4-green queries whose kernels round 5 refactors ----------
         "q104_quality_tiers": q104_quality_tiers,
-        "q109_length_percentiles": q109_length_percentiles,
         "q106_data_mixture": q106_data_mixture,
         "q101_crawl_frontier": q101_crawl_frontier,
         # ---------------- 50-query window boundary -------------------
+        # (q109 shares the grouped_score_counts substrate q104 guards;
+        # q108/q109 parked on green r4 rows)
+        "q109_length_percentiles": q109_length_percentiles,
         "q108_fetch_schedule": q108_fetch_schedule,
         "q97_compliance_chain": q97_compliance_chain,
         "q88_webcorpus_gates": q88_webcorpus_gates,
@@ -4797,6 +4853,15 @@ SELECT book, source, n_lines, gt_chars, char_errors, gt_words,
        words_recognized,
        1 - CAST(char_errors AS DOUBLE) / gt_chars AS accuracy
 FROM (SELECT * FROM base UNION ALL SELECT * FROM tot)
+""",
+        "q115_mjpeg_roundtrip": """
+SELECT d.doc_id,
+       CAST(2 + d.doc_id % 5 AS BIGINT) AS n_frames,
+       CAST((10 + d.doc_id % 20) * 1000 AS BIGINT) AS fps_x1000,
+       CAST(SUM(((d.doc_id + 7 * ff.f) % 256) * (8 + d.doc_id % 9) * (16 + d.doc_id % 13)) AS BIGINT) AS luma_sum
+FROM documents d,
+     UNNEST(generate_series(0, CAST(2 + d.doc_id % 5 AS INT) - 1)) AS ff(f)
+GROUP BY d.doc_id
 """,
         "q114_flac_roundtrip": """
 SELECT d.doc_id,

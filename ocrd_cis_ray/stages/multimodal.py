@@ -105,11 +105,13 @@ def decode_audio(payload: bytes, *, fake: bool = False) -> np.ndarray:
 def decode_video_frames(payload: bytes, *, fake: bool = False, frame_shape=(8, 8)) -> np.ndarray:
     """Video decode to (n_frames, h, w) uint8 luma frames — REAL for
     Y4M/YUV4MPEG2 (the ffmpeg-interoperable uncompressed container;
-    C420 chroma parsed and skipped, Cmono native).
+    C420 chroma parsed and skipped, Cmono native) AND Motion-JPEG in
+    AVI (``sources/avi.py``: RIFF walk + the engine's own baseline-JPEG
+    codec per frame; color frames reduce to ITU-R 601 luma).
 
-    Compressed video (h264/vp9/...) still needs PyAV/ffmpeg and raises
+    Inter-frame codecs (h264/vp9/...) still need PyAV/ffmpeg and raise
     ``NotImplementedError``. ``fake=True`` keeps the deterministic
-    payload-reshape for plumbing tests of the compressed path.
+    payload-reshape for plumbing tests of that path.
     """
     if fake:
         h, w = frame_shape
@@ -122,9 +124,16 @@ def decode_video_frames(payload: bytes, *, fake: bool = False, frame_shape=(8, 8
 
         frames, _fps = decode_y4m(payload)
         return frames
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from ..sources.avi import decode_mjpeg_avi
+        from ..sources.media import rgb_to_gray
+
+        frames, _fps = decode_mjpeg_avi(payload)
+        return np.stack([rgb_to_gray(f) for f in frames]) if frames else np.zeros((0, 0, 0), np.uint8)
     raise NotImplementedError(
-        "compressed video decode requires PyAV/ffmpeg; Y4M decodes "
-        "natively, or run with fake=True for plumbing tests"
+        "inter-frame video decode (h264/vp9) requires PyAV/ffmpeg; Y4M "
+        "and MJPEG-AVI decode natively, or run with fake=True for "
+        "plumbing tests"
     )
 
 
