@@ -170,6 +170,21 @@ def run_bench() -> dict:
     )
     rebalance_stats = chain_out.attrs.get("rebalance")
 
+    # same chain over the content-addressed media sidecar (rows carry
+    # cas:// refs; the OCR actor hydrates lazily) — the scale-layout
+    # variant; expected equal within noise since media is written+read
+    # once either way on this corpus
+    import shutil
+
+    shutil.rmtree("/tmp/graft_cas_bench", ignore_errors=True)
+    timed(
+        "flagship_ocr_chain_sidecar",
+        lambda: run_ocr_chain(
+            SF_DIR, concurrency=max(2, NUM_CPUS // 4), media_sidecar="/tmp/graft_cas_bench"
+        ),
+        repeat=1,
+    )
+
     # operator benchmarks over driver tables
     Q = entrymod.queries()
     for name in (
@@ -233,6 +248,10 @@ def run_bench() -> dict:
         "q107_ann_pq",
         "q108_fetch_schedule",
         "q109_length_percentiles",
+        "q110_jpeg_roundtrip",
+        "q113_eval_rollup",
+        "q114_flac_roundtrip",
+        "q115_mjpeg_roundtrip",
     ):
         fn = Q[name]
 
