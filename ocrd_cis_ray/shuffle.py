@@ -244,3 +244,63 @@ def bucketed_aggregate(ds, key, spec: dict, *, num_buckets: int | None = None, c
     return bucketed.groupby("__bucket").map_groups(
         partial(_agg_bucket, key=key, spec=spec), batch_format="pandas"
     )
+
+
+def _add_salted_bucket(df: pd.DataFrame, key, num_buckets: int, salts: int) -> pd.DataFrame:
+    import pandas.util as pdu
+
+    kh = pdu.hash_array(df[key].to_numpy())
+    salt = np.arange(len(df), dtype=np.uint64) % np.uint64(salts)
+    df = df.copy()
+    df["__salt"] = salt
+    df["__bucket"] = ((kh ^ (salt * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(num_buckets)).astype(np.int64)
+    return df
+
+
+def salted_groupby(ds, key, partial_fn, merge_fn, *, salts: int = 16, num_buckets: int | None = None):
+    """Two-phase groupby for HOT keys (the design brief's "salt hot
+    keys"): when one key holds a disproportionate share of the rows —
+    one viral URL's anchors, one boilerplate line's occurrences, one
+    mega-document's spans — a plain key-partitioned groupby lands that
+    key's entire row mass on a single task and the stage runs at the
+    straggler's speed. Salting splits every key into ``salts``
+    sub-groups spread across buckets:
+
+      phase 1: shuffle on hash(key, salt) — each (key, salt) slice is
+               ≤ 1/salts of the hot key's rows; ``partial_fn(group)``
+               reduces one slice to one (or few) partial row(s).
+      phase 2: the partials (≤ salts rows per key, tuple-weight)
+               re-group by the bare key; ``merge_fn(group)`` combines
+               them into the final per-key row(s).
+
+    Correct whenever the per-key computation decomposes into a
+    partial/merge pair (count/sum/min/max/top-k/HLL/any monoid).
+    Non-decomposable fns (a median over raw values) cannot be salted —
+    use ``bucketed_groupby`` and accept the hot-key straggler, or
+    restate the fn over a mergeable sketch.
+
+    Phase-2 input is `salts × n_keys` tuple-weight rows, so its
+    exchange is negligible; the heavy exchange (phase 1) is balanced
+    by construction. Deterministic: the salt is a row-position-free
+    function only within a batch — partial_fn/merge_fn must therefore
+    be order-insensitive over their group (true of any monoid reduce).
+    """
+    nb = num_buckets or n_default_buckets()
+
+    def apply_partial(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            bucket_df.drop(columns="__bucket")
+            .groupby([key, "__salt"], sort=False, group_keys=False)[
+                [c for c in bucket_df.columns if c not in ("__bucket",)]
+            ]
+            .apply(lambda g: partial_fn(g.drop(columns=["__salt"])))
+            .reset_index(drop=True)
+        )
+        return out
+
+    salted = ds.map_batches(
+        partial(_add_salted_bucket, key=key, num_buckets=nb, salts=salts),
+        batch_format="pandas",
+    )
+    partials = salted.groupby("__bucket").map_groups(apply_partial, batch_format="pandas")
+    return bucketed_groupby(partials, key, merge_fn, num_buckets=nb)

@@ -132,3 +132,56 @@ def test_bucketed_aggregate_combiner(ray_session):
     pd.testing.assert_frame_equal(
         plain.astype({"n": "int64"}), ref.astype({"n": "int64"}), check_like=True
     )
+
+
+class TestSaltedGroupby:
+    def test_matches_brute_on_skewed_keys(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ocrd_cis_ray.shuffle import salted_groupby
+
+        rng = np.random.default_rng(11)
+        # one viral key with 20k rows + 100 cold keys with ~10 rows
+        keys = ["hot"] * 20_000 + [f"k{i % 100}" for i in range(1_000)]
+        vals = rng.integers(0, 1000, len(keys))
+        df = pd.DataFrame({"url": keys, "v": vals})
+
+        def partial_fn(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"url": [g["url"].iloc[0]], "n": [len(g)], "s": [int(g["v"].sum())]}
+            )
+
+        def merge_fn(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"url": [g["url"].iloc[0]], "n": [int(g["n"].sum())], "s": [int(g["s"].sum())]}
+            )
+
+        got = (
+            salted_groupby(rd.from_pandas(df).repartition(8), "url", partial_fn, merge_fn)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        want = (
+            df.groupby("url", as_index=False)
+            .agg(n=("v", "size"), s=("v", "sum"))
+            .astype({"n": "int64", "s": "int64"})
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["url", "n", "s"]], want[["url", "n", "s"]])
+
+    def test_hot_key_spreads_across_buckets(self):
+        import pandas as pd
+
+        from ocrd_cis_ray.shuffle import _add_salted_bucket
+
+        df = pd.DataFrame({"url": ["hot"] * 5000, "v": range(5000)})
+        out = _add_salted_bucket(df, "url", num_buckets=32, salts=16)
+        # the single hot key must land on many buckets, not one
+        assert out["__bucket"].nunique() >= 8
+        # and each (key, salt) slice is bounded by ~1/salts of the rows
+        per_salt = out.groupby("__salt").size()
+        assert per_salt.max() <= len(df) // 16 + 16
