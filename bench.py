@@ -33,6 +33,68 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
+PROBE_REPL = int(os.environ.get("GRAFT_PROBE_REPL", "30"))
+
+
+def ensure_probe_corpus() -> str:
+    """Deterministic REPL× replication of the documents table (doc_id
+    offset per replica, text salted so content hashes differ) — the
+    scaling PROBE corpus. Shuffle-bearing ops at sf0.1 run in 1-2 s,
+    fully inside the fixed task-dispatch floor (they measure overhead,
+    not scaling: q97 is FASTER at 8 cpus than 32 there); at REPL× the
+    per-bucket work amortizes dispatch exactly as a 100-TB bucket
+    would, and the measurement reflects the exchange + kernel compute.
+    Built once, cached by file count."""
+    root = f"/tmp/graft_probe_{os.path.basename(SF_DIR.rstrip('/'))}_x{PROBE_REPL}"
+    docs = os.path.join(root, "documents.parquet")
+    if os.path.isdir(docs) and len(os.listdir(docs)) == 2 * PROBE_REPL:
+        return root
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(docs)
+    src = pq.read_table(f"{SF_DIR}/documents.parquet")
+    rows = src.num_rows
+    for k in range(PROBE_REPL):
+        t = src.set_column(0, "doc_id", pc.add(src["doc_id"], k * 10_000_000))
+        t = t.set_column(1, "text", pc.binary_join_element_wise(t["text"], f"r{k}", " "))
+        for j in range(2):
+            lo, hi = j * rows // 2, (j + 1) * rows // 2
+            pq.write_table(t.slice(lo, hi - lo), f"{docs}/part-{k:02d}-{j}.parquet")
+    return root
+
+
+def run_q97_probe() -> dict:
+    """One leg of the shuffle-scaling probe: q97 (the fused compliant-
+    crawl gate chain — robots + URL + Gopher + repetition kernels, two
+    flag-tuple exchanges) over the REPL× corpus, best-of-2."""
+    import ray
+    from ray.data import DataContext
+
+    root = ensure_probe_corpus()
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    DataContext.get_current().enable_progress_bars = False
+    import __ray_entry__ as entrymod
+
+    fn = entrymod.queries()["q97_compliance_chain"]
+    best, rows = 1e18, 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        rows = fn(root).count()
+        best = min(best, time.perf_counter() - t0)
+    ray.shutdown()
+    return {"q97_sec": round(best, 3), "rows": rows, "repl": PROBE_REPL, "num_cpus": NUM_CPUS}
+
+
 def run_bench() -> dict:
     import ray
     from ray.data import DataContext
@@ -333,6 +395,37 @@ def run_scaling() -> dict:
         except (ValueError, KeyError):
             pass
 
+    # shuffle-scaling probe at REPL× data: at sf0.1 the shuffle-bearing
+    # ops are 1-2 s of pure task-dispatch floor (q97 runs FASTER on 8
+    # cpus than 32 — the in-bench per_query above measures overhead,
+    # not scaling); the probe sizes the work so per-bucket compute
+    # amortizes dispatch the way a 100-TB bucket would
+    def probe(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_Q97_PROBE="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    try:
+        plo, phi = probe(lo_cpus), probe(hi_cpus)
+        psp = plo["q97_sec"] / phi["q97_sec"] if phi["q97_sec"] > 0 else 0.0
+        extra["q97_probe"] = {
+            "rows": phi["rows"],
+            "repl": phi["repl"],
+            "sec_lo": plo["q97_sec"],
+            "sec_hi": phi["q97_sec"],
+            "speedup": round(psp, 3),
+            "efficiency": round(psp / (hi_cpus / lo_cpus), 3),
+        }
+    except (subprocess.CalledProcessError, json.JSONDecodeError, KeyError):
+        pass
+
     return {
         "metric": f"scaling efficiency {lo_cpus}->{hi_cpus} cpus (flagship pipeline)",
         "value": round(eff, 3),
@@ -383,7 +476,9 @@ def _compact(result: dict) -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if os.environ.get("GRAFT_Q97_PROBE"):
+        print(json.dumps(run_q97_probe()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         result = run_bench()

@@ -105,3 +105,18 @@ def test_featurizer_handles_flac(smooth, ray_session):
     )
     row = featurize_media(ds).take_all()[0]
     assert row["ok"] and len(row["feature"]) == 8
+
+
+def test_utf8_frame_numbers_and_long_streams():
+    """Frame indices past 127 use the multi-byte UTF-8-style coding."""
+    from ocrd_cis_ray.sources.flac import _utf8_number
+
+    for v, want in [
+        (0, b"\x00"), (127, b"\x7f"), (128, b"\xc2\x80"), (0x7FF, b"\xdf\xbf"),
+        (0x800, b"\xe0\xa0\x80"), (0xFFFF, b"\xef\xbf\xbf"), (0x10000, b"\xf0\x90\x80\x80"),
+    ]:
+        assert _utf8_number(v) == want, v
+    rng = np.random.default_rng(5)
+    x = (1000 * np.sin(np.arange(300 * 64) / 30) + 50 * rng.standard_normal(300 * 64)).astype(np.int16)
+    dec, _ = decode_flac(encode_flac(x, 16_000, block_size=64), verify_md5=True)
+    assert np.array_equal(dec, x.astype(np.int32))
