@@ -143,7 +143,10 @@ class _BitReader:
             bits = self.bits
             ones_all = self.ones
             j = i0
+            n_ones = len(ones_all)
             for k in range(count):
+                if j >= n_ones:
+                    raise EOFError("flac: rice run past end of stream")
                 one_at = int(ones_all[j])
                 qv = one_at - pos
                 lo = 0

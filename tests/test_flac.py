@@ -120,3 +120,17 @@ def test_utf8_frame_numbers_and_long_streams():
     x = (1000 * np.sin(np.arange(300 * 64) / 30) + 50 * rng.standard_normal(300 * 64)).astype(np.int16)
     dec, _ = decode_flac(encode_flac(x, 16_000, block_size=64), verify_md5=True)
     assert np.array_equal(dec, x.astype(np.int32))
+
+
+def test_corruption_fuzz_raises_cleanly(smooth):
+    """Any single-byte flip must either decode fine or raise a clean
+    codec error (ValueError/EOFError) — never an internal IndexError."""
+    enc = bytearray(encode_flac(smooth[:3000], 16_000))
+    rng = np.random.default_rng(9)
+    for pos in rng.integers(0, len(enc), 80):
+        e2 = bytearray(enc)
+        e2[pos] ^= 0xFF
+        try:
+            decode_flac(bytes(e2), verify_md5=True)
+        except (ValueError, EOFError, NotImplementedError):
+            pass
