@@ -118,11 +118,42 @@ class LazyPipeline:
                 return LazyPipeline(lambda: getattr(self.force(), name)(*args, **kwargs))
 
             return deferred
+        if name == "groupby":
+            # groupby returns GroupedData, whose consumers (map_groups /
+            # aggregate) return Datasets — defer through a grouped proxy
+            # so shuffle-based stages compose without forcing the chain
+            def deferred_groupby(*args, **kwargs):
+                return _LazyGrouped(self, args, kwargs)
+
+            return deferred_groupby
         return getattr(self.force(), name)
 
     def __repr__(self) -> str:
         state = "realized" if self._forced is not None else "deferred"
         return f"LazyPipeline<{state}>"
+
+
+class _LazyGrouped:
+    """Deferred ``GroupedData``: stacks the groupby plus its consuming
+    call (map_groups/aggregate/...) into the LazyPipeline thunk chain."""
+
+    def __init__(self, parent: "LazyPipeline", args, kwargs):
+        self._parent = parent
+        self._args = args
+        self._kwargs = kwargs
+
+    def __getattr__(self, name: str):
+        if name.startswith("_"):
+            raise AttributeError(name)
+
+        def deferred(*a, **k):
+            return LazyPipeline(
+                lambda: getattr(
+                    self._parent.force().groupby(*self._args, **self._kwargs), name
+                )(*a, **k)
+            )
+
+        return deferred
 
 
 def build_pipeline(ds, config: list[dict]):

@@ -118,16 +118,20 @@ class _BitReader:
         return q
 
     def read_rice_block(self, param: int, count: int) -> np.ndarray:
-        """``count`` rice(param) residuals, vectorized: the unary
-        quotients come from consecutive entries of the ones index, the
-        low bits fold from one reshaped slice."""
+        """``count`` rice(param) residuals. param == 0: the unary
+        terminators are exactly consecutive entries of the ones index —
+        fully vectorized. param > 0: low-bit fields may contain one-bits,
+        so terminator discovery is a sequential walk — but O(1) per
+        residual via the cumulative-ones prefix (no per-bit loop, no
+        searchsorted per run), and the low bits fold afterwards in ONE
+        (count × param) vectorized gather."""
         if count == 0:
             return np.zeros(0, np.int64)
         i0 = int(np.searchsorted(self.ones, self.pos))
         if i0 + count > len(self.ones):
             raise EOFError("flac: rice block past end of stream")
-        ones = self.ones[i0 : i0 + count].astype(np.int64)
         if param == 0:
+            ones = self.ones[i0 : i0 + count].astype(np.int64)
             starts = np.empty(count, np.int64)
             starts[0] = self.pos
             starts[1:] = ones[:-1] + 1
@@ -135,30 +139,40 @@ class _BitReader:
             self.pos = int(ones[-1]) + 1
             u = q
         else:
-            # low bits directly follow each unary terminator; the next
-            # unary run starts after them, so consecutive ones entries
-            # are NOT adjacent runs — walk via explicit starts
-            u = np.empty(count, np.int64)
-            pos = self.pos
-            bits = self.bits
             ones_all = self.ones
-            j = i0
+            cum = self._cum_ones()
             n_ones = len(ones_all)
+            term = np.empty(count, np.int64)  # terminator bit positions
+            q = np.empty(count, np.int64)
+            pos = self.pos
+            j = i0
             for k in range(count):
                 if j >= n_ones:
                     raise EOFError("flac: rice run past end of stream")
                 one_at = int(ones_all[j])
-                qv = one_at - pos
-                lo = 0
-                base = one_at + 1
-                for b in bits[base : base + param]:
-                    lo = (lo << 1) | int(b)
-                u[k] = (qv << param) | lo
-                pos = base + param
-                # advance j past any one-bits consumed by the low bits
-                j = int(np.searchsorted(ones_all, pos))
+                term[k] = one_at
+                q[k] = one_at - pos
+                pos = one_at + 1 + param
+                # ones consumed by the low-bit field, from the prefix sum
+                j = j + 1 + int(cum[min(pos, len(cum) - 1)] - cum[one_at + 1])
+            if pos > len(self.bits):
+                raise EOFError("flac: rice low bits past end of stream")
             self.pos = pos
+            # one vectorized gather folds every low-bit field at once
+            idx = term[:, None] + 1 + np.arange(param, dtype=np.int64)[None, :]
+            lows = self.bits[idx].astype(np.int64)
+            weights = (1 << np.arange(param - 1, -1, -1, dtype=np.int64))
+            u = (q << param) | (lows @ weights)
         return (u >> 1) ^ -(u & 1)  # unfold zigzag
+
+    def _cum_ones(self) -> np.ndarray:
+        """cum[i] = number of one-bits strictly before bit i (cached)."""
+        c = getattr(self, "_cum", None)
+        if c is None:
+            c = np.zeros(len(self.bits) + 1, np.int64)
+            np.cumsum(self.bits, out=c[1:])
+            self._cum = c
+        return c
 
     def align_byte(self) -> None:
         self.pos = (self.pos + 7) & ~7
@@ -502,19 +516,21 @@ def _decode_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
     return out << wasted if wasted else out
 
 
-def decode_flac(payload: bytes, *, verify_md5: bool = False) -> tuple[np.ndarray, int]:
-    """Decode FLAC to (samples int32 (n,) or (n, ch), sample_rate).
-
-    Verifies header CRC-8 and frame CRC-16; ``verify_md5=True``
-    additionally checks the STREAMINFO MD5 (16-bit streams)."""
+def _parse_metadata(payload: bytes) -> tuple[int, bytes]:
+    """Walk the metadata blocks; return (first frame byte offset,
+    STREAMINFO payload). Clean EOFError on truncation."""
     if payload[:4] != b"fLaC":
         raise ValueError("not a flac stream")
     pos = 4
     si = None
     while True:
+        if pos + 4 > len(payload):
+            raise EOFError("flac: truncated metadata block header")
         hdr = payload[pos]
         typ, last = hdr & 0x7F, hdr & 0x80
         ln = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        if pos + 4 + ln > len(payload):
+            raise EOFError("flac: truncated metadata block body")
         if typ == 0:
             si = payload[pos + 4 : pos + 4 + ln]
         pos += 4 + ln
@@ -522,6 +538,30 @@ def decode_flac(payload: bytes, *, verify_md5: bool = False) -> tuple[np.ndarray
             break
     if si is None or len(si) < 34:
         raise ValueError("flac: missing STREAMINFO")
+    return pos, si
+
+
+def flac_streaminfo(payload: bytes) -> dict:
+    """STREAMINFO facts without decoding frames: sample_rate, channels,
+    bits_per_sample, total_samples, md5 (hex)."""
+    _, si = _parse_metadata(payload)
+    packed64 = int.from_bytes(si[10:18], "big")
+    return {
+        "sample_rate": packed64 >> 44,
+        "channels": ((packed64 >> 41) & 0x7) + 1,
+        "bits_per_sample": ((packed64 >> 36) & 0x1F) + 1,
+        "total_samples": packed64 & ((1 << 36) - 1),
+        "md5": si[18:34].hex(),
+    }
+
+
+def decode_flac(payload: bytes, *, verify_md5: bool = False) -> tuple[np.ndarray, int]:
+    """Decode FLAC to (samples int32 (n,) or (n, ch), sample_rate).
+
+    Verifies header CRC-8 and frame CRC-16; ``verify_md5=True``
+    additionally checks the STREAMINFO MD5 (16-bit streams).
+    ``flac_streaminfo`` exposes bits_per_sample for normalization."""
+    pos, si = _parse_metadata(payload)
     packed64 = int.from_bytes(si[10:18], "big")
     st_rate = packed64 >> 44
     st_bps = ((packed64 >> 36) & 0x1F) + 1

@@ -497,7 +497,6 @@ class _BitReader:
                 # real marker (RST/EOI): stop feeding, pad with 1s
                 self.acc = (self.acc << 8) | 0xFF
                 self.nbits += 8
-                self._at_marker = True
                 return
             self.pos += 1
             self.acc = (self.acc << 8) | b

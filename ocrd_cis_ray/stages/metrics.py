@@ -329,5 +329,10 @@ def eval_rollup(
     totals = out.groupby("source", as_index=False)[agg_cols].sum()
     totals.insert(0, "book", "__total__")
     out = pd.concat([out, totals], ignore_index=True)
-    out["accuracy"] = 1.0 - out["char_errors"].astype("float64") / out["gt_chars"]
+    # gt_chars == 0 (a group whose GT lines are all empty) would divide
+    # to inf/NaN and the CLI report would emit non-RFC JSON literals;
+    # define accuracy over an empty reference as 1.0 iff no errors
+    gt = out["gt_chars"].astype("float64")
+    err = out["char_errors"].astype("float64")
+    out["accuracy"] = np.where(gt > 0, 1.0 - err / np.maximum(gt, 1.0), np.where(err > 0, 0.0, 1.0))
     return out.sort_values(["book", "source"], kind="mergesort").reset_index(drop=True)

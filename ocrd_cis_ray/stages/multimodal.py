@@ -88,10 +88,11 @@ def decode_audio(payload: bytes, *, fake: bool = False) -> np.ndarray:
             samples = samples.mean(axis=1).astype(np.float32)
         return samples
     if payload[:4] == b"fLaC":
-        from ..sources.flac import decode_flac
+        from ..sources.flac import decode_flac, flac_streaminfo
 
         samples, _sr = decode_flac(payload)
-        out = samples.astype(np.float32) / 32768.0  # int16 grid, the encoder's bps
+        bps = flac_streaminfo(payload)["bits_per_sample"]  # 8..24: scale by the stream's own grid
+        out = samples.astype(np.float32) / float(1 << (bps - 1))
         if out.ndim == 2:
             out = out.mean(axis=1).astype(np.float32)
         return out

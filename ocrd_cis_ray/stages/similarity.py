@@ -94,15 +94,16 @@ def brute_topk(ds, query_ids, query_mat: np.ndarray, *, k: int = 5, id_col: str 
     return cands.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
-def _train_sample(ds, sample_size: int, vec_col: str) -> np.ndarray:
+def _train_sample(ds, sample_size: int, vec_col: str, seed: int = 42) -> np.ndarray:
     """Codebook/quantizer training sample: randomize block order first
     (seeded — the weighted_ranges precedent in state/manifest.py) so
     take() draws from across the keyspace instead of whatever blocks
     execute first; on an id- or cluster-sorted corpus a head sample
     trains codebooks on one corner of the space and recall silently
-    degrades."""
+    degrades. The caller's seed reaches the draw too, so seeded runs
+    are independent where it matters (not only in k-means init)."""
     return _as_matrix(
-        pd.DataFrame(ds.randomize_block_order(seed=42).take(sample_size))[vec_col]
+        pd.DataFrame(ds.randomize_block_order(seed=seed).take(sample_size))[vec_col]
     )
 
 
@@ -142,7 +143,7 @@ def ivf_topk(ds, query_ids, query_mat: np.ndarray, *, k: int = 5, nlist: int = 1
     """
     import ray
 
-    sample = _train_sample(ds, sample_size, vec_col)
+    sample = _train_sample(ds, sample_size, vec_col, seed=seed)
     index = IVFIndex(sample, nlist=nlist, seed=seed)
     qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
     # buckets each query probes → inverted: queries per centroid
@@ -519,7 +520,7 @@ def pq_topk(
     ranking, so recall is measured directly against ``brute_topk``."""
     import ray
 
-    sample = _train_sample(ds, sample_size, vec_col)
+    sample = _train_sample(ds, sample_size, vec_col, seed=seed)
     pq_ = PQCodebooks(sample, m=m, ksub=ksub, seed=seed)
     qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
     lut = pq_.lut(qmat)

@@ -70,3 +70,31 @@ def test_chain_writes_resumable_corrected_corpus(ray_session, sf_dir, tmp_path):
     mdir = os.path.join(out_dir, "_manifest")
     recs = [json.load(open(os.path.join(mdir, f))) for f in os.listdir(mdir)]
     assert recs and all(r.get("stage") == "postcorrect" for r in recs)
+
+
+def test_eval_rollup_empty_gt_group_stays_finite(ray_session):
+    """(book, source) groups whose GT is all-empty must yield finite
+    accuracy (JSON-serializable report), not inf/NaN."""
+    import json
+
+    import numpy as np
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.metrics import eval_rollup
+
+    wide = rd.from_arrow(
+        pa.table(
+            {
+                "book": pa.array(["b1", "b1", "b2"]),
+                "doc_id": pa.array(["b1/p1", "b1/p2", "b2/p1"]),
+                "line_no": pa.array([0, 0, 0], pa.int32()),
+                "OCR-1": pa.array(["x", "y", ""]),
+                "GT": pa.array(["", "", ""]),  # empty reference
+            }
+        )
+    )
+    out = eval_rollup(wide, sources=("OCR-1",))
+    assert np.isfinite(out["accuracy"]).all()
+    json.dumps(out.to_dict())  # strict-JSON serializable (no Infinity/NaN)

@@ -485,3 +485,41 @@ def test_build_pipeline_defers_eager_stages(ray_session, tmp_path):
     assert sentinel.exists()
     assert set(summary.columns) == {"lang", "n_docs", "p50", "p90"}
     assert len(summary) == 2
+
+
+def test_lazy_pipeline_defers_through_groupby(ray_session, tmp_path):
+    """An eager stage followed by a SHUFFLE-based consumer (groupby →
+    map_groups/aggregate, the bucketed-stage shape) must still compose
+    without executing — the review gap: groupby was missing from the
+    deferral surface, so any bucketed stage after quantile_tiers forced
+    the chain at build time."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.registry import LazyPipeline, build_pipeline
+
+    sentinel = tmp_path / "upstream_ran_gb"
+
+    def traced(df: pd.DataFrame) -> pd.DataFrame:
+        sentinel.write_text("x")
+        return df
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(300, dtype=np.int64),
+            "lang": rng.choice(["de", "en"], 300),
+            "score": rng.integers(0, 50, 300).astype(np.int64),
+        }
+    )
+    base = rd.from_pandas(df).repartition(4).map_batches(traced, batch_format="pandas")
+    tiers = build_pipeline(base, [{"stage": "quantile_tiers", "params": {"n_tiles": 3}}])
+
+    def per_tier(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"tier": [g["tier"].iloc[0]], "n": [len(g)]})
+
+    counted = tiers.groupby("tier").map_groups(per_tier, batch_format="pandas")
+    assert isinstance(counted, LazyPipeline)
+    assert not sentinel.exists(), "groupby after an eager stage forced the chain at compose time"
+    out = counted.to_pandas().sort_values("tier").reset_index(drop=True)
+    assert sentinel.exists()
+    assert out["n"].sum() == 300 and len(out) == 3
