@@ -120,6 +120,29 @@ class MediaStore:
             n += sum(1 for f in files if f.endswith(".bin"))
         return n
 
+    def sweep(self, live_refs, *, dry_run: bool = False) -> dict:
+        """Garbage-collect blobs not in ``live_refs`` (mark-and-sweep:
+        datasets hold refs, the store holds blobs — dropped rows leave
+        orphans only a sweep can reclaim). Returns {kept, deleted,
+        bytes_freed}. ``dry_run`` reports without deleting. The live
+        set is hashes, so it costs ~48 B/ref on the driver — pair with
+        ``live_refs_of`` (bounded distinct-ref collection) upstream."""
+        live = {_parse_ref(r)[0] for r in live_refs}
+        kept = deleted = freed = 0
+        for dirpath, _, files in os.walk(self.root):
+            for f in files:
+                if not f.endswith(".bin"):
+                    continue
+                if f[:-4] in live:
+                    kept += 1
+                    continue
+                path = os.path.join(dirpath, f)
+                freed += os.path.getsize(path)
+                deleted += 1
+                if not dry_run:
+                    os.remove(path)
+        return {"kept": kept, "deleted": deleted, "bytes_freed": freed}
+
 
 # ---------------------------------------------------------------------------
 # Dataset stages
@@ -160,6 +183,28 @@ def fetch_media(ds, root: str, *, ref_col: str = "media_ref", payload_col: str =
         return pa.table(cols)
 
     return ds.map_batches(read, batch_format="pyarrow", batch_size=batch_size)
+
+
+def live_refs_of(ds, *, ref_col: str = "media_ref", ceiling: int = 5_000_000) -> set[str]:
+    """Distinct refs of a dataset, collected via per-batch unique
+    partials (each batch contributes its DISTINCT refs only, so the
+    exchange and the driver set are bounded by distinct-asset count,
+    not row count). Raises past ``ceiling`` instead of OOMing the
+    driver — shard the sweep by hash prefix beyond that."""
+
+    def uniq(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({ref_col: pc.unique(t[ref_col])})
+
+    out: set[str] = set()
+    for batch in ds.map_batches(uniq, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        out.update(batch[ref_col].to_pylist())
+        if len(out) > ceiling:
+            raise ValueError(
+                f"live_refs_of: over {ceiling} distinct refs — shard the sweep by hash prefix"
+            )
+    return out
 
 
 _STORES: dict[str, MediaStore] = {}

@@ -153,3 +153,46 @@ def test_ocr_chain_sidecar_parity(ray_session, sf_dir, tmp_path):
     a = inline.sort_values(["stage", "source"]).reset_index(drop=True)
     b = sidecar.sort_values(["stage", "source"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_sweep_reclaims_orphans(tmp_path, ray_session):
+    """Mark-and-sweep GC: blobs whose refs no longer appear in the
+    dataset are reclaimed; live ones survive byte-identical."""
+    import ray.data as rd
+
+    from ocrd_cis_ray.state.mediastore import live_refs_of
+
+    root = str(tmp_path / "cas")
+    store = MediaStore(root)
+    live_payloads = [bytes([i]) * 100 for i in range(5)]
+    refs = [store.put(p) for p in live_payloads]
+    orphans = [store.put(bytes([100 + i]) * 200) for i in range(3)]
+    assert store.n_blobs() == 8
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([str(i) for i in range(5)]), "media_ref": pa.array(refs)})
+    ).repartition(2)
+    live = live_refs_of(ds)
+    assert live == set(refs)
+
+    dry = store.sweep(live, dry_run=True)
+    assert dry == {"kept": 5, "deleted": 3, "bytes_freed": 600}
+    assert store.n_blobs() == 8  # dry run deletes nothing
+    stats = store.sweep(live)
+    assert stats["deleted"] == 3 and store.n_blobs() == 5
+    for r, p in zip(refs, live_payloads):
+        assert store.get(r) == p
+    for r in orphans:
+        with pytest.raises(FileNotFoundError):
+            store.get(r)
+
+
+def test_live_refs_ceiling(tmp_path, ray_session):
+    import ray.data as rd
+
+    from ocrd_cis_ray.state.mediastore import content_ref, live_refs_of
+
+    refs = [content_ref(bytes([i % 251]) * (1 + i % 7)) for i in range(40)]
+    ds = rd.from_arrow(pa.table({"media_ref": pa.array(refs)}))
+    with pytest.raises(ValueError, match="distinct refs"):
+        live_refs_of(ds, ceiling=10)
