@@ -2981,6 +2981,35 @@ def q81_png_roundtrip(sf_dir: str):
     return ds.map_batches(roundtrip, batch_format="pyarrow")
 
 
+def q116_quantile_sketch(sf_dir: str):
+    """Per-language token-length percentiles via the mergeable KLL
+    quantile sketch (Karnin-Lang-Liberty 2016,
+    `sketch.grouped_quantile_sketch`) — the UNBOUNDED-cardinality scale
+    path beside the exact q109: the exact CDF collect is LIMIT-bounded
+    (raises past ~5M distinct (group, score) pairs by design), while
+    the sketch holds O(k log n) items per group regardless of score
+    cardinality, merged through one bucketed exchange of pickled
+    partials (one sketch row per group per batch). Approximate (rank
+    error ~1/k) → rows-only; pytest pins the rank-error bound against
+    the exact q109 semantics and partition-layout stability."""
+    from ocrd_cis_ray.stages.sketch import grouped_quantile_sketch
+
+    ds = _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t["lang"],
+                "n_tokens": pc.cast(
+                    pc.add(pc.count_substring(t["text"], " "), 1), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_quantile_sketch(
+        ds, ps=(0.5, 0.9, 0.99), group="lang", score_col="n_tokens", k=200
+    )
+
+
 def q110_jpeg_roundtrip(sf_dir: str):
     """REAL baseline-JPEG image path (pure numpy T.81 codec,
     ``sources/jpeg.py`` — closes the r4 compressed-image env stub),
@@ -3377,6 +3406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q74_lstm_recognize": q74_lstm_recognize,
         "q85_quality_model": q85_quality_model,
         "q103_word_lm": q103_word_lm,
+        "q116_quantile_sketch": q116_quantile_sketch,
     }
 
 

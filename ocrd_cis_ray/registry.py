@@ -486,6 +486,20 @@ def _pq_encode(ds, **p):
 
 
 @register_stage(
+    "quantile_sketch",
+    defaults={"ps": (0.5, 0.9, 0.99), "group": "lang", "score_col": "score", "k": 200},
+    description="per-group approximate percentiles via mergeable KLL partials — the unbounded-cardinality scale path beside the exact (LIMIT-bounded) grouped_percentiles; terminal reduction, deferred to consumption",
+    eager=True,
+)
+def _quantile_sketch(ds, **p):
+    import ray.data as rd
+
+    from .stages.sketch import grouped_quantile_sketch
+
+    return rd.from_pandas(grouped_quantile_sketch(ds, **p))
+
+
+@register_stage(
     "externalize_media",
     defaults={"payload_col": "pixels", "ref_col": "media_ref"},
     allowed=("root", "payload_col", "ref_col"),

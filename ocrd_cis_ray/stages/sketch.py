@@ -145,3 +145,149 @@ def bloom_probe(ds, bits, column: str, *, k: int = 7):
         )
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch (Karnin, Lang & Liberty 2016) — the mergeable
+# quantile path. grouped_percentiles/grouped_ntile are EXACT but their
+# driver CDF collect is LIMIT-bounded (they raise past ~5M distinct
+# (group, score) pairs by design); the KLL sketch is the documented
+# scale path beyond that ceiling: fixed O(k log(n/k)) memory per group
+# regardless of score cardinality, mergeable (map-side partials → one
+# tiny exchange), rank error ~O(1/k)·n. Approximate by construction →
+# rows-only query + pytest error bounds (no bit-stable oracle; the
+# compaction offset sequence depends on merge order, so two block
+# layouts may differ inside the error bound).
+
+
+class KLLSketch:
+    """Fixed-memory quantile sketch over float64 values.
+
+    ``compactors[h]`` holds items each representing ``2^h`` originals;
+    a full level sorts, keeps alternating items (deterministic
+    alternating offset per level), and promotes them — halving storage
+    while preserving ranks to within the KLL bound. Level capacities
+    decay geometrically (2/3 per level below the top, floor 2).
+    """
+
+    __slots__ = ("k", "compactors", "n", "_offset")
+
+    def __init__(self, k: int = 200):
+        self.k = int(k)
+        self.compactors: list[np.ndarray] = [np.zeros(0, np.float64)]
+        self.n = 0
+        self._offset = 0  # alternating compaction offset
+
+    def _capacity(self, h: int) -> int:
+        depth = len(self.compactors) - 1 - h
+        return max(2, int(np.ceil(self.k * (2.0 / 3.0) ** depth)))
+
+    def update_many(self, values: np.ndarray) -> None:
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return
+        self.compactors[0] = np.concatenate([self.compactors[0], v])
+        self.n += len(v)
+        self._compress()
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        while len(self.compactors) < len(other.compactors):
+            self.compactors.append(np.zeros(0, np.float64))
+        for h, c in enumerate(other.compactors):
+            if len(c):
+                self.compactors[h] = np.concatenate([self.compactors[h], c])
+        self.n += other.n
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        h = 0
+        while h < len(self.compactors):
+            if len(self.compactors[h]) > self._capacity(h):
+                if h + 1 == len(self.compactors):
+                    self.compactors.append(np.zeros(0, np.float64))
+                buf = np.sort(self.compactors[h])
+                promoted = buf[self._offset :: 2]
+                self._offset = 1 - self._offset
+                self.compactors[h + 1] = np.concatenate([self.compactors[h + 1], promoted])
+                self.compactors[h] = np.zeros(0, np.float64)
+            h += 1
+
+    def _items_weights(self) -> tuple[np.ndarray, np.ndarray]:
+        items, weights = [], []
+        for h, c in enumerate(self.compactors):
+            if len(c):
+                items.append(c)
+                weights.append(np.full(len(c), 1 << h, np.int64))
+        if not items:
+            return np.zeros(0, np.float64), np.zeros(0, np.int64)
+        it = np.concatenate(items)
+        w = np.concatenate(weights)
+        order = np.argsort(it, kind="mergesort")
+        return it[order], w[order]
+
+    def quantile(self, q: float) -> float:
+        """Lower-quantile value at rank ceil(q·n) (the discrete
+        semantics grouped_percentiles uses)."""
+        it, w = self._items_weights()
+        if len(it) == 0:
+            return float("nan")
+        target = max(1, int(np.ceil(float(q) * self.n)))
+        cw = np.cumsum(w)
+        return float(it[min(int(np.searchsorted(cw, target)), len(it) - 1)])
+
+    def quantiles(self, qs) -> list[float]:
+        return [self.quantile(q) for q in qs]
+
+
+def grouped_quantile_sketch(
+    ds,
+    *,
+    group: str = "lang",
+    score_col: str = "score",
+    ps=(0.5, 0.9, 0.99),
+    k: int = 200,
+    num_buckets: int | None = None,
+):
+    """Per-group approximate percentiles via mergeable KLL partials —
+    the unbounded-cardinality sibling of ``sampling.grouped_percentiles``
+    (exact, but LIMIT-bounded): each batch contributes ONE pickled
+    sketch row per group it contains, a bucketed groupby merges the
+    partials per group, and the quantiles read off the merged sketch.
+    Exchange payload: O(batches × groups × k), independent of row count
+    and score cardinality. Returns a pandas frame (group, p50, ...)."""
+    import pickle
+
+    import pandas as pd
+
+    from ..shuffle import bucketed_groupby
+
+    ps = [float(p) for p in ps]
+    names = [f"p{int(round(p * 100)):02d}" for p in ps]
+    if len(set(names)) != len(names):
+        raise ValueError(f"percentiles {ps} collide to one column name")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"__g": [], "__sk": []}
+        for g, sub in df.groupby(group, sort=False):
+            sk = KLLSketch(k)
+            sk.update_many(sub[score_col].to_numpy(np.float64))
+            rows["__g"].append(g)
+            rows["__sk"].append(pickle.dumps(sk))
+        return pd.DataFrame(rows)
+
+    def merge_group(gdf: pd.DataFrame) -> pd.DataFrame:
+        import functools
+
+        sk = functools.reduce(
+            lambda a, b: a.merge(b), (pickle.loads(b) for b in gdf["__sk"])
+        )
+        vals = sk.quantiles(ps)
+        return pd.DataFrame(
+            {group: [gdf["__g"].iloc[0]], "n": [sk.n], **{nm: [v] for nm, v in zip(names, vals)}}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = bucketed_groupby(partials, "__g", merge_group, num_buckets=num_buckets).to_pandas()
+    return out.sort_values(group, kind="mergesort").reset_index(drop=True)

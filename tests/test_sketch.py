@@ -69,3 +69,109 @@ def test_bloom_build_layout_invariant(ray_session):
     a = bloom_build(rd.from_pandas(df).repartition(1), "text", m=1 << 14)
     b = bloom_build(rd.from_pandas(df).repartition(7), "text", m=1 << 14)
     assert (a == b).all()
+
+
+class TestKLLQuantileSketch:
+    def test_rank_error_bound(self):
+        import numpy as np
+
+        from ocrd_cis_ray.stages.sketch import KLLSketch
+
+        rng = np.random.default_rng(1)
+        data = rng.lognormal(0, 2, 200_000)
+        sk = KLLSketch(200)
+        for chunk in np.array_split(data, 37):
+            sk.update_many(chunk)
+        exact = np.sort(data)
+        for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+            est = sk.quantile(q)
+            rank = np.searchsorted(exact, est) / len(exact)
+            assert abs(rank - q) < 0.02, (q, est, rank)
+        # fixed memory: stored items ~O(k log(n/k)), far below n
+        assert sum(len(c) for c in sk.compactors) < 3_000
+
+    def test_merge_equivalent_accuracy(self):
+        """Merging per-partition sketches stays inside the error bound
+        regardless of how the data was split."""
+        import numpy as np
+
+        from ocrd_cis_ray.stages.sketch import KLLSketch
+
+        rng = np.random.default_rng(2)
+        data = rng.standard_normal(100_000) * 100
+        exact = np.sort(data)
+        for n_parts in (1, 7, 64):
+            parts = np.array_split(data, n_parts)
+            sk = KLLSketch(200)
+            for p in parts:
+                other = KLLSketch(200)
+                other.update_many(p)
+                sk.merge(other)
+            assert sk.n == len(data)
+            for q in (0.1, 0.5, 0.9):
+                rank = np.searchsorted(exact, sk.quantile(q)) / len(exact)
+                assert abs(rank - q) < 0.02, (n_parts, q)
+
+    def test_small_and_empty(self):
+        import math
+
+        import numpy as np
+
+        from ocrd_cis_ray.stages.sketch import KLLSketch
+
+        sk = KLLSketch(50)
+        assert math.isnan(sk.quantile(0.5))
+        sk.update_many(np.array([3.0]))
+        assert sk.quantile(0.0) == 3.0 and sk.quantile(1.0) == 3.0
+        # exact below capacity
+        sk2 = KLLSketch(200)
+        sk2.update_many(np.arange(100, dtype=np.float64))
+        assert sk2.quantile(0.5) == 49.0  # rank ceil(0.5*100)=50 -> value 49
+
+    def test_grouped_sketch_close_to_exact(self, ray_session, sf_dir):
+        """The distributed grouped sketch lands within the rank bound of
+        the exact grouped_percentiles on the same input."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from ocrd_cis_ray.stages.sampling import grouped_percentiles
+        from ocrd_cis_ray.stages.sketch import grouped_quantile_sketch
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "lang": t["lang"],
+                    "n_tokens": pc.cast(pc.add(pc.count_substring(t["text"], " "), 1), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).repartition(6)
+        approx = grouped_quantile_sketch(ds, group="lang", score_col="n_tokens", ps=(0.5, 0.9), k=200)
+        exact = grouped_percentiles(ds, group="lang", score_col="n_tokens", ps=(0.5, 0.9))
+        a = approx.set_index("lang")
+        e = exact.set_index("lang")
+        assert set(a.index) == set(e.index)
+        for lang in e.index:
+            for col in ("p50", "p90"):
+                # token lengths are small-range ints: sketch must land
+                # within a tight value neighborhood of exact
+                assert abs(float(a.loc[lang, col]) - float(e.loc[lang, col])) <= max(
+                    2.0, 0.05 * float(e.loc[lang, col])
+                ), (lang, col)
+
+    def test_registry_stage(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ocrd_cis_ray.registry import build_pipeline
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({"lang": rng.choice(["a", "b"], 5000), "score": rng.integers(0, 1000, 5000)})
+        out = build_pipeline(
+            rd.from_pandas(df).repartition(4),
+            [{"stage": "quantile_sketch", "params": {"ps": (0.5,), "k": 100}}],
+        ).to_pandas()
+        assert set(out["lang"]) == {"a", "b"} and "p50" in out.columns
