@@ -3010,6 +3010,28 @@ def q116_quantile_sketch(sf_dir: str):
     )
 
 
+def q117_heavy_hitters(sf_dir: str):
+    """Top-20 corpus tokens via Count-Min + local candidates (Cormode &
+    Muthukrishnan 2005, `sketch.heavy_hitters`) — frequency estimation
+    over key universes too large even for map-side-combined exact
+    partials (every token/URL/host at web scale): each batch ships one
+    (w·d)-cell sketch plus its local top candidates, ONE tiny reduce
+    merges sketches and re-estimates candidates — exchange payload
+    independent of key cardinality. One-sided (never undercounts);
+    approximate → rows-only; pytest pins exact-top-k recovery on zipf
+    data and the εN bound. The exact sibling is q26's top-V vocabulary
+    (bounded-V aggregate)."""
+    from ocrd_cis_ray.stages.sketch import heavy_hitters
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        return pa.table({"token": flat})
+
+    return heavy_hitters(docs.map_batches(tokens, batch_format="pyarrow"), "token", k=20)
+
+
 def q110_jpeg_roundtrip(sf_dir: str):
     """REAL baseline-JPEG image path (pure numpy T.81 codec,
     ``sources/jpeg.py`` — closes the r4 compressed-image env stub),
@@ -3407,6 +3429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q85_quality_model": q85_quality_model,
         "q103_word_lm": q103_word_lm,
         "q116_quantile_sketch": q116_quantile_sketch,
+        "q117_heavy_hitters": q117_heavy_hitters,
     }
 
 

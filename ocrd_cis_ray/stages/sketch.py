@@ -291,3 +291,125 @@ def grouped_quantile_sketch(
     partials = ds.map_batches(partial, batch_format="pandas")
     out = bucketed_groupby(partials, "__g", merge_group, num_buckets=num_buckets).to_pandas()
     return out.sort_values(group, kind="mergesort").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch + heavy hitters (Cormode & Muthukrishnan 2005) — the
+# frequency sibling of HLL (distinct) / Bloom (membership) / KLL
+# (quantiles): point-frequency estimates and top-k heavy hitters over
+# key universes too large even for map-side-combined exact partials
+# (every URL / token / host at web scale). One-sided error: estimates
+# never undercount, overcount ≤ εN with prob 1-δ at w=⌈e/ε⌉, d=⌈ln 1/δ⌉.
+
+
+class CountMinSketch:
+    __slots__ = ("w", "d", "table", "n")
+
+    def __init__(self, w: int = 2048, d: int = 4):
+        self.w = int(w)
+        self.d = int(d)
+        self.table = np.zeros((self.d, self.w), np.int64)
+        self.n = 0
+
+    def _rows(self, hashes: np.ndarray) -> np.ndarray:
+        """(d, n) row positions from one 64-bit hash per key (seeded
+        re-scrambles per depth — independent enough for CM bounds)."""
+        out = np.empty((self.d, len(hashes)), np.int64)
+        h = hashes.astype(np.uint64)
+        for r in range(self.d):
+            with np.errstate(over="ignore"):
+                salt = np.uint64((0x9E3779B97F4A7C15 * (r + 1)) & 0xFFFFFFFFFFFFFFFF)
+                hr = (h ^ salt) * np.uint64(0xBF58476D1CE4E5B9)
+                hr ^= hr >> np.uint64(29)
+            out[r] = (hr % np.uint64(self.w)).astype(np.int64)
+        return out
+
+    def update_hashed(self, hashes: np.ndarray, counts: np.ndarray | None = None) -> None:
+        if len(hashes) == 0:
+            return
+        c = np.ones(len(hashes), np.int64) if counts is None else np.asarray(counts, np.int64)
+        rows = self._rows(hashes)
+        for r in range(self.d):
+            np.add.at(self.table[r], rows[r], c)
+        self.n += int(c.sum())
+
+    def estimate_hashed(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, np.int64)
+        rows = self._rows(hashes)
+        est = self.table[0][rows[0]]
+        for r in range(1, self.d):
+            est = np.minimum(est, self.table[r][rows[r]])
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (self.w, self.d) != (other.w, other.d):
+            raise ValueError("count-min merge requires identical dimensions")
+        self.table += other.table
+        self.n += other.n
+        return self
+
+
+def heavy_hitters(
+    ds,
+    column: str,
+    *,
+    k: int = 10,
+    w: int = 4096,
+    d: int = 4,
+    candidates_per_batch: int | None = None,
+    num_buckets: int | None = None,
+):
+    """Approximate top-k most frequent values: each batch contributes a
+    pickled CM partial plus its LOCAL top candidates (value, exact local
+    count); the merge stage sums sketches, unions candidates, and
+    re-estimates each candidate on the MERGED sketch — so the exchange
+    carries O(batches × (w·d + candidates)) regardless of key
+    cardinality. A key can only be missed if it is top-k globally yet
+    never near the top of any batch (the standard local-candidate
+    caveat; raise ``candidates_per_batch`` to tighten). Estimates never
+    undercount (CM is one-sided). Returns pandas (value, est_count)
+    sorted desc, ties by value."""
+    import pickle
+
+    import pandas as pd
+
+    cpb = candidates_per_batch or max(4 * k, 32)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[column].astype(str)
+        counts = vals.value_counts()
+        cms = CountMinSketch(w, d)
+        cms.update_hashed(
+            pd.util.hash_array(counts.index.to_numpy(object)),
+            counts.to_numpy(np.int64),
+        )
+        top = counts.head(cpb)
+        return pd.DataFrame(
+            {
+                "__part": [0],
+                "__cms": [pickle.dumps(cms)],
+                "__cand": [pickle.dumps(list(top.index))],
+            }
+        )
+
+    def reduce_all(gdf: pd.DataFrame) -> pd.DataFrame:
+        import functools
+
+        cms = functools.reduce(
+            lambda a, b: a.merge(b), (pickle.loads(b) for b in gdf["__cms"])
+        )
+        cands = sorted({c for b in gdf["__cand"] for c in pickle.loads(b)})
+        est = cms.estimate_hashed(pd.util.hash_array(np.array(cands, object)))
+        out = pd.DataFrame({"value": cands, "est_count": est})
+        return (
+            out.sort_values(["est_count", "value"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    from ..shuffle import bucketed_groupby
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    # single reduce group: the partials are tiny (one row per batch)
+    return bucketed_groupby(partials, "__part", reduce_all, num_buckets=1).to_pandas()

@@ -175,3 +175,51 @@ class TestKLLQuantileSketch:
             [{"stage": "quantile_sketch", "params": {"ps": (0.5,), "k": 100}}],
         ).to_pandas()
         assert set(out["lang"]) == {"a", "b"} and "p50" in out.columns
+
+
+class TestCountMinHeavyHitters:
+    def test_one_sided_error_bound(self):
+        import numpy as np
+        import pandas as pd
+
+        from ocrd_cis_ray.stages.sketch import CountMinSketch
+
+        rng = np.random.default_rng(4)
+        keys = rng.zipf(1.5, 100_000).astype(str)
+        exact = pd.Series(keys).value_counts()
+        cms = CountMinSketch(4096, 4)
+        for chunk in np.array_split(keys, 23):
+            vc = pd.Series(chunk).value_counts()
+            cms.update_hashed(pd.util.hash_array(vc.index.to_numpy(object)), vc.to_numpy(np.int64))
+        est = cms.estimate_hashed(pd.util.hash_array(exact.index.to_numpy(object)))
+        err = est - exact.to_numpy()
+        assert (err >= 0).all()  # CM never undercounts
+        assert err.max() <= int(np.e / 4096 * cms.n)  # eps*N bound
+
+    def test_merge_dimension_check(self):
+        import pytest as _pytest
+
+        from ocrd_cis_ray.stages.sketch import CountMinSketch
+
+        with _pytest.raises(ValueError, match="identical dimensions"):
+            CountMinSketch(1024, 4).merge(CountMinSketch(2048, 4))
+
+    def test_heavy_hitters_recovers_exact_top_k(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from ocrd_cis_ray.stages.sketch import heavy_hitters
+
+        rng = np.random.default_rng(5)
+        keys = [f"k{z}" for z in rng.zipf(1.4, 50_000)]
+        exact = pd.Series(keys).value_counts()
+        ds = rd.from_pandas(pd.DataFrame({"token": keys})).repartition(8)
+        got = heavy_hitters(ds, "token", k=10)
+        want = set(exact.head(10).index)
+        assert set(got["value"]) == want
+        # estimates are upper bounds on the exact counts
+        for _, row in got.iterrows():
+            assert row["est_count"] >= exact[row["value"]]
+        # ranking respects (est desc, value asc)
+        assert list(got["est_count"]) == sorted(got["est_count"], reverse=True)
