@@ -314,6 +314,8 @@ def run_bench() -> dict:
         "q113_eval_rollup",
         "q114_flac_roundtrip",
         "q115_mjpeg_roundtrip",
+        "q116_quantile_sketch",
+        "q117_heavy_hitters",
     ):
         fn = Q[name]
 

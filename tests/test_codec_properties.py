@@ -231,3 +231,45 @@ def test_mjpeg_avi_constant_frames_exact(n, h, w, v, fps):
     assert got_fps == float(fps)
     assert len(dec) == n
     assert all(np.array_equal(f, frames[0]) for f in dec)
+
+
+@given(
+    n_keys=st.integers(1, 20),
+    hot_mass=st.integers(0, 3000),
+    n_blocks=st.integers(1, 6),
+    salts=st.integers(2, 32),
+)
+@settings(max_examples=15, deadline=None)
+def test_salted_groupby_matches_brute(n_keys, hot_mass, n_blocks, salts):
+    """salted_groupby(partial=count/sum, merge=sum) equals the brute
+    groupby for ANY key distribution, block layout and salt count."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocrd_cis_ray.shuffle import salted_groupby
+
+    rng = np.random.default_rng(n_keys * 1000 + hot_mass + salts)
+    keys = [f"k{i}" for i in rng.integers(0, n_keys, 200)] + ["hot"] * hot_mass
+    df = pd.DataFrame({"key": keys, "v": rng.integers(0, 100, len(keys))})
+
+    def partial_fn(g):
+        return pd.DataFrame({"key": [g["key"].iloc[0]], "n": [len(g)], "s": [int(g["v"].sum())]})
+
+    def merge_fn(g):
+        return pd.DataFrame({"key": [g["key"].iloc[0]], "n": [int(g["n"].sum())], "s": [int(g["s"].sum())]})
+
+    got = (
+        salted_groupby(rd.from_pandas(df).repartition(n_blocks), "key", partial_fn, merge_fn, salts=salts)
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("key", as_index=False)
+        .agg(n=("v", "size"), s=("v", "sum"))
+        .astype({"n": "int64", "s": "int64"})
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["key", "n", "s"]], want)
