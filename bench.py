@@ -219,6 +219,24 @@ def run_bench() -> dict:
 
     timed("flagship_crawl_round", _crawl_once)
 
+    # multimodal corpus e2e: real codecs (JPEG/PNG/FLAC/WAV/AVI/Y4M) →
+    # sidecar externalize → ref-only featurize → resumable features
+    from ocrd_cis_ray.pipelines.mediacorpus import run_media_corpus
+
+    def _media_once():
+        import shutil
+
+        out = tempfile.mkdtemp(prefix="graft_bench_media_")
+        try:
+            return run_media_corpus(
+                SF_DIR, f"{out}/features", sidecar_root=f"{out}/cas",
+                n_partitions=4 * NUM_CPUS, concurrency=NUM_CPUS,
+            )["rows"]
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    timed("flagship_media_corpus", _media_once, repeat=1)
+
     # full OCR-over-media lifecycle (segment -> recognize -> postcorrect)
     from ocrd_cis_ray.pipelines.ocr_chain import run_ocr_chain
 

@@ -180,11 +180,13 @@ class MediaFeaturizer:
     ok:bool + error:string (log-and-skip policy).
     """
 
-    def __init__(self, *, fake_decode: bool = False, thumb: int = 16, n_bands: int = 8, k_frames: int = 4):
+    def __init__(self, *, fake_decode: bool = False, thumb: int = 16, n_bands: int = 8, k_frames: int = 4,
+                 sidecar_root: str | None = None):
         self.fake = fake_decode
         self.thumb = thumb
         self.n_bands = n_bands
         self.k_frames = k_frames
+        self.sidecar_root = sidecar_root
 
     def _featurize(self, modality: str, payload: bytes, meta: dict) -> np.ndarray:
         if modality == "image":
@@ -206,7 +208,15 @@ class MediaFeaturizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mods = batch["modality"].to_pylist()
-        payloads = batch["payload"].to_pylist()
+        if self.sidecar_root is not None and "payload" not in batch.column_names:
+            # sidecar rows: hydrate AFTER all exchanges, refs deduped per batch
+            from ..state.mediastore import _store_for
+
+            refs = batch["media_ref"].to_pylist()
+            blobs = _store_for(self.sidecar_root).get_many(refs)
+            payloads = [blobs[r] for r in refs]
+        else:
+            payloads = batch["payload"].to_pylist()
         metas = batch["meta"].to_pylist()
         feats, oks, errs = [], [], []
         for mod, payload, meta in zip(mods, payloads, metas):
@@ -235,12 +245,14 @@ class MediaFeaturizer:
         )
 
 
-def featurize_media(ds, *, fake_decode: bool = False, concurrency: int = 4, batch_size: int = 32, num_cpus: float = 1):
+def featurize_media(ds, *, fake_decode: bool = False, concurrency: int = 4, batch_size: int = 32,
+                    num_cpus: float = 1, sidecar_root: str | None = None):
     """Dataset wrapper: the multimodal actor-pool stage (small batches —
-    wide binary rows)."""
+    wide binary rows). With ``sidecar_root``, payload-less rows carry
+    only ``media_ref`` and hydrate lazily inside the actor."""
     return ds.map_batches(
         MediaFeaturizer,
-        fn_constructor_kwargs={"fake_decode": fake_decode},
+        fn_constructor_kwargs={"fake_decode": fake_decode, "sidecar_root": sidecar_root},
         batch_format="pyarrow",
         concurrency=(1, concurrency),
         batch_size=batch_size,
