@@ -468,6 +468,7 @@ HEADLINE_KEYS = (
     "flagship_webcorpus",
     "flagship_ocr_chain",
     "flagship_crawl_round",
+    "flagship_media_corpus",
     "q10_extract_spans",
     "q31_jaccard_pairs",
     "q32_minhash_pairs",
