@@ -11,8 +11,8 @@ Schema convention (one row per media asset or per document span):
 
 All three modalities have a REAL decode path with no external
 library: image = PNG (stdlib-zlib codec, 8-bit gray/RGB/RGBA, all
-five scanline filters) AND baseline JPEG (pure numpy T.81 codec,
-``sources/jpeg.py``) plus the raw-gray codec; audio = PCM WAV via
+five scanline filters) AND JPEG — baseline + progressive — (pure
+numpy T.81 codec, ``sources/jpeg.py``) plus the raw-gray codec; audio = PCM WAV via
 the stdlib ``wave`` module (8/16/32-bit, mono or multichannel) AND
 FLAC (pure-numpy RFC 9639 codec, ``sources/flac.py``); video =
 Y4M/YUV4MPEG2 (the ffmpeg-interoperable uncompressed container).
@@ -44,10 +44,10 @@ from ..sources.media import decode_gray, encode_gray
 def decode_image(payload: bytes) -> np.ndarray:
     """Image decode to uint8 grayscale — REAL for PNG (stdlib-zlib
     codec: 8-bit gray/RGB/RGBA, all five scanline filters), JPEG
-    (baseline-sequential T.81 codec in ``sources/jpeg.py``: grayscale
-    + YCbCr 4:4:4/4:2:2/4:2:0, restart markers; progressive raises)
-    and the raw-gray codec. Color is reduced to ITU-R 601 luma for
-    the feature kernels."""
+    (T.81 codec in ``sources/jpeg.py``: baseline AND progressive,
+    grayscale + YCbCr 4:4:4/4:2:2/4:2:0, restart markers) and the
+    raw-gray codec. Color is reduced to ITU-R 601 luma for the
+    feature kernels."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from ..sources.media import decode_png, rgb_to_gray
 
@@ -60,8 +60,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:2] == b"G8":
         return decode_gray(payload)
     raise NotImplementedError(
-        "image decode: PNG, baseline JPEG and raw-gray decode natively; "
-        "other codecs (TIFF/WebP) need pillow/cv2"
+        "image decode: PNG, JPEG (baseline + progressive) and raw-gray "
+        "decode natively; other codecs (TIFF/WebP) need pillow/cv2"
     )
 
 

@@ -108,16 +108,64 @@ def test_noise_high_quality():
     assert _psnr(dec, noise) > 38
 
 
-def test_progressive_and_malformed_rejected():
+def test_malformed_rejected():
     img = _gradient(16, 16)
+    # a baseline stream RELABELED as SOF2 is malformed progressive
+    # (progressive scans may not span Ss=0..Se=63) — clean ValueError
     prog = bytearray(encode_jpeg(img, quality=90))
-    prog[prog.find(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive|band"):
         decode_jpeg(bytes(prog))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01\x02\x03")
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """THE progressive invariant: the SA scan ladder re-encodes the
+    same quantized coefficients, so progressive and baseline encodes
+    of one image must decode to EXACTLY the same pixels."""
+    rng = np.random.default_rng(11)
+    cases = [
+        (_gradient(37, 51), "4:4:4", 90),
+        (np.stack([_gradient(40, 56)] * 3, axis=-1), "4:2:0", 85),
+        (rng.integers(0, 256, (33, 29), dtype=np.uint8), "4:4:4", 75),
+        (rng.integers(0, 256, (40, 56, 3), dtype=np.uint8), "4:2:0", 60),
+        (np.full((17, 19), 200, np.uint8), "4:4:4", 95),
+        (np.full((3, 5), 7, np.uint8), "4:4:4", 85),
+    ]
+    for img, sub, q in cases:
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub, progressive=True))
+        assert np.array_equal(base, prog), (img.shape, sub, q)
+
+
+def test_progressive_randomized_sweep():
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        h, w = int(rng.integers(1, 70)), int(rng.integers(1, 70))
+        color = bool(rng.integers(0, 2))
+        shape = (h, w, 3) if color else (h, w)
+        kind = trial % 3
+        if kind == 0:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+        elif kind == 1:
+            img = np.full(shape, int(rng.integers(0, 256)), np.uint8)
+        else:
+            img = ((np.arange(h)[:, None] * 5 + np.arange(w)[None, :] * 3) % 256).astype(np.uint8)
+            if color:
+                img = np.stack([img, img // 2, 255 - img], axis=-1)
+        sub = "4:2:0" if (color and rng.integers(0, 2)) else "4:4:4"
+        q = int(rng.integers(30, 99))
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub, progressive=True))
+        assert np.array_equal(base, prog), (trial, shape, sub, q)
+
+
+def test_progressive_rejects_restart_interval():
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(_gradient(16, 16), progressive=True, restart_interval=2)
 
 
 def test_encoder_input_validation():
