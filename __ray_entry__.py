@@ -3056,7 +3056,7 @@ def q110_jpeg_roundtrip(sf_dir: str):
 
     def roundtrip(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        hs, ws, sums, rhs, rws = [], [], [], [], []
+        hs, ws, sums, psums, rhs, rws = [], [], [], [], [], []
         for did in ids:
             did = int(did)
             v = did % 256
@@ -3066,6 +3066,13 @@ def q110_jpeg_roundtrip(sf_dir: str):
             hs.append(dec.shape[0])
             ws.append(dec.shape[1])
             sums.append(int(dec.sum(dtype=np.int64)))
+            # PROGRESSIVE leg (r5): the SA scan ladder carries the same
+            # quantized coefficients, so the constant block is DC-exact
+            # through SOF2 too — prog_sum must equal gray_sum
+            pdec = decode_image(
+                encode_jpeg(img, quality=95, subsampling="4:4:4", progressive=True)
+            )
+            psums.append(int(pdec.sum(dtype=np.int64)))
             rh, rw = 10 + did % 14, 12 + did % 22
             rgb = np.stack(
                 [
@@ -3086,6 +3093,7 @@ def q110_jpeg_roundtrip(sf_dir: str):
                 "height": pa.array(hs, pa.int64()),
                 "width": pa.array(ws, pa.int64()),
                 "gray_sum": pa.array(sums, pa.int64()),
+                "prog_sum": pa.array(psums, pa.int64()),
                 "rgb_h": pa.array(rhs, pa.int64()),
                 "rgb_w": pa.array(rws, pa.int64()),
             }
@@ -4930,6 +4938,7 @@ SELECT d.doc_id,
        CAST(16 + d.doc_id % 9 AS BIGINT) AS height,
        CAST(16 + d.doc_id % 17 AS BIGINT) AS width,
        CAST((d.doc_id % 256) * (16 + d.doc_id % 9) * (16 + d.doc_id % 17) AS BIGINT) AS gray_sum,
+       CAST((d.doc_id % 256) * (16 + d.doc_id % 9) * (16 + d.doc_id % 17) AS BIGINT) AS prog_sum,
        CAST(10 + d.doc_id % 14 AS BIGINT) AS rgb_h,
        CAST(12 + d.doc_id % 22 AS BIGINT) AS rgb_w
 FROM documents d
