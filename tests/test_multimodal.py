@@ -377,3 +377,94 @@ def test_window_interleaved_docs_units_and_conservation(ray_session):
     )
     assert wide.loc[1, "media_refs"] == "img://1/2,img://1/5,img://1/8"
     assert wide.loc[1, "n_media"] == 3
+
+
+class TestPngFullSubtypeCoverage:
+    """Round-5: decode_png covers every PNG subtype — palette (PLTE +
+    tRNS), gray+alpha, bit depths 1/2/4/8/16, Adam7 interlace."""
+
+    def _build(self, w, h, depth, color, raw, extra=b""):
+        import struct
+        import zlib
+
+        from ocrd_cis_ray.sources.media import _PNG_SIG, _png_chunk
+
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+        return (
+            _PNG_SIG + _png_chunk(b"IHDR", ihdr) + extra
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6)) + _png_chunk(b"IEND", b"")
+        )
+
+    def test_palette_roundtrip(self):
+        import numpy as np
+
+        from ocrd_cis_ray.sources.media import decode_png, encode_png
+
+        rng = np.random.default_rng(0)
+        colors = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+        rgb = colors[rng.integers(0, 7, (25, 33), dtype=np.uint8)]
+        assert np.array_equal(decode_png(encode_png(rgb, palette=True)), rgb)
+
+    def test_16bit_roundtrip(self):
+        import numpy as np
+
+        from ocrd_cis_ray.sources.media import decode_png, encode_png
+
+        rng = np.random.default_rng(1)
+        g = rng.integers(0, 256, (9, 12), dtype=np.uint8)
+        rgb = rng.integers(0, 256, (9, 12, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(g, bit_depth=16)), g)
+        assert np.array_equal(decode_png(encode_png(rgb, bit_depth=16)), rgb)
+
+    def test_adam7_roundtrip_all_shapes(self):
+        import numpy as np
+
+        from ocrd_cis_ray.sources.media import decode_png, encode_png
+
+        rng = np.random.default_rng(2)
+        for shape in ((1, 1), (3, 2), (8, 8), (23, 31), (9, 17)):
+            g = rng.integers(0, 256, shape, dtype=np.uint8)
+            assert np.array_equal(decode_png(encode_png(g, interlace=True)), g), shape
+        rgba = rng.integers(0, 256, (23, 31, 4), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(rgba, interlace=True)), rgba)
+
+    def test_gray_alpha_and_subbyte_depths(self):
+        import numpy as np
+
+        from ocrd_cis_ray.sources.media import decode_png
+
+        rng = np.random.default_rng(3)
+        ga = rng.integers(0, 256, (7, 9, 2), dtype=np.uint8)
+        raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(7))
+        assert np.array_equal(decode_png(self._build(9, 7, 8, 4, raw)), ga)
+        bits = rng.integers(0, 2, (5, 11), dtype=np.uint8)
+        packed = np.packbits(bits, axis=1)
+        raw = b"".join(b"\x00" + packed[y].tobytes() for y in range(5))
+        assert np.array_equal(decode_png(self._build(11, 5, 1, 0, raw)), bits * 255)
+
+    def test_palette_trns_alpha(self):
+        import numpy as np
+
+        from ocrd_cis_ray.sources.media import _png_chunk, decode_png
+
+        rng = np.random.default_rng(4)
+        idx = rng.integers(0, 4, (8, 5), dtype=np.uint8)
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8)
+        trns = bytes([0, 128, 255, 255])
+        rows = []
+        for y in range(8):
+            v = np.concatenate([idx[y], np.zeros((-len(idx[y])) % 4, np.uint8)])
+            rows.append(
+                b"\x00" + bytes(
+                    int(v[i]) << 6 | int(v[i + 1]) << 4 | int(v[i + 2]) << 2 | int(v[i + 3])
+                    for i in range(0, len(v), 4)
+                )
+            )
+        png = self._build(
+            5, 8, 2, 3, b"".join(rows),
+            extra=_png_chunk(b"PLTE", pal.tobytes()) + _png_chunk(b"tRNS", trns),
+        )
+        dec = decode_png(png)
+        assert dec.shape == (8, 5, 4)
+        assert np.array_equal(dec[:, :, :3], pal[idx])
+        assert np.array_equal(dec[:, :, 3], np.frombuffer(trns, np.uint8)[idx])
