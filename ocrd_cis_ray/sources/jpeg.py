@@ -346,16 +346,18 @@ def encode_jpeg(
             hs, vs = 1, 1
         elif subsampling == "4:2:0":
             hs, vs = 2, 2
+        elif subsampling == "4:2:2":
+            hs, vs = 2, 1
         else:
             raise ValueError(f"unsupported subsampling {subsampling}")
         ycc = rgb_to_ycbcr(a)
         y = ycc[..., 0]
         cb, cr = ycc[..., 1], ycc[..., 2]
         if hs == 2:
-            cbp = _pad_edge(cb, 2, 2)
-            crp = _pad_edge(cr, 2, 2)
-            cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
-            cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
+            cbp = _pad_edge(cb, vs, 2)
+            crp = _pad_edge(cr, vs, 2)
+            cb = cbp.reshape(cbp.shape[0] // vs, vs, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(crp.shape[0] // vs, vs, crp.shape[1] // 2, 2).mean(axis=(1, 3))
         comps = [
             ("Y", y, hs, vs, luma_q, 0, dc_l, ac_l),
             ("Cb", cb, 1, 1, chroma_q, 1, dc_c, ac_c),
