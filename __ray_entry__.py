@@ -3010,6 +3010,31 @@ def q116_quantile_sketch(sf_dir: str):
     )
 
 
+def q118_ann_lsh(sf_dir: str):
+    """Hyperplane-LSH ANN (Charikar 2002 sign random projection) — the
+    CANDIDATE-PRUNING regime completing the ANN family: brute (q40)
+    exact-scores every row, IVF (q41) matmuls every row against probed
+    centroids, PQ (q107) does m table lookups per row — all linear
+    scans; LSH touches only rows sharing a bucket with a query in ≥1 of
+    the broadcast tables (zero shuffle: the plane tensor and the tiny
+    per-table query-bucket maps ride via ray.put, candidates
+    exact-rescore block-locally). Approximate → rows-only; recall
+    bounded by pytest against brute (random 64-dim embeddings are the
+    worst case — near-orthogonal pairs)."""
+    from ocrd_cis_ray.stages.similarity import lsh_topk
+
+    qtbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qids = qtbl["vec_id"].to_pylist()[:50]
+    qmat = np.stack(
+        [np.asarray(v, np.float64) for v in qtbl["embedding"].to_pylist()[:50]]
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = lsh_topk(ds, qids, qmat, k=5, n_tables=16, n_bits=6)
+    return out.map_batches(_ann_cast, batch_format="pandas")
+
+
 def q117_heavy_hitters(sf_dir: str):
     """Top-20 corpus tokens via Count-Min + local candidates (Cormode &
     Muthukrishnan 2005, `sketch.heavy_hitters`) — frequency estimation
@@ -3438,6 +3463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q103_word_lm": q103_word_lm,
         "q116_quantile_sketch": q116_quantile_sketch,
         "q117_heavy_hitters": q117_heavy_hitters,
+        "q118_ann_lsh": q118_ann_lsh,
     }
 
 

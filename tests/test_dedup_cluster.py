@@ -254,3 +254,51 @@ def test_pq_recall_vs_brute_and_encode_table(ray_session, sf_dir):
     assert t1["vec_id"].tolist() == t2["vec_id"].tolist()
     assert [list(a) for a in t1["code"]] == [list(a) for a in t2["code"]]
     assert all(len(c) == 16 for c in t1["code"])  # m bytes per vector
+
+
+def test_lsh_recall_and_pruning(ray_session, sf_dir):
+    """Hyperplane-LSH ANN: decent recall@5 vs brute while exact-scoring
+    only bucket-collision candidates (the sub-linear regime beside
+    brute/IVF/PQ)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocrd_cis_ray.stages.similarity import brute_topk, lsh_topk
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qids = qtbl["vec_id"].to_pylist()[:5]
+    qmat = np.stack([np.asarray(v, np.float64) for v in qtbl["embedding"].to_pylist()[:5]])
+
+    def pairs(df):
+        return set(zip(df["query_id"].astype(int), df["neighbor_id"].astype(int)))
+
+    ds1 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = pairs(brute_topk(ds1, qids, qmat, k=5).to_pandas())
+    ds2 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    approx = pairs(lsh_topk(ds2, qids, qmat, k=5, n_tables=16, n_bits=6).to_pandas())
+    recall = len(exact & approx) / len(exact)
+    # random 64-dim embeddings are the hyperplane-LSH worst case (all
+    # pairs near-orthogonal); clustered real corpora recall far higher
+    assert recall >= 0.6, recall
+    # determinism: same seed, same result
+    ds3 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    again = pairs(lsh_topk(ds3, qids, qmat, k=5, n_tables=16, n_bits=6).to_pandas())
+    assert again == approx
+
+
+def test_lsh_candidate_fraction_shrinks_with_bits():
+    """More bits per table = finer buckets = fewer candidates (the
+    pruning knob actually prunes)."""
+    import numpy as np
+
+    from ocrd_cis_ray.stages.similarity import _lsh_buckets
+
+    rng = np.random.default_rng(0)
+    mat = rng.standard_normal((2000, 32))
+    q = rng.standard_normal((1, 32))
+    for bits, max_frac in ((4, 0.35), (10, 0.02)):
+        planes = rng.standard_normal((1, bits, 32))
+        rb = _lsh_buckets(mat, planes)[0]
+        qb = _lsh_buckets(q, planes)[0][0]
+        frac = float((rb == qb).mean())
+        assert frac <= max_frac, (bits, frac)
