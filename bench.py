@@ -334,6 +334,7 @@ def run_bench() -> dict:
         "q115_mjpeg_roundtrip",
         "q116_quantile_sketch",
         "q117_heavy_hitters",
+        "q118_ann_lsh",
     ):
         fn = Q[name]
 
