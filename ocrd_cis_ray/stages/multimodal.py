@@ -10,13 +10,16 @@ Schema convention (one row per media asset or per document span):
     meta: string                 # JSON: {width,height} | {sample_rate,channels,duration_s} | {fps,frames,width,height}
 
 All three modalities have a REAL decode path with no external
-library: image = PNG (stdlib-zlib codec, 8-bit gray/RGB/RGBA, all
-five scanline filters) AND JPEG — baseline + progressive — (pure
-numpy T.81 codec, ``sources/jpeg.py``) plus the raw-gray codec; audio = PCM WAV via
-the stdlib ``wave`` module (8/16/32-bit, mono or multichannel) AND
-FLAC (pure-numpy RFC 9639 codec, ``sources/flac.py``); video =
-Y4M/YUV4MPEG2 (the ffmpeg-interoperable uncompressed container).
-The remaining LOSSY codecs (mp3/ogg, h264) still need
+library: image = PNG (stdlib-zlib codec, FULL subtype coverage:
+palette+tRNS, gray+alpha, bit depths 1/2/4/8/16, Adam7 interlace,
+all five scanline filters) AND JPEG — baseline + progressive —
+(pure numpy T.81 codec, ``sources/jpeg.py``) plus the raw-gray
+codec; audio = PCM WAV via the stdlib ``wave`` module (8/16/32-bit,
+mono or multichannel) AND FLAC (pure-numpy RFC 9639 codec,
+``sources/flac.py``); video = Y4M/YUV4MPEG2 (the
+ffmpeg-interoperable uncompressed container) AND Motion-JPEG in AVI
+(``sources/avi.py``). The remaining codecs (mp3/ogg audio,
+inter-frame h264/vp9 video, arithmetic JPEG) still need
 soundfile/PyAV and raise ``NotImplementedError`` with the
 production hint; with ``fake=True`` the audio/video decoders
 synthesize a deterministic payload-derived array so that path's
