@@ -174,6 +174,7 @@ def main(argv=None):
                 args.output,
                 sidecar_root=args.sidecar,
                 n_partitions=args.partitions,
+                concurrency=args.num_cpus,
             )
             print(json.dumps(res))
         elif args.cmd == "curate":

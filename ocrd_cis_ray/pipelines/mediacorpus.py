@@ -120,8 +120,5 @@ def run_media_corpus(
         .to_dict("index")
     )
 
-    def drop_feature_payloads(t: pa.Table) -> pa.Table:
-        return t  # features are float lists, tuple-weight; nothing to drop
-
     write_stats = write_resumable(feats, out_dir, key="doc_id", stage="media_features")
     return {"rows": feats.count(), "write": write_stats, "modalities": mods}

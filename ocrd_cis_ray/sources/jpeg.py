@@ -378,13 +378,14 @@ def encode_jpeg(
             plane = np.pad(plane, ((0, max(0, ph)), (0, max(0, pw))), mode="edge")
         comp_blocks.append(_plane_blocks(plane[:need_h, :need_w], quant))
 
-    # entropy-coded scan, MCU-interleaved (baseline path)
+    # entropy-coded scan, MCU-interleaved (baseline path; the
+    # progressive path emits its scans in _encode_progressive_scans)
     writer = _BitWriter()
     preds = [0] * len(comps)
     scan = bytearray()
     mcu_count = 0
     rst_idx = 0
-    for my in range(mcuy) if not progressive else ():
+    for my in range(0 if progressive else mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 writer.pad_to_byte()
@@ -756,7 +757,7 @@ def _decode_scan(d, scan, by_cid, coef_store, hmax, vmax, mcux, mcuy, fh, fw, pr
         ac_dec = huff.get((1, ac_id))
         if ss == 0 and ah == 0 and dc_dec is None:
             raise ValueError("JPEG missing DC huffman table")
-        if (not progressive or ss > 0) and ah == 0 and se > 0 and ac_dec is None:
+        if se > 0 and (not progressive or ss > 0) and ac_dec is None:
             raise ValueError("JPEG missing AC huffman table")
         specs.append((idx, ch, cv, dc_dec, ac_dec))
 
@@ -780,7 +781,7 @@ def _decode_scan(d, scan, by_cid, coef_store, hmax, vmax, mcux, mcuy, fh, fw, pr
             else:
                 _block_ac_refine(rd, zz, specs[si][4], ss, se, al, eob)
 
-    if interleaved or (not progressive):
+    if interleaved:
         unit = 0
         for my in range(mcuy):
             for mx in range(mcux):
@@ -993,10 +994,6 @@ def _build_huffman_table(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
     return [int(b) for b in bits[1:17]], syms
 
 
-def _enc_table_from(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    return _build_codes(bits, vals)
-
-
 class _TokenStream:
     """Entropy tokens of one scan: (symbol, [(value, nbits), ...]) —
     tokenized once for frequency counting, emitted once the optimized
@@ -1177,7 +1174,7 @@ def _encode_progressive_scans(comps_meta, comp_blocks, mcux, mcuy, h, w, hmax, v
             cls = 0 if kind == "dc_first" else 1
             payload = bytes([(cls << 4) | 0]) + bytes(bits) + bytes(vals)
             out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
-            table = _enc_table_from(bits, vals)
+            table = _build_codes(bits, vals)
 
         sos = bytes([len(cidx)])
         for ci in cidx:

@@ -624,19 +624,32 @@ def lsh_topk(
         ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         mat = _normalize(_mat_from_arrow(batch[vec_col]))
         rb = _lsh_buckets(mat, pl)  # (tables, n)
-        # pair set (query, row) via bucket collisions across tables
-        pairs: set[tuple[int, int]] = set()
+        # (query, row) collision pairs, vectorized per table: rows that
+        # hit ANY query bucket found by one searchsorted over the
+        # table's (tiny) sorted bucket keys; the Python loop runs over
+        # HITS only, then pairs dedupe across tables in one np.unique
+        qi_parts: list[np.ndarray] = []
+        ri_parts: list[np.ndarray] = []
         for t in range(len(pl)):
             m = maps[t]
-            for ri, b in enumerate(rb[t]):
-                qsel = m.get(int(b))
-                if qsel is not None:
-                    for qi in qsel:
-                        pairs.add((int(qi), ri))
-        if not pairs:
+            if not m:
+                continue
+            keys = np.sort(np.fromiter(m.keys(), np.int64, len(m)))
+            pos = np.searchsorted(keys, rb[t])
+            pos_c = np.minimum(pos, len(keys) - 1)
+            hits = np.flatnonzero(keys[pos_c] == rb[t])
+            for r in hits:
+                qsel = m[int(rb[t][r])]
+                qi_parts.append(qsel)
+                ri_parts.append(np.full(len(qsel), r, np.int64))
+        if not qi_parts:
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
-        qi = np.array([p[0] for p in pairs])
-        ri = np.array([p[1] for p in pairs])
+        packed = np.unique(
+            np.concatenate(qi_parts).astype(np.int64) * len(mat)
+            + np.concatenate(ri_parts)
+        )
+        qi = packed // len(mat)
+        ri = packed % len(mat)
         sims = np.einsum("pd,pd->p", qm[qi], mat[ri])  # exact rescoring, candidates only
         df = pd.DataFrame({"query_id": qids[qi], "neighbor_id": ids[ri], "cosine": sims})
         df = df[df["query_id"] != df["neighbor_id"]]

@@ -252,3 +252,61 @@ def test_422_subsampling_full_path():
     assert np.array_equal(d1, d2)
     p = decode_jpeg(encode_jpeg(odd, quality=80, subsampling="4:2:2", progressive=True))
     assert np.array_equal(d1, p)
+
+
+def test_single_component_scan_uses_true_block_grid():
+    """T.81 A.2: an Ns=1 scan rasters the component's OWN block grid,
+    not MCU clusters — a single-component baseline file declaring 2x2
+    sampling (legal; hmax==ch so geometry is unchanged) must decode
+    identically to the 1x1 declaration. Review finding: the
+    non-interleaved path was gated to progressive only."""
+    img = _gradient(24, 32)
+    ref = decode_jpeg(encode_jpeg(img, quality=90, subsampling="4:4:4"))
+    enc = bytearray(encode_jpeg(img, quality=90, subsampling="4:4:4"))
+    sof = enc.find(b"\xff\xc0")
+    hv_pos = sof + 11  # SOF0: marker(2) len(2) prec(1) h(2) w(2) nf(1) cid(1) -> hv
+    assert enc[hv_pos] == 0x11
+    enc[hv_pos] = 0x22
+    assert np.array_equal(decode_jpeg(bytes(enc)), ref)
+
+
+def test_refinement_scan_missing_ac_table_is_valueerror():
+    """A progressive AC refinement scan referencing an undefined AC
+    table must fail with the documented ValueError, not AttributeError."""
+    import struct
+
+    prog = bytearray(encode_jpeg(_gradient(33, 29), quality=80, progressive=True))
+    pos = 2
+    while pos + 4 <= len(prog):
+        if prog[pos] != 0xFF:
+            pos += 1
+            continue
+        m = prog[pos + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        if m == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", prog, pos + 2)
+        if m == 0xDA:
+            seg = prog[pos + 4 : pos + 2 + ln]
+            ns = seg[0]
+            ss_, a = seg[1 + 2 * ns], seg[3 + 2 * ns]
+            if ss_ > 0 and (a >> 4) > 0:  # AC refinement scan
+                prog[pos + 4 + 2] = 0x33  # undefined table ids
+                break
+            p = pos + 2 + ln
+            while p + 1 < len(prog):
+                if prog[p] != 0xFF:
+                    p += 1
+                elif prog[p + 1] == 0x00 or 0xD0 <= prog[p + 1] <= 0xD7:
+                    p += 2
+                elif prog[p + 1] == 0xFF:
+                    p += 1
+                else:
+                    break
+            pos = p
+            continue
+        pos += 2 + ln
+    with pytest.raises(ValueError, match="huffman table"):
+        decode_jpeg(bytes(prog))
